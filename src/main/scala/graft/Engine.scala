@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory for the graft engine.
+  *
+  * Design notes (scale): the engine targets a multi-executor cluster over
+  * ~100 TB; everything here is also valid on `local[N]` for tests. We rely on
+  * Catalyst + AQE for join-strategy selection, skew-join splitting and
+  * partition coalescing rather than hand-scheduling. Shuffle partitions are
+  * sized by the caller (32 for local tests; a real cluster submit would
+  * override via `--conf`).
+  *
+  * Reference: the fs2-kafka-streams runtime knobs (poll cadence, buffer
+  * bounds — /root/reference/src/main/scala/com/iravid/fs2/kafka/client/
+  * settings.scala:8-15) collapse into Spark's trigger interval +
+  * maxOffsetsPerTrigger; see graft.sources.Sources.
+  */
+object Engine {
+
+  /** Apply the engine's standard configuration to a builder. */
+  def configure(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // 64 MiB broadcast threshold: dims (region/nation/customer/supplier at
+      // our SFs, and the ANN query-vector side) broadcast; fact tables never.
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.parquet.filterPushdown", "true")
+      // events.ts is parquet TIMESTAMP(NANOS) which Spark's reader rejects;
+      // read it as a raw long and convert (ns → µs) in Fixtures.events.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+      // RocksDB-backed state: the analogue of the reference's RocksDB tables
+      // (streams/KVStores.scala) — state lives off-heap, per shuffle partition.
+      .config(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.sql.ui.retainedExecutions", "4")
+      .config("spark.ui.enabled", "false")
+
+  /** Local session for tests / benches. */
+  def session(cores: Int = 32, appName: String = "graft"): SparkSession = {
+    val s = configure(
+      SparkSession.builder().master(s"local[$cores]").appName(appName),
+      shufflePartitions = cores).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

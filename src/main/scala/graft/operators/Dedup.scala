@@ -1,0 +1,241 @@
+package graft.operators
+
+import graft.{Fixtures, GraftQuery}
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over the `documents` / `embeddings` tables — the
+  * [EXT] training-data-pipeline surface (BASELINE.json north star; the
+  * reference itself has no dedup — its only "dedup" is last-write-wins upsert,
+  * /root/reference/src/main/scala/com/iravid/fs2/kafka/streams/Table.scala:55).
+  *
+  * Scale design notes (100 TB):
+  *  - Exact dedup is a hash groupBy — one shuffle of (hash, lang) pairs with
+  *    map-side partial aggregation.
+  *  - MinHash+LSH is THE scale path for near-dup text: cost is linear in
+  *    corpus size (shingle → 64 permuted min-hashes → 16 banded signatures),
+  *    and the only pairwise work happens inside LSH buckets, whose expected
+  *    size is O(1) for non-duplicate data. Candidates are then verified with
+  *    exact jaccard, so false positives never escape. With 16 bands × 4 rows,
+  *    P(miss) at jaccard 0.8 is (1−0.8⁴)¹⁶ ≈ 2e-4 and ≈1e-13 at 0.96+.
+  *  - The exact n-gram jaccard variant (q19) joins on raw shingles — correct
+  *    at any scale but with worst-case quadratic blowup on hot shingles; it
+  *    exists as the oracle-exact baseline, minhash is what you run at 100 TB.
+  *  - SimHash uses 5×12-bit banding: any pair within hamming distance 4
+  *    shares at least one exact band (pigeonhole), so the banded join finds
+  *    ALL qualifying pairs — exact result, linear candidate generation.
+  *  - Embedding near-dup: brute pairwise here (the oracle-exact baseline);
+  *    the bucketed scale path is the IVF index in [[Similarity]].
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- q14
+  // Exact dedup (SURVEY §2.C Q14): distinct (text, lang) then count per lang.
+  // At scale: distinct on a wide text column should hash first — Catalyst's
+  // HashAggregate already keys on the value; for 100 TB you'd dedup on
+  // md5(text) (see exactDedupByHash below) to shuffle 16 bytes instead of
+  // whole documents.
+  private def q14(s: SparkSession, dir: String): DataFrame =
+    Fixtures.documents(s, dir)
+      .select(col("text"), col("lang")).distinct()
+      .groupBy(col("lang")).agg(count(lit(1)).as("docs"))
+      .orderBy(col("lang"))
+
+  private val q14Sql =
+    """SELECT lang, COUNT(*) AS docs FROM (SELECT DISTINCT text, lang FROM documents) t
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Scale variant of exact dedup: group on md5(text) so the shuffle carries
+    * a 16-byte key, not the document. Returns one representative doc_id per
+    * distinct text (min doc_id — deterministic).
+    */
+  def exactDedupByHash(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("dupes"))
+
+  // ---------------------------------------------------------------- shared
+  /** (doc_id, sh): distinct word-3-gram shingles per document. */
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    Fixtures.documents(s, dir)
+      .select(col("doc_id"), explode(array_distinct(wordShingles(col("text"), 3))).as("sh"))
+
+  /** Exact jaccard ≥ threshold for a candidate pair set (cols a, b). */
+  private def verifyJaccard(shingles: DataFrame, cands: DataFrame, threshold: Double): DataFrame = {
+    val sizes = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val s1 = shingles.select(col("doc_id").as("a"), col("sh"))
+    val s2 = shingles.select(col("doc_id").as("b2"), col("sh").as("sh2"))
+    val inter = cands.join(s1, "a")
+      .join(s2, col("b") === col("b2") && col("sh") === col("sh2"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("i"))
+    val jac = inter
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        (col("i") * lit(1.0) / (col("na") + col("nb") - col("i"))).as("jac_raw"))
+    jac.filter(col("jac_raw") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jac_raw"), 4).as("jac"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Oracle: exact pairwise jaccard on distinct word-3-grams (used for both
+    * q17 and q19 — the minhash run must equal the exact answer at these
+    * LSH parameters; P(miss) ≈ 1e-13 for the ≥0.96 planted pairs).
+    */
+  private val jaccardSql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS g
+      |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      |              JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+      |sizes AS (SELECT doc_id, COUNT(*) n FROM grams GROUP BY 1),
+      |inter AS (
+      |  SELECT g1.doc_id a, g2.doc_id b, COUNT(*) i
+      |  FROM grams g1 JOIN grams g2 ON g1.g = g2.g AND g1.doc_id < g2.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT a AS doc_a, b AS doc_b, ROUND(i * 1.0 / (sa.n + sb.n - i), 4) AS jac
+      |FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+      |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- q17
+  // MinHash + LSH near-dup pairs (64 perms, 16 bands × 4 rows), candidates
+  // verified with exact jaccard ≥ 0.8.
+  private val NumPerm = 64
+  private val RowsPerBand = 4
+
+  def minhashCandidates(shingles: DataFrame): DataFrame = {
+    val hashed = shingles
+      .select(col("doc_id"), col("sh"),
+        explode(sequence(lit(0), lit(NumPerm - 1))).as("p"))
+      .select(col("doc_id"), col("p"),
+        hash60(concat(col("p"), lit(":"), col("sh"))).as("h"))
+    val sigs = hashed.groupBy(col("doc_id"), col("p")).agg(min(col("h")).as("mh"))
+    val bands = sigs
+      .groupBy(col("doc_id"), floor(col("p") / RowsPerBand).as("band"))
+      .agg(md5(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("p"), col("mh")))),
+          s => s.getField("mh").cast("string")))).as("sig"))
+    val x = bands.select(col("doc_id").as("a"), col("band"), col("sig"))
+    val y = bands.select(col("doc_id").as("b"), col("band").as("band2"), col("sig").as("sig2"))
+    x.join(y, col("band") === col("band2") && col("sig") === col("sig2") && col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+  }
+
+  private def q17(s: SparkSession, dir: String): DataFrame = {
+    val shingles = docShingles(s, dir)
+    verifyJaccard(shingles, minhashCandidates(shingles), 0.8)
+  }
+
+  // ---------------------------------------------------------------- q19
+  // Exact n-gram jaccard: candidates = pairs sharing ≥1 shingle. Same
+  // output/oracle as q17 but no approximation anywhere.
+  private def q19(s: SparkSession, dir: String): DataFrame = {
+    val shingles = docShingles(s, dir)
+    val cands = shingles.select(col("doc_id").as("a"), col("sh"))
+      .join(shingles.select(col("doc_id").as("b"), col("sh")), Seq("sh"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    verifyJaccard(shingles, cands, 0.8)
+  }
+
+  // ---------------------------------------------------------------- q18
+  // Weighted SimHash (60-bit, md5-derived bits, token counts as weights) +
+  // banded candidate join; emits pairs with hamming distance ≤ 4. The 5×12
+  // banding makes this exact for ≤ 4 (pigeonhole) with linear candidate cost.
+  private val SimBits = 60
+  private val BandBits = 12
+
+  def simhash(docs: DataFrame): DataFrame = {
+    val tokCnt = docs.select(col("doc_id"), explode(wsTokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val bits = tokCnt
+      .select(col("doc_id"), col("cnt"), hash60(col("tok")).as("h"),
+        explode(sequence(lit(0), lit(SimBits - 1))).as("b"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(when(expr("(shiftright(h, b) & 1) = 1"), col("cnt"))
+        .otherwise(-col("cnt"))).as("s"))
+    bits.groupBy(col("doc_id"))
+      .agg(sum(when(col("s") >= 0, expr("shiftleft(1L, b)")).otherwise(0L)).as("sim"))
+  }
+
+  private def q18(s: SparkSession, dir: String): DataFrame = {
+    val sims = simhash(Fixtures.documents(s, dir))
+    val banded = sims.select(col("doc_id"), col("sim"),
+      explode(sequence(lit(0), lit(SimBits / BandBits - 1))).as("band"))
+      .withColumn("bandval", expr(s"shiftright(sim, cast(band * $BandBits as int)) & ${(1 << BandBits) - 1}"))
+    val x = banded.select(col("doc_id").as("a"), col("sim").as("sim_a"), col("band"), col("bandval"))
+    val y = banded.select(col("doc_id").as("b"), col("sim").as("sim_b"),
+      col("band").as("band2"), col("bandval").as("bandval2"))
+    x.join(y, col("band") === col("band2") && col("bandval") === col("bandval2") && col("a") < col("b"))
+      .select(col("a"), col("b"), col("sim_a"), col("sim_b")).distinct()
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        expr("bit_count(sim_a ^ sim_b)").as("hd"))
+      .filter(col("hd") <= 4)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val q18Sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, tok, COUNT(*) cnt FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) tok FROM documents) t
+       |  GROUP BY 1, 2),
+       |th AS (SELECT doc_id, tok, cnt, ('0x' || substr(md5(tok), 1, 15))::BIGINT h FROM toks),
+       |bits AS (
+       |  SELECT doc_id, bs.b, SUM(CASE WHEN (h >> bs.b) & 1 = 1 THEN cnt ELSE -cnt END) s
+       |  FROM th CROSS JOIN (SELECT unnest(generate_series(0, ${SimBits - 1})) b) bs
+       |  GROUP BY 1, 2),
+       |sims AS (
+       |  SELECT doc_id, SUM(CASE WHEN s >= 0 THEN (1::BIGINT << b) ELSE 0 END) sim
+       |  FROM bits GROUP BY 1)
+       |SELECT s1.doc_id doc_a, s2.doc_id doc_b, bit_count(xor(s1.sim, s2.sim)) hd
+       |FROM sims s1 JOIN sims s2 ON s1.doc_id < s2.doc_id
+       |WHERE bit_count(xor(s1.sim, s2.sim)) <= 4
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- q20
+  // Embedding-cosine near-dup pairs (≥ 0.45). Norms computed once per side
+  // before the pairwise join; dot product in exact decimal (see
+  // VectorFunctions.dotDec) so the hash matches the oracle at any
+  // parallelism. Brute pairwise is the exact baseline; the bucketed path for
+  // scale is Similarity.ivfTopK.
+  private def q20(s: SparkSession, dir: String): DataFrame = {
+    val e = Fixtures.embeddings(s, dir)
+    val withNorm = e.select(col("vec_id"), col("embedding"), norm2Dec(col("embedding")).as("n2"))
+    val a = withNorm.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("n2").as("n2a"))
+    val b = withNorm.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("n2").as("n2b"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        cosineWithNorms(dotDec(col("ea"), col("eb")), col("n2a"), col("n2b")).as("c"))
+      .filter(col("c") >= 0.45)
+      .select(col("vec_a"), col("vec_b"), round(col("c"), 4).as("cos_sim"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  private val q20Sql =
+    """WITH el AS (
+      |  SELECT vec_id, unnest(embedding) x, generate_subscripts(embedding, 1) i FROM embeddings),
+      |norms AS (
+      |  SELECT vec_id, SUM(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 9) AS DECIMAL(28,12))) n2
+      |  FROM el GROUP BY 1),
+      |dots AS (
+      |  SELECT a.vec_id va, b.vec_id vb,
+      |         SUM(CAST(round(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE), 9) AS DECIMAL(28,12))) dot
+      |  FROM el a JOIN el b ON a.i = b.i AND a.vec_id < b.vec_id
+      |  GROUP BY 1, 2),
+      |cos AS (
+      |  SELECT va, vb, CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) c
+      |  FROM dots JOIN norms na ON na.vec_id = va JOIN norms nb ON nb.vec_id = vb)
+      |SELECT va AS vec_a, vb AS vec_b, ROUND(c, 4) AS cos_sim
+      |FROM cos WHERE c >= 0.45 ORDER BY vec_a, vec_b""".stripMargin
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q14_dedup_exact", q14, Some(q14Sql)),
+    GraftQuery("q17_dedup_minhash_lsh", q17, Some(jaccardSql)),
+    GraftQuery("q18_dedup_simhash", q18, Some(q18Sql)),
+    GraftQuery("q19_dedup_ngram_jaccard", q19, Some(jaccardSql)),
+    GraftQuery("q20_dedup_embedding", q20, Some(q20Sql)))
+}

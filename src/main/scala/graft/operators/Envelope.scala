@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.{Fixtures, GraftQuery}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** The decode envelope — the engine's version of the reference's
+  * `ConsumerMessage[Result, T] = EnvT[ByteRecord, Either[Throwable, *], T]`
+  * (/root/reference/src/main/scala/com/iravid/fs2/kafka/model/package.scala:12,16
+  * and EnvT.scala:5): a decoded payload annotated with source metadata, where
+  * decode FAILURES STAY IN-STREAM (RecordStream.scala:277-278 — the
+  * deserialize pipe emits `Either`, it never drops), and the user decides.
+  *
+  * Spark shape: `payload STRUCT<...>, error STRING` — error is the raw input
+  * on decode failure, NULL on success. Filtering `error IS NULL` reproduces
+  * the reference's `collect { case EnvT(m, Right(t)) => ... }` idiom
+  * (streams/Tables.scala:25-27).
+  */
+object Envelope {
+
+  /** Decode a JSON string column into `payload` + `error` without dropping
+    * rows. `from_json` is codegen-friendly and null-safe; a malformed input
+    * yields a NULL payload and the raw input in `error`.
+    */
+  def decodeJson(df: DataFrame, jsonCol: String, schema: StructType): DataFrame =
+    df.withColumn("payload", from_json(col(jsonCol), schema))
+      .withColumn("error",
+        when(col(jsonCol).isNotNull && col("payload").isNull, col(jsonCol)))
+
+  // ---------------------------------------------------------------- q27
+  // Decode-as-projection (reference A3) over events.props, error channel
+  // intact. Scalar extraction via get_json_object keeps the whole row
+  // pipeline inside whole-stage codegen.
+  private def q27(s: SparkSession, dir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("int")
+    Fixtures.events(s, dir)
+      .select(col("event_id"), k.as("k"),
+        when(k.isNull, col("props")).as("err"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q27Sql =
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k,
+      |  CASE WHEN json_extract_string(props, '$.k') IS NULL THEN props END AS err
+      |FROM events ORDER BY event_id""".stripMargin
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q27_decode_envelope", q27, Some(q27Sql)))
+}

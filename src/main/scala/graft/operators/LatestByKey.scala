@@ -1,0 +1,124 @@
+package graft.operators
+
+import graft.{Fixtures, GraftQuery}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Latest-value-per-key table materialization — THE core semantic of the
+  * reference (`Tables.inMemory/persistent`, /root/reference/src/main/scala/
+  * com/iravid/fs2/kafka/streams/Tables.scala:17-139: fold a changelog into a
+  * last-write-wins keyed table, offset order = authority; `Table.putAll`
+  * overwrites per key, streams/Table.scala:55-56,125).
+  *
+  * Batch form: `max_by(payload, offset)` per key — a single hash aggregate
+  * with map-side partial aggregation, so at 100 TB each task reduces its
+  * slice to one row per locally-seen key before the shuffle. Strictly better
+  * than the `row_number over (partition by key order by offset desc) = 1`
+  * formulation, which must shuffle-and-sort EVERY row.
+  *
+  * Streaming form: graft.streaming.LatestByKeyStream (value state per key on
+  * the RocksDB provider — the analogue of A15/A16's RocksDB tables).
+  *
+  * Point lookup / multi-get / scan (reference A18/A19/A20,
+  * streams/Table.scala:23-33) are exposed by [[ReadOnlyTableView]]: filters
+  * on the materialized view that Catalyst pushes into the scan. `getAll`
+  * becomes an IN-list (semi-join against a literal list ≈ RocksDB multiGet,
+  * streams/PolyKVStore.scala:122-140).
+  */
+object LatestByKey {
+
+  /** Fold an ordered changelog into latest-value-per-key, one output row per
+    * key, carrying the requested payload columns. `offsetCol` must be unique
+    * per key (Kafka offsets are unique per partition; `event_id` is globally
+    * unique — FIXTURES.md).
+    */
+  def materialize(changelog: DataFrame, keyCol: String, offsetCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val aggs = payloadCols.map(c => max_by(col(c), col(offsetCol)).as(s"last_$c")) :+
+      max(col(offsetCol)).as(s"last_$offsetCol")
+    changelog.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Read-only view over a materialized table: the engine surface for the
+    * reference's `ReadOnlyTable` (get/getAll/scan, streams/Table.scala:10-16).
+    */
+  final class ReadOnlyTableView(val view: DataFrame, keyCol: String) {
+    /** Point lookup (A18): key-equality filter, pushed into the scan. */
+    def get(k: Any): DataFrame = view.filter(col(keyCol) === lit(k))
+    /** Multi-get (A19): IN-list, planned as a pushed `In` filter. */
+    def getAll(ks: Seq[Any]): DataFrame =
+      view.filter(col(keyCol).isin(ks: _*))
+    /** Full scan (A20). */
+    def scan: DataFrame = view
+  }
+
+  def table(spark: SparkSession, dir: String): ReadOnlyTableView =
+    new ReadOnlyTableView(
+      materialize(Fixtures.events(spark, dir), "user_id", "event_id",
+        Seq("event_type", "value")),
+      "user_id")
+
+  // ---------------------------------------------------------------- Q4
+  // The A17 upsert fold as a batch query.
+  private def q4(s: SparkSession, dir: String): DataFrame =
+    materialize(Fixtures.events(s, dir), "user_id", "event_id",
+      Seq("event_type", "value"))
+      .select(col("user_id"), col("last_event_type"), col("last_value"),
+        col("last_event_id"))
+      .orderBy(col("user_id"))
+
+  private val q4Sql =
+    """SELECT user_id, MAX_BY(event_type, event_id) AS last_event_type,
+      |  MAX_BY(value, event_id) AS last_value, MAX(event_id) AS last_event_id
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- Q5
+  // Stream–table enrichment join (reference A23: per-element table lookup,
+  // src/it/scala/ReadOnlyTableSpec.scala:77-79). Batch twin: left join the
+  // probe stream against the materialized latest-by-key view. The view is
+  // small relative to the stream (one row per key) — at 100 TB Spark would
+  // broadcast it when under threshold, else shuffle-hash on user_id; both
+  // sides already share the key so AQE picks the cheapest.
+  private def q5(s: SparkSession, dir: String): DataFrame = {
+    val ev = Fixtures.events(s, dir)
+    val custLatest = materialize(ev, "user_id", "event_id", Seq("value"))
+      .select(col("user_id"), col("last_value"))
+    ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"))
+      .join(custLatest, Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"),
+        round(col("last_value"), 2).cast("double").as("last_value"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q5Sql =
+    """WITH cust_latest AS (
+      |  SELECT user_id, MAX_BY(value, event_id) AS lv FROM events GROUP BY user_id)
+      |SELECT e.event_id, e.user_id, CAST(ROUND(c.lv, 2) AS DOUBLE) AS last_value
+      |FROM events e LEFT JOIN cust_latest c USING (user_id)
+      |WHERE e.event_type = 'click' ORDER BY e.event_id""".stripMargin
+
+  // ---------------------------------------------------------------- Q6
+  // Point/multi-get on the materialized table (A18/A19). The key filter is
+  // applied BEFORE aggregation — at scale the IN-list prunes the scan, and
+  // only matching keys are shuffled (vs. materializing the whole table then
+  // filtering).
+  private def q6(s: SparkSession, dir: String): DataFrame = {
+    val keys = Seq(1L, 2L, 3L, 5L, 8L, 13L, 21L, 34L)
+    Fixtures.events(s, dir)
+      .filter(col("user_id").isin(keys: _*))
+      .groupBy(col("user_id"))
+      .agg(max_by(col("value"), col("event_id")).as("v"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q6Sql =
+    """SELECT user_id, MAX_BY(value, event_id) AS v FROM events
+      |WHERE user_id IN (1, 2, 3, 5, 8, 13, 21, 34)
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q4_latest_by_key", q4, Some(q4Sql)),
+    GraftQuery("q5_enrich_join", q5, Some(q5Sql)),
+    GraftQuery("q6_multiget", q6, Some(q6Sql)))
+}

@@ -1,0 +1,229 @@
+package graft.operators
+
+import graft.{Fixtures, GraftQuery}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The relational core of the query inventory (SURVEY.md §2.C Q1–Q3, Q7–Q13).
+  *
+  * The reference library has no relational layer at all — per-record
+  * transforms come from fs2 (`/root/reference/src/main/scala/com/iravid/fs2/
+  * kafka/client/RecordStream.scala:16-18`, streams ARE fs2.Stream) and the only
+  * aggregation is latest-value-per-key (see [[LatestByKey]]). Everything here
+  * is therefore expressed with Spark built-ins so Catalyst supplies pushdown,
+  * pruning, join selection, partial aggregation and whole-stage codegen.
+  *
+  * Float determinism vs the DuckDB oracle: every money/discount column is
+  * exactly representable with 2 decimals, so we aggregate in DECIMAL(18,4)
+  * (exact, order-independent) and cast the rounded result back to DOUBLE in
+  * BOTH engines. Doubles are never summed directly — at 100 TB the reduction
+  * order is nondeterministic across partitions.
+  */
+object Relational {
+
+  /** Exact-decimal view of a 2-dp double column (order-independent sums). */
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  /** round to n decimals and return a DOUBLE (matches oracle ROUND+CAST). */
+  private def rnd(c: Column, n: Int): Column = round(c, n).cast("double")
+
+  // ---------------------------------------------------------------- Q1
+  // TPC-H Q6 shape: filter + project + scalar agg. The filter and the
+  // two-column projection reach the parquet scan (PushedFilters/ReadSchema);
+  // the aggregate is a partial+final HashAggregate — one shuffle of one row
+  // per partition, which is the plan you want at any scale.
+  private def q1(s: SparkSession, dir: String): DataFrame =
+    Fixtures.lineitem(s, dir)
+      .filter(
+        col("l_shipdate") >= lit("1994-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1995-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+      .agg(rnd(sum(dec(col("l_extendedprice")) * dec(col("l_discount"))), 2).as("revenue"))
+
+  private val q1Sql =
+    """SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  // ---------------------------------------------------------------- Q2
+  // TPC-H Q1 shape: multi-key hash agg. Two grouping keys with tiny
+  // cardinality (|flags|×|status| ≤ 6): map-side partial agg reduces the
+  // shuffle to a handful of rows per task regardless of input size.
+  private def q2(s: SparkSession, dir: String): DataFrame =
+    Fixtures.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        rnd(sum(dec(col("l_quantity"))), 2).as("sum_qty"),
+        rnd(sum(dec(col("l_extendedprice"))), 2).as("sum_base_price"),
+        round(sum(dec(col("l_discount"))).cast("double") / count(lit(1)), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private val q2Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+      |  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- Q3
+  // 3-way equi join + agg. nation is tiny → explicit broadcast (no shuffle
+  // on that side at any scale); orders⋈customer is a shuffled key join that
+  // AQE may convert/skew-split at runtime. Aggregation keys are nation names
+  // (25) so the final shuffle is negligible.
+  private def q3(s: SparkSession, dir: String): DataFrame =
+    Fixtures.orders(s, dir)
+      .join(Fixtures.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Fixtures.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(rnd(sum(dec(col("o_totalprice"))), 2).as("total"))
+      .orderBy(col("n_name"))
+
+  private val q3Sql =
+    """SELECT n_name, CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  // ---------------------------------------------------------------- Q7
+  // Tumbling time window as batch agg (streaming twin lives in
+  // graft.streaming — must produce the same answer; SURVEY §2.C).
+  private def q7(s: SparkSession, dir: String): DataFrame =
+    Fixtures.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"), rnd(sum(dec(col("value"))), 2).as("sv"))
+      .orderBy(col("h"), col("event_type"))
+
+  private val q7Sql =
+    """SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS h, event_type, COUNT(*) AS n,
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sv
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- Q8
+  // Window function (rank in partition, top-3 per customer). One shuffle on
+  // o_custkey; rank+filter stays in a single WindowExec. At scale this is the
+  // canonical "top-k per group" — no global sort.
+  private def q8(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Fixtures.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), rank().over(w).as("rnk"))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("o_custkey"), col("rnk"), col("o_orderkey"))
+  }
+
+  private val q8Sql =
+    """SELECT o_custkey, o_orderkey, rnk FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |         RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      |  FROM orders) t
+      |WHERE rnk <= 3 ORDER BY o_custkey, rnk, o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- Q9
+  // Global top-k: orderBy+limit plans as TakeOrderedAndProject — each task
+  // keeps a k-heap, driver merges k×partitions rows; no full sort, no full
+  // shuffle. This survives 100× scale-up where a global sort would not.
+  private def q9(s: SparkSession, dir: String): DataFrame =
+    Fixtures.orders(s, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+      .select(col("o_orderkey"), rnd(col("o_totalprice"), 2).as("price"))
+
+  private val q9Sql =
+    """SELECT o_orderkey, CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS price
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------- Q10
+  // Exact distinct counts (hash-checked). Two count-distincts on different
+  // columns → Catalyst plans an expand + two-phase agg; exact by design.
+  private def q10(s: SparkSession, dir: String): DataFrame =
+    Fixtures.events(s, dir)
+      .agg(
+        countDistinct(col("user_id")).as("du"),
+        countDistinct(col("event_type")).as("dt"))
+
+  private val q10Sql =
+    "SELECT COUNT(DISTINCT user_id) AS du, COUNT(DISTINCT event_type) AS dt FROM events"
+
+  // q10_approx: HLL sketch — approximate by construction, so no DuckDB hash
+  // oracle (rows-only); its accuracy is asserted in ApproxSpec against q10.
+  private def q10Approx(s: SparkSession, dir: String): DataFrame =
+    Fixtures.events(s, dir)
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_du"),
+        approx_count_distinct(col("event_type")).as("approx_dt"))
+
+  // ---------------------------------------------------------------- Q11
+  // Set op: INTERSECT (distinct semantics in both engines). Planned as a
+  // left-semi aggregate join on the hashed key — shuffles only distinct keys.
+  private def q11(s: SparkSession, dir: String): DataFrame = {
+    val ev = Fixtures.events(s, dir)
+    ev.filter(col("event_type") === "click").select(col("user_id"))
+      .intersect(ev.filter(col("event_type") === "purchase").select(col("user_id")))
+      .orderBy(col("user_id"))
+  }
+
+  private val q11Sql =
+    """SELECT user_id FROM events WHERE event_type = 'click'
+      |INTERSECT
+      |SELECT user_id FROM events WHERE event_type = 'purchase'
+      |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- Q12
+  // Rollup / grouping sets: one Expand node feeding a single hash agg —
+  // not three separate scans.
+  private def q12(s: SparkSession, dir: String): DataFrame =
+    Fixtures.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("f"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("s"),
+        col("n"))
+      .orderBy(col("f"), col("s"))
+
+  private val q12Sql =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS f, COALESCE(l_linestatus, 'ALL') AS s, COUNT(*) AS n
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY f, s""".stripMargin
+
+  // ---------------------------------------------------------------- Q13
+  // Scalar funcs + semi join. left_semi keeps only `part` columns and
+  // dedupes build-side keys — the distinct on l_partkey is implicit in the
+  // semi-join semantics, so no extra aggregate. The lineitem filter is
+  // pushed to its scan before the join.
+  private def q13(s: SparkSession, dir: String): DataFrame = {
+    val sold = Fixtures.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp"))
+      .select(col("l_partkey"))
+    Fixtures.part(s, dir)
+      .join(sold, col("p_partkey") === col("l_partkey"), "left_semi")
+      .groupBy(upper(substring(col("p_name"), 1, 8)).as("pfx"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("pfx"))
+  }
+
+  private val q13Sql =
+    """SELECT UPPER(SUBSTR(p_name, 1, 8)) AS pfx, COUNT(*) AS n
+      |FROM part
+      |WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01')
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q1_filter_agg", q1, Some(q1Sql)),
+    GraftQuery("q2_group_agg", q2, Some(q2Sql)),
+    GraftQuery("q3_join_agg", q3, Some(q3Sql)),
+    GraftQuery("q7_time_window", q7, Some(q7Sql)),
+    GraftQuery("q8_rank_window", q8, Some(q8Sql)),
+    GraftQuery("q9_topk", q9, Some(q9Sql)),
+    GraftQuery("q10_distinct", q10, Some(q10Sql)),
+    GraftQuery("q10_approx_distinct", q10Approx, None),
+    GraftQuery("q11_setop", q11, Some(q11Sql)),
+    GraftQuery("q12_rollup", q12, Some(q12Sql)),
+    GraftQuery("q13_scalar_semijoin", q13, Some(q13Sql)))
+}

@@ -1,0 +1,148 @@
+package graft.operators
+
+import graft.{Fixtures, GraftQuery}
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors) —
+  * [EXT] per BASELINE.json; the reference has no vector operations.
+  *
+  * Scale design (100 TB / billions of vectors):
+  *  - q15/q21 are the exact baselines. The query side is tiny and explicitly
+  *    `broadcast()`ed, so the corpus is scanned once with NO shuffle of the
+  *    vector column at all; per-query top-k is a TakeOrderedAndProject /
+  *    windowed rank over (query × corpus) rows, never a global sort.
+  *  - q22 is the scale path: an IVF (inverted-file) index. Vectors are
+  *    assigned to their nearest centroid (one broadcast join), queries probe
+  *    the `nprobe` nearest cells, and only probed cells are scored —
+  *    corpus-scan cost drops by ~nlist/nprobe. The coarse quantizer here
+  *    uses deterministic seed centroids (first `nlist` vectors) instead of
+  *    k-means iterations: centroid *quality* affects recall only, not the
+  *    operator's plan shape, and determinism is what the harness needs.
+  *    Approximate ⇒ no value oracle; AnnSpec asserts recall@5 against q21.
+  */
+object Similarity {
+
+  // ---------------------------------------------------------------- q15
+  // Cosine top-20 against the vec_id=0 query vector (SURVEY §2.C Q15).
+  private def q15(s: SparkSession, dir: String): DataFrame = {
+    val e = Fixtures.embeddings(s, dir)
+    val q0 = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    e.crossJoin(broadcast(q0))
+      .select(col("vec_id"), round(cosineDec(col("embedding"), col("qe")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(20)
+  }
+
+  private val q15Sql =
+    """WITH el AS (
+      |  SELECT vec_id, unnest(embedding) x, generate_subscripts(embedding, 1) i FROM embeddings),
+      |q AS (SELECT i, x qx FROM el WHERE vec_id = 0),
+      |parts AS (
+      |  SELECT el.vec_id,
+      |    SUM(CAST(round(CAST(el.x AS DOUBLE) * CAST(q.qx AS DOUBLE), 9) AS DECIMAL(28,12))) dot,
+      |    SUM(CAST(round(CAST(el.x AS DOUBLE) * CAST(el.x AS DOUBLE), 9) AS DECIMAL(28,12))) n2,
+      |    SUM(CAST(round(CAST(q.qx AS DOUBLE) * CAST(q.qx AS DOUBLE), 9) AS DECIMAL(28,12))) qn2
+      |  FROM el JOIN q ON el.i = q.i GROUP BY 1)
+      |SELECT vec_id,
+      |  ROUND(CAST(dot AS DOUBLE) / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE))), 4) AS cos_sim
+      |FROM parts ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q21
+  // Brute-force ANN baseline: exact top-5 neighbors for each query vector
+  // (vec_id < 10), self excluded. Rank by exact-decimal cosine.
+  private def q21(s: SparkSession, dir: String): DataFrame = {
+    val e = Fixtures.embeddings(s, dir)
+    val withNorm = e.select(col("vec_id"), col("embedding"), norm2Dec(col("embedding")).as("n2"))
+    val qs = withNorm.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("n2").as("qn2"))
+    val scored = withNorm.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosineWithNorms(dotDec(col("embedding"), col("qe")), col("n2"), col("qn2")).as("c"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("c").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), round(col("c"), 4).as("cos_sim"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  private val q21Sql =
+    """WITH el AS (
+      |  SELECT vec_id, unnest(embedding) x, generate_subscripts(embedding, 1) i FROM embeddings),
+      |norms AS (
+      |  SELECT vec_id, SUM(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 9) AS DECIMAL(28,12))) n2
+      |  FROM el GROUP BY 1),
+      |dots AS (
+      |  SELECT q.vec_id query_id, c.vec_id neighbor_id,
+      |    SUM(CAST(round(CAST(c.x AS DOUBLE) * CAST(q.x AS DOUBLE), 9) AS DECIMAL(28,12))) dot
+      |  FROM el c JOIN el q ON c.i = q.i AND q.vec_id < 10 AND c.vec_id <> q.vec_id
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT query_id, neighbor_id,
+      |    CAST(dot AS DOUBLE) / (sqrt(CAST(nc.n2 AS DOUBLE)) * sqrt(CAST(nq.n2 AS DOUBLE))) c
+      |  FROM dots JOIN norms nc ON nc.vec_id = neighbor_id JOIN norms nq ON nq.vec_id = query_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, c,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) rnk
+      |  FROM scored)
+      |SELECT query_id, rnk, neighbor_id, ROUND(c, 4) AS cos_sim
+      |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
+  // ---------------------------------------------------------------- q22
+  /** Build an IVF index: assign every vector to its nearest of the `nlist`
+    * seed centroids (deterministic: centroids = vec_id < nlist).
+    * Returns (cell, vec_id, embedding, n2).
+    */
+  def ivfIndex(e: DataFrame, nlist: Int): DataFrame = {
+    val withNorm = e.select(col("vec_id"), col("embedding"), norm2Dec(col("embedding")).as("n2"))
+    val cents = withNorm.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"), col("n2").as("cn2"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cc").desc, col("cent_id"))
+    withNorm.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("n2"), col("cent_id"),
+        cosineWithNorms(dotDec(col("embedding"), col("ce")), col("n2"), col("cn2")).as("cc"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cent_id").as("cell"), col("vec_id"), col("embedding"), col("n2"))
+  }
+
+  /** IVF-probed approximate top-k: score only vectors in the query's
+    * `nprobe` nearest cells.
+    */
+  def ivfTopK(e: DataFrame, queryPred: org.apache.spark.sql.Column,
+      nlist: Int, nprobe: Int, k: Int): DataFrame = {
+    val index = ivfIndex(e, nlist)
+    val qs = index.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("n2").as("qn2"))
+    val cents = index.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"), col("n2").as("cn2"))
+    val wp = Window.partitionBy(col("query_id")).orderBy(col("qc").desc, col("cent_id"))
+    val probes = qs.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qe"), col("qn2"), col("cent_id"),
+        cosineWithNorms(dotDec(col("qe"), col("ce")), col("qn2"), col("cn2")).as("qc"))
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qe"), col("qn2"), col("cent_id").as("cell"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("c").desc, col("neighbor_id"))
+    index.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosineWithNorms(dotDec(col("embedding"), col("qe")), col("n2"), col("qn2")).as("c"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), round(col("c"), 4).as("cos_sim"))
+  }
+
+  private def q22(s: SparkSession, dir: String): DataFrame =
+    ivfTopK(Fixtures.embeddings(s, dir), col("vec_id") < 10,
+      nlist = 16, nprobe = 4, k = 5)
+      .orderBy(col("query_id"), col("rnk"))
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q15_cosine_topk", q15, Some(q15Sql)),
+    GraftQuery("q21_ann_brute", q21, Some(q21Sql)),
+    GraftQuery("q22_ann_ivf", q22, None))
+}

@@ -1,0 +1,165 @@
+package graft.operators
+
+import graft.{Fixtures, GraftQuery}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents` — language ID, quality scoring,
+  * token counting, fingerprinting ([EXT], BASELINE.json north star).
+  *
+  * All per-document work is a narrow map over codegen'd built-ins (no UDFs,
+  * no shuffle until the final small aggregation), so each of these queries
+  * is a single scan + one tiny-key aggregate at any corpus size.
+  */
+object TextAnalysis {
+
+  /** Marker stopword lists for the language-ID heuristic (classic public
+    * technique: score = Σ marker-token occurrences, argmax wins, ties break
+    * alphabetically). Deterministic by construction — accuracy depends on
+    * corpus realism, which the synthetic fixtures don't model.
+    */
+  private val stopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "los", "que", "y", "es", "un", "una"),
+    "fr" -> Seq("le", "les", "et", "est", "une", "des", "dans"),
+    "zh" -> Seq("的", "是", "在", "了", "我"))
+
+  private def sqlList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  // ---------------------------------------------------------------- q16
+  // Text stats (SURVEY §2.C Q16).
+  private def q16(s: SparkSession, dir: String): DataFrame =
+    Fixtures.documents(s, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("n_chars")), 2).as("avg_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("lang"), col("source"))
+
+  private val q16Sql =
+    """SELECT lang, source, COUNT(*) n, ROUND(AVG(n_chars), 2) avg_chars, MAX(n_chars) max_chars
+      |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
+  // ---------------------------------------------------------------- q23
+  // Language ID confusion matrix: labeled lang × predicted lang.
+  private def q23(s: SparkSession, dir: String): DataFrame = {
+    val toks = wsTokens(col("text"))
+    val scoreCols: Seq[(String, Column)] = stopwords.map { case (lang, ws) =>
+      lang -> size(filter(toks, t => t.isin(ws: _*)))
+    }
+    val scored = Fixtures.documents(s, dir)
+      .select(col("lang") +: scoreCols.map { case (l, c) => c.as(s"s_$l") }: _*)
+    // argmax with alphabetical tie-break: first lang whose score >= all later
+    val langs = stopwords.map(_._1)
+    val pred = langs.init.zipWithIndex.foldLeft(when(lit(false), lit(""))) {
+      case (acc, (l, i)) =>
+        val rest = langs.drop(i + 1)
+        val cond = rest.map(r => col(s"s_$l") >= col(s"s_$r")).reduce(_ && _)
+        acc.when(cond, lit(l))
+    }.otherwise(lit(langs.last))
+    scored.select(col("lang"), pred.as("pred_lang"))
+      .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
+  private val q23Sql = {
+    val scoreExprs = stopwords.map { case (lang, ws) =>
+      s"len(list_filter(string_split(text, ' '), t -> t IN ${sqlList(ws)})) AS s_$lang"
+    }.mkString(",\n    ")
+    val langs = stopwords.map(_._1)
+    val predCases = langs.init.zipWithIndex.map { case (l, i) =>
+      val cond = langs.drop(i + 1).map(r => s"s_$l >= s_$r").mkString(" AND ")
+      s"WHEN $cond THEN '$l'"
+    }.mkString(" ")
+    s"""WITH scored AS (
+       |  SELECT lang,
+       |    $scoreExprs
+       |  FROM documents),
+       |pred AS (
+       |  SELECT lang, CASE $predCases ELSE '${langs.last}' END AS pred_lang FROM scored)
+       |SELECT lang, pred_lang, COUNT(*) AS n FROM pred
+       |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q24
+  // Quality score per document: length component + stopword-ratio component
+  // + chars-per-token component, identical arithmetic order in both engines.
+  private def q24(s: SparkSession, dir: String): DataFrame = {
+    val toks = wsTokens(col("text"))
+    val enStops = stopwords.toMap.apply("en")
+    val nTok = size(toks)
+    val stopCnt = size(filter(toks, t => t.isin(enStops: _*)))
+    val score =
+      lit(0.4) * (least(col("n_chars"), lit(500)) / lit(500.0)) +
+        lit(0.3) * (stopCnt / nTok) +
+        lit(0.3) * (least(col("n_chars") / nTok, lit(8.0)) / lit(8.0))
+    Fixtures.documents(s, dir)
+      .select(col("doc_id"), round(score, 4).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q24Sql = {
+    val enList = sqlList(stopwords.toMap.apply("en"))
+    s"""SELECT doc_id,
+       |  ROUND(
+       |    0.4 * (LEAST(n_chars, 500) / 500.0) +
+       |    0.3 * (len(list_filter(string_split(text, ' '), t -> t IN $enList)) /
+       |           len(string_split(text, ' '))) +
+       |    0.3 * (LEAST(n_chars / len(string_split(text, ' ')), 8.0) / 8.0), 4) AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q25
+  // Token counting per source: whitespace tokens + BPE-ish regex tokens.
+  private def q25(s: SparkSession, dir: String): DataFrame =
+    Fixtures.documents(s, dir)
+      .select(col("source"),
+        size(wsTokens(col("text"))).as("ws"),
+        bpeishCount(col("text")).as("bp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(col("bp")).as("bpeish_tokens"),
+        round(avg(col("ws")), 2).as("avg_ws_tokens"))
+      .orderBy(col("source"))
+
+  private val q25Sql =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  SUM(len(string_split(text, ' '))) AS ws_tokens,
+      |  SUM(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS bpeish_tokens,
+      |  ROUND(AVG(len(string_split(text, ' '))), 2) AS avg_ws_tokens
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q26
+  // Document fingerprint: XOR-fold of position-salted 60-bit token hashes —
+  // an order-sensitive content fingerprint (two docs with the same multiset
+  // of tokens in different order fingerprint differently), computable
+  // streaming/distributively because XOR is associative+commutative over the
+  // salted terms.
+  private def q26(s: SparkSession, dir: String): DataFrame =
+    Fixtures.documents(s, dir)
+      .select(col("doc_id"), posexplode(wsTokens(col("text"))))
+      .select(col("doc_id"),
+        hash60(concat(col("col"), lit(":"), (col("pos") + lit(1)).cast("string"))).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(expr("bit_xor(h)").as("fp"))
+      .orderBy(col("doc_id"))
+
+  private val q26Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) tok,
+      |         generate_subscripts(string_split(text, ' '), 1) pos FROM documents)
+      |SELECT doc_id,
+      |  bit_xor(('0x' || substr(md5(tok || ':' || CAST(pos AS VARCHAR)), 1, 15))::BIGINT) AS fp
+      |FROM toks GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q16_text_stats", q16, Some(q16Sql)),
+    GraftQuery("q23_langid", q23, Some(q23Sql)),
+    GraftQuery("q24_quality_score", q24, Some(q24Sql)),
+    GraftQuery("q25_token_stats", q25, Some(q25Sql)),
+    GraftQuery("q26_fingerprint", q26, Some(q26Sql)))
+}

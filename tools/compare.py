@@ -1,0 +1,54 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run each oracle SQL in
+DuckDB over the same parquet fixtures, compare against the Spark parquet
+dumps from graft.Verify (columns sorted by name, rows in emitted order)."""
+import json, sys, math
+import duckdb
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+ok = fail = 0
+for name, sql in sorted(oracle.items()):
+    try:
+        exp = con.execute(sql).fetch_df()
+    except Exception as e:
+        print(f"FAIL {name}: oracle error {str(e)[:200]}"); fail += 1; continue
+    try:
+        got = duckdb.connect().execute(
+            f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetch_df()
+    except Exception as e:
+        print(f"FAIL {name}: spark output missing {str(e)[:120]}"); fail += 1; continue
+    exp = exp.reindex(sorted(exp.columns), axis=1)
+    got = got.reindex(sorted(got.columns), axis=1)
+    if list(exp.columns) != list(got.columns):
+        print(f"FAIL {name}: columns {list(got.columns)} vs oracle {list(exp.columns)}")
+        fail += 1; continue
+    if len(exp) != len(got):
+        print(f"FAIL {name}: rows {len(got)} vs oracle {len(exp)}"); fail += 1; continue
+    bad = None
+    for c in exp.columns:
+        ev, gv = exp[c].tolist(), got[c].tolist()
+        for i, (a, b) in enumerate(zip(ev, gv)):
+            same = (a == b) or (a is None and b is None)
+            try:
+                if isinstance(a, float) or isinstance(b, float):
+                    same = (a == b) or (math.isnan(a) and math.isnan(b))
+            except Exception:
+                pass
+            if not same and str(a) != str(b):
+                bad = (c, i, a, b); break
+        if bad: break
+    if bad:
+        c, i, a, b = bad
+        print(f"FAIL {name}: col={c} row={i} oracle={a!r} spark={b!r}"); fail += 1
+    else:
+        print(f"ok   {name} ({len(exp)} rows)"); ok += 1
+print(f"\n{ok} ok, {fail} fail")
+sys.exit(1 if fail else 0)
