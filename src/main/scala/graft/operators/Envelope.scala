@@ -21,12 +21,22 @@ object Envelope {
 
   /** Decode a JSON string column into `payload` + `error` without dropping
     * rows. `from_json` is codegen-friendly and null-safe; a malformed input
-    * yields a NULL payload and the raw input in `error`.
+    * yields a NULL payload and the raw input in `error`. Output schema =
+    * input columns minus `jsonCol`, plus `payload STRUCT<...>, error STRING`
+    * (so a source column literally named "payload" can be decoded too).
     */
-  def decodeJson(df: DataFrame, jsonCol: String, schema: StructType): DataFrame =
-    df.withColumn("payload", from_json(col(jsonCol), schema))
-      .withColumn("error",
-        when(col(jsonCol).isNotNull && col("payload").isNull, col(jsonCol)))
+  def decodeJson(df: DataFrame, jsonCol: String, schema: StructType): DataFrame = {
+    val raw = col(jsonCol)
+    // PERMISSIVE from_json yields an all-null struct (not NULL) on malformed
+    // input, so route failures through the corrupt-record channel instead.
+    val corrupt = "_graft_corrupt"
+    val withCorrupt = schema.add(corrupt, org.apache.spark.sql.types.StringType)
+    val decoded = from_json(raw, withCorrupt,
+      Map("columnNameOfCorruptRecord" -> corrupt))
+    val others = df.columns.filterNot(_ == jsonCol).map(col)
+    df.select(others :+ decoded.dropFields(corrupt).as("payload") :+
+      decoded.getField(corrupt).as("error"): _*)
+  }
 
   // ---------------------------------------------------------------- q27
   // Decode-as-projection (reference A3) over events.props, error channel

@@ -1,0 +1,42 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+
+/** Sink builders (reference A12).
+  *
+  * The reference's producer surfaces a per-record broker ack
+  * (`ProducerResult`, client/Producer.scala:37-55); Spark replaces that with
+  * epoch-commit semantics — the checkpoint's sink commit log marks a batch
+  * durable, which is the property the reference actually uses acks for
+  * (its own tests assert by re-consuming, RecordStreamSpec.scala:30-51).
+  * Explicit partition/timestamp routing (Producer.produce args) becomes
+  * `partition`/`timestamp` columns on the sink DataFrame.
+  */
+object Sinks {
+
+  /** Kafka sink: expects key/value (binary or string) columns; `topic` may
+    * instead be a per-row column for dynamic routing. Connector jar not in
+    * this image — compile-checked wiring, see Sources scaladoc.
+    */
+  def kafka(df: DataFrame, bootstrapServers: String, topic: String,
+      checkpoint: String): DataStreamWriter[Row] =
+    df.writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+
+  /** Parquet file sink (append). */
+  def parquet(df: DataFrame, path: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] =
+    df.writeStream.format("parquet").option("path", path)
+      .option("checkpointLocation", checkpoint).trigger(trigger)
+
+  /** Named in-memory table (tests / interactive). */
+  def memory[T](ds: Dataset[T], name: String, outputMode: String): DataStreamWriter[T] =
+    ds.writeStream.format("memory").queryName(name).outputMode(outputMode)
+
+  /** foreachBatch escape hatch (reference users' `evalMap` analogue). */
+  def foreachBatch[T](ds: Dataset[T])(f: (Dataset[T], Long) => Unit): DataStreamWriter[T] =
+    ds.writeStream.foreachBatch(f)
+}

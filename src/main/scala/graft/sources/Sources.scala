@@ -1,0 +1,80 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Subscription ADT — mirror of the reference's
+  * `Subscription.Topics/Pattern` (/root/reference/src/main/scala/com/iravid/
+  * fs2/kafka/client/Subscription.scala:5-6), mapped onto the Kafka source's
+  * `subscribe` / `subscribePattern` options.
+  */
+sealed trait Subscription
+object Subscription {
+  final case class Topics(topics: List[String]) extends Subscription
+  final case class Pattern(pattern: String) extends Subscription
+}
+
+/** Source builders (reference A1/A2/A5/A6/A7).
+  *
+  * The reference's entire consumer runtime — poll loop, rebalance handling,
+  * per-partition demux queues, pause/resume backpressure
+  * (client/RecordStream.scala:64-192) — is Spark's micro-batch machinery:
+  *  - poll cadence (`settings.pollInterval`) → `Trigger.ProcessingTime`
+  *  - backpressure bound (`partitionOutputBufferSize`) → `maxOffsetsPerTrigger`
+  *  - offset recovery on assign (A6) → checkpoint restore / `startingOffsets`
+  *  - rebalance (A9) → internal to the Kafka source across micro-batches.
+  *
+  * NOTE: the Kafka connector jar (spark-sql-kafka-0-10) is not in this
+  * image's /opt/spark/jars and there is no broker, so `kafka*` builders are
+  * compile-checked wiring: option construction is unit-tested, the running
+  * streaming paths are exercised through file streams (same micro-batch
+  * engine, same stateful operators).
+  */
+object Sources {
+
+  /** Streaming Kafka source (A1/A2). Partitioned view (A1) = the built-in
+    * `partition` column; group by it for partition-scoped processing.
+    */
+  def kafkaStream(spark: SparkSession, bootstrapServers: String,
+      subscription: Subscription, startingOffsets: String = "earliest",
+      maxOffsetsPerTrigger: Option[Long] = None): DataFrame = {
+    val base = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("startingOffsets", startingOffsets)
+    val subscribed = subscription match {
+      case Subscription.Topics(ts) => base.option("subscribe", ts.mkString(","))
+      case Subscription.Pattern(p) => base.option("subscribePattern", p)
+    }
+    maxOffsetsPerTrigger.fold(subscribed)(n =>
+      subscribed.option("maxOffsetsPerTrigger", n.toString)).load()
+  }
+
+  /** Batch Kafka scan over an offset range (offset-recovery analogue, A6). */
+  def kafkaBatch(spark: SparkSession, bootstrapServers: String,
+      subscription: Subscription, startingOffsets: String = "earliest",
+      endingOffsets: String = "latest"): DataFrame = {
+    val base = spark.read.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("startingOffsets", startingOffsets)
+      .option("endingOffsets", endingOffsets)
+    (subscription match {
+      case Subscription.Topics(ts) => base.option("subscribe", ts.mkString(","))
+      case Subscription.Pattern(p) => base.option("subscribePattern", p)
+    }).load()
+  }
+
+  /** File-based replay stream: the broker-free stand-in used by all
+    * streaming tests (same engine, same semantics). `maxFilesPerTrigger`
+    * plays the backpressure bound.
+    */
+  def fileStream(spark: SparkSession, dir: String, schema: StructType,
+      maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(dir)
+
+  /** Rate source for load tests. */
+  def rate(spark: SparkSession, rowsPerSecond: Long): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString).load()
+}

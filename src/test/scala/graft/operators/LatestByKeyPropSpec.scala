@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.TestSpark
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property: the engine's latest-by-key materialization equals a naive
+  * in-memory fold of the changelog for arbitrary logs — the port of the
+  * reference's produce→consume/table-convergence properties
+  * (RecordStreamSpec / ReadOnlyTableSpec, SURVEY §5). Uses scalacheck
+  * generators directly (deterministic seeds) — no scalatestplus bridge in
+  * the offline cache.
+  */
+class LatestByKeyPropSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val logGen: Gen[List[(Long, String, Double)]] =
+    Gen.listOfN(120, Gen.zip(
+      Gen.choose(0L, 15L),
+      Gen.oneOf("click", "view", "purchase"),
+      Gen.choose(0, 10000).map(_ / 100.0)))
+
+  test("materialize == naive fold for random changelogs (8 seeds)") {
+    import spark.implicits._
+    val params = Gen.Parameters.default
+    for (seed <- 1 to 8) {
+      val log = logGen.apply(params, Seed(seed.toLong)).get
+      // unique monotone offsets by list position (the Kafka-offset invariant)
+      val rows = log.zipWithIndex.map { case ((k, et, v), i) =>
+        (i.toLong, k, et, v)
+      }
+      val naive = rows.groupBy(_._2).map { case (k, es) =>
+        val last = es.maxBy(_._1)
+        k -> ((last._3, last._4, last._1))
+      }
+      val df = rows.toDF("event_id", "user_id", "event_type", "value")
+      val got = LatestByKey.materialize(df, "user_id", "event_id",
+        Seq("event_type", "value"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2), r.getLong(3))))
+        .toMap
+      assert(got == naive, s"seed $seed")
+    }
+  }
+}

@@ -1,0 +1,37 @@
+package graft.operators
+
+import graft.{SparkEntry, TestSpark}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Accuracy contracts for the approximate operators (no DuckDB oracle):
+  * IVF-ANN recall vs the brute-force baseline, HLL distinct error bound.
+  */
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("IVF ANN returns k neighbors per query with recall over brute force") {
+    val brute = SparkEntry.queries("q21_ann_brute")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = SparkEntry.queries("q22_ann_ivf")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(ivf.keySet == brute.keySet, "every query id answered")
+    assert(ivf.values.forall(_.size == 5), "k results per query")
+    val recall = brute.keys.toSeq
+      .map(q => ivf(q).intersect(brute(q)).size / 5.0).sum / brute.size
+    info(f"IVF recall@5 = $recall%.2f (nlist=16, nprobe=4)")
+    // nprobe/nlist = 1/4 of cells scanned; random-vector recall floor.
+    assert(recall >= 0.2, f"recall $recall%.2f below floor")
+  }
+
+  test("approx_count_distinct within 10% of exact") {
+    val exact = SparkEntry.queries("q10_distinct")(spark, TestSpark.sf001)
+      .collect().head
+    val approx = SparkEntry.queries("q10_approx_distinct")(spark, TestSpark.sf001)
+      .collect().head
+    val (du, dt) = (exact.getLong(0).toDouble, exact.getLong(1).toDouble)
+    assert(math.abs(approx.getLong(0) - du) / du <= 0.10)
+    assert(math.abs(approx.getLong(1) - dt) / math.max(dt, 1.0) <= 0.10)
+  }
+}
