@@ -8,6 +8,10 @@ object Bench {
       SparkSession.builder().master(s"local[$cpus]"),
       shufflePartitions = cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: JIT + codegen + parquet footers, so the first timed
+    // query doesn't absorb session startup cost.
+    Fixtures.tableNames.foreach(t => Fixtures.table(spark, sfDir, t).count())
+    SparkEntry.queries.get("q10_distinct").foreach(f => f(spark, sfDir).count())
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

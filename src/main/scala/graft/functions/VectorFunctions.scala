@@ -41,16 +41,14 @@ object VectorFunctions {
   def cosineWithNorms(dot: Column, n2a: Column, n2b: Column): Column =
     dot.cast(DoubleType) / (sqrt(n2a.cast(DoubleType)) * sqrt(n2b.cast(DoubleType)))
 
-  /** Plain double cosine (fast path; NOT hash-checked — used by ANN where
-    * the oracle is a recall property, not value equality).
+  /** Plain double cosine (fast path; NOT hash-checked — used by ANN scoring
+    * and prefilters where the oracle is a recall/threshold property, not
+    * value equality). Built on the codegen'd [[VectorDot]] expression.
     */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, v) => acc + v)
-    val na = aggregate(transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)),
-      lit(0.0), (acc, v) => acc + v)
-    val nb = aggregate(transform(b, x => x.cast(DoubleType) * x.cast(DoubleType)),
-      lit(0.0), (acc, v) => acc + v)
-    dot / (sqrt(na) * sqrt(nb))
-  }
+  def cosine(a: Column, b: Column): Column =
+    VectorDot.dot(a, b) / (sqrt(VectorDot.dot(a, a)) * sqrt(VectorDot.dot(b, b)))
+
+  /** Double cosine from a precomputed double squared-norm pair. */
+  def cosineFast(dot: Column, n2a: Column, n2b: Column): Column =
+    dot / (sqrt(n2a) * sqrt(n2b))
 }

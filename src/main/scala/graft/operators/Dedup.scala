@@ -61,14 +61,28 @@ object Dedup {
     Fixtures.documents(s, dir)
       .select(col("doc_id"), explode(array_distinct(wordShingles(col("text"), 3))).as("sh"))
 
-  /** Exact jaccard ≥ threshold for a candidate pair set (cols a, b). */
-  private def verifyJaccard(shingles: DataFrame, cands: DataFrame, threshold: Double): DataFrame = {
+  /** Exact jaccard ≥ threshold. `cands` = Some(pairs) restricts intersection
+    * counting to a candidate set (LSH banding — the scale path: candidates
+    * are broadcastable, so the verify is one scan of the shingles). None =
+    * all pairs sharing ≥1 shingle, counted directly off the shingle
+    * self-join (exact baseline; quadratic on hot shingles).
+    */
+  private def verifyJaccard(shingles: DataFrame, cands: Option[DataFrame],
+      threshold: Double): DataFrame = {
     val sizes = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val s1 = shingles.select(col("doc_id").as("a"), col("sh"))
     val s2 = shingles.select(col("doc_id").as("b2"), col("sh").as("sh2"))
-    val inter = cands.join(s1, "a")
-      .join(s2, col("b") === col("b2") && col("sh") === col("sh2"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("i"))
+    val inter = cands match {
+      case Some(pairs) =>
+        broadcast(pairs).join(s1, "a")
+          .join(s2, col("b") === col("b2") && col("sh") === col("sh2"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("i"))
+      case None =>
+        shingles.select(col("doc_id").as("a"), col("sh"))
+          .join(shingles.select(col("doc_id").as("b"), col("sh")), Seq("sh"))
+          .filter(col("a") < col("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("i"))
+    }
     val jac = inter
       .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
       .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
@@ -108,11 +122,14 @@ object Dedup {
   private val RowsPerBand = 4
 
   def minhashCandidates(shingles: DataFrame): DataFrame = {
+    // Permutation hashes use codegen'd xxhash64(p, sh) — the minhash
+    // internals never face the DuckDB oracle (the oracle is the exact
+    // jaccard), so no md5-string parity is needed here and the 64 hashes
+    // per shingle stay inside whole-stage codegen.
     val hashed = shingles
       .select(col("doc_id"), col("sh"),
         explode(sequence(lit(0), lit(NumPerm - 1))).as("p"))
-      .select(col("doc_id"), col("p"),
-        hash60(concat(col("p"), lit(":"), col("sh"))).as("h"))
+      .select(col("doc_id"), col("p"), xxhash64(col("p"), col("sh")).as("h"))
     val sigs = hashed.groupBy(col("doc_id"), col("p")).agg(min(col("h")).as("mh"))
     val bands = sigs
       .groupBy(col("doc_id"), floor(col("p") / RowsPerBand).as("band"))
@@ -127,20 +144,14 @@ object Dedup {
 
   private def q17(s: SparkSession, dir: String): DataFrame = {
     val shingles = docShingles(s, dir)
-    verifyJaccard(shingles, minhashCandidates(shingles), 0.8)
+    verifyJaccard(shingles, Some(minhashCandidates(shingles)), 0.8)
   }
 
   // ---------------------------------------------------------------- q19
-  // Exact n-gram jaccard: candidates = pairs sharing ≥1 shingle. Same
+  // Exact n-gram jaccard over all pairs sharing ≥1 shingle. Same
   // output/oracle as q17 but no approximation anywhere.
-  private def q19(s: SparkSession, dir: String): DataFrame = {
-    val shingles = docShingles(s, dir)
-    val cands = shingles.select(col("doc_id").as("a"), col("sh"))
-      .join(shingles.select(col("doc_id").as("b"), col("sh")), Seq("sh"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
-    verifyJaccard(shingles, cands, 0.8)
-  }
+  private def q19(s: SparkSession, dir: String): DataFrame =
+    verifyJaccard(docShingles(s, dir), None, 0.8)
 
   // ---------------------------------------------------------------- q18
   // Weighted SimHash (60-bit, md5-derived bits, token counts as weights) +
@@ -203,13 +214,30 @@ object Dedup {
   // parallelism. Brute pairwise is the exact baseline; the bucketed path for
   // scale is Similarity.ivfTopK.
   private def q20(s: SparkSession, dir: String): DataFrame = {
+    // Two-phase: cheap double cosine over all pairs, exact-decimal rescore
+    // only for survivors. The double and decimal values differ by < 1e-9,
+    // so prefiltering at threshold − 1e-6 cannot drop a qualifying pair —
+    // the decimal phase (which the oracle hash-matches) sees every survivor
+    // and applies the real threshold.
     val e = Fixtures.embeddings(s, dir)
-    val withNorm = e.select(col("vec_id"), col("embedding"), norm2Dec(col("embedding")).as("n2"))
-    val a = withNorm.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("n2").as("n2a"))
-    val b = withNorm.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("n2").as("n2b"))
-    a.join(b, col("vec_a") < col("vec_b"))
+    val withNorm = e.select(col("vec_id"), col("embedding"),
+      norm2Dec(col("embedding")).as("n2"),
+      graft.functions.VectorDot.dot(col("embedding"), col("embedding")).as("n2d"))
+    val a = withNorm.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      col("n2").as("n2a"), col("n2d").as("n2da"))
+    val b = withNorm.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      col("n2").as("n2b"), col("n2d").as("n2db"))
+    val fastc = cosineFast(graft.functions.VectorDot.dot(col("ea"), col("eb")),
+      col("n2da"), col("n2db"))
+    // The exact-decimal cosine is wrapped in when(fastc >= …): Catalyst
+    // pushes the c >= 0.45 filter back into the join condition, and without
+    // the guard the interpreted decimal fold would run for ALL pairs (200+ s
+    // at sf0.1); the conditional short-circuits it to prefilter survivors
+    // wherever the predicate lands.
+    val exact = cosineWithNorms(dotDec(col("ea"), col("eb")), col("n2a"), col("n2b"))
+    a.join(b, col("vec_a") < col("vec_b") && fastc >= 0.45 - 1e-6)
       .select(col("vec_a"), col("vec_b"),
-        cosineWithNorms(dotDec(col("ea"), col("eb")), col("n2a"), col("n2b")).as("c"))
+        when(fastc >= 0.45 - 1e-6, exact).as("c"))
       .filter(col("c") >= 0.45)
       .select(col("vec_a"), col("vec_b"), round(col("c"), 4).as("cos_sim"))
       .orderBy(col("vec_a"), col("vec_b"))

@@ -97,13 +97,18 @@ object Similarity {
     * Returns (cell, vec_id, embedding, n2).
     */
   def ivfIndex(e: DataFrame, nlist: Int): DataFrame = {
-    val withNorm = e.select(col("vec_id"), col("embedding"), norm2Dec(col("embedding")).as("n2"))
+    // ANN is approximate by contract (no value oracle), so all scoring uses
+    // the codegen'd double path (VectorDot) — deterministic, ~100× faster
+    // than the decimal-exact fold.
+    val withNorm = e.select(col("vec_id"), col("embedding"),
+      graft.functions.VectorDot.dot(col("embedding"), col("embedding")).as("n2"))
     val cents = withNorm.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"), col("n2").as("cn2"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("cc").desc, col("cent_id"))
     withNorm.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("n2"), col("cent_id"),
-        cosineWithNorms(dotDec(col("embedding"), col("ce")), col("n2"), col("cn2")).as("cc"))
+        cosineFast(graft.functions.VectorDot.dot(col("embedding"), col("ce")),
+          col("n2"), col("cn2")).as("cc"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("cent_id").as("cell"), col("vec_id"), col("embedding"), col("n2"))
@@ -122,7 +127,8 @@ object Similarity {
     val wp = Window.partitionBy(col("query_id")).orderBy(col("qc").desc, col("cent_id"))
     val probes = qs.crossJoin(broadcast(cents))
       .select(col("query_id"), col("qe"), col("qn2"), col("cent_id"),
-        cosineWithNorms(dotDec(col("qe"), col("ce")), col("qn2"), col("cn2")).as("qc"))
+        cosineFast(graft.functions.VectorDot.dot(col("qe"), col("ce")),
+          col("qn2"), col("cn2")).as("qc"))
       .withColumn("rn", row_number().over(wp))
       .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("qe"), col("qn2"), col("cent_id").as("cell"))
@@ -130,7 +136,8 @@ object Similarity {
     index.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosineWithNorms(dotDec(col("embedding"), col("qe")), col("n2"), col("qn2")).as("c"))
+        cosineFast(graft.functions.VectorDot.dot(col("embedding"), col("qe")),
+          col("n2"), col("qn2")).as("c"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("neighbor_id"), round(col("c"), 4).as("cos_sim"))
