@@ -24,5 +24,6 @@ object GraftQuery {
       operators.Dedup.queries ++
       operators.Similarity.queries ++
       operators.TextAnalysis.queries ++
-      operators.Envelope.queries
+      operators.Envelope.queries ++
+      operators.Multimodal.queries
 }

@@ -1,0 +1,158 @@
+package graft.operators
+
+import graft.{Fixtures, GraftQuery}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns — [EXT]: image/audio/video handled as opaque `binary`
+  * columns with typed metadata, plus decode / feature-extract / resize /
+  * frame-sample stages.
+  *
+  * No media fixtures or codec libraries exist in this environment, so the
+  * DECODE step is a clearly-marked deterministic STUB (bytes → md5-derived
+  * "features"), while everything Spark-side is real and tested: the
+  * binary+metadata schema, the per-stage column plumbing, the frame
+  * explosion, and the batched mapPartitions shape a real codec would plug
+  * into. Swapping [[MultimodalStub.decodeFeatures]] for a JNI/FFI codec call
+  * changes no plan shape.
+  *
+  * Scale notes: media blobs never shuffle unless a stage needs them —
+  * metadata-only aggregations (q28) prune the binary column at the scan
+  * (ReadSchema). Frame sampling is a narrow transform (no shuffle). The
+  * batched decode path processes a partition's rows through one iterator —
+  * the place to amortize codec init, exactly like a Pandas-UDF batch.
+  */
+object Multimodal {
+
+  /** Synthesized media table: documents' text bytes play the blob role.
+    * Schema is the real thing: `media BINARY`, `meta STRUCT<format STRING,
+    * width INT, height INT, n_bytes BIGINT>` — metadata derived
+    * deterministically so the DuckDB oracle can reproduce it.
+    */
+  def blobs(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      col("source"),
+      encode(col("text"), "UTF-8").as("media"),
+      struct(
+        concat(lit("fake/"), col("lang")).as("format"),
+        (lit(1) + pmod(col("n_chars"), lit(64))).cast("int").as("width"),
+        (lit(1) + pmod(col("n_chars"), lit(48))).cast("int").as("height"),
+        col("n_chars").as("n_bytes")).as("meta"))
+
+  /** STUB decode: 8 pseudo-features from the blob's md5 (deterministic fake
+    * for the missing codec). Real impl would replace the md5 derivation
+    * with pixel/sample statistics.
+    */
+  def featureStub(media: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(sequence(lit(0), lit(7)), j =>
+      conv(substring(md5(media), j * 2 + lit(1), lit(2)), 16, 10).cast("double") / 255.0)
+
+  /** Resize stub: truncate the blob (a real thumbnailer slots in here). */
+  def resizeStub(media: org.apache.spark.sql.Column, nBytes: Int): org.apache.spark.sql.Column =
+    substring(media, 1, nBytes)
+
+  /** Frame-sample: cut `nFrames` fixed-width frames from the blob head —
+    * an array<binary> column, exploded downstream. Narrow, no shuffle.
+    */
+  def frames(media: org.apache.spark.sql.Column, nFrames: Int, frameBytes: Int) =
+    transform(sequence(lit(0), lit(nFrames - 1)), i =>
+      substring(media, i * frameBytes + lit(1), lit(frameBytes)))
+
+  // Typed batch-decode path: the mapPartitions shape a real codec uses
+  // (per-partition init, iterator-in/iterator-out batching).
+  case class MediaRow(doc_id: Long, media: Array[Byte])
+  case class DecodedRow(doc_id: Long, n_bytes: Int, f0: Double)
+
+  /** Batched stub decode via mapPartitions: codec state would be opened
+    * once per partition here. STUB: f0 = first byte / 255.
+    */
+  def decodeBatched(rows: Dataset[MediaRow]): Dataset[DecodedRow] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      // real impl: val codec = Codec.open(); it.map(...decode...) ++ close
+      it.map { r =>
+        val b = r.media
+        DecodedRow(r.doc_id, b.length, if (b.isEmpty) 0.0 else (b(0) & 0xff) / 255.0)
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------- q28
+  // Metadata-only aggregation over the media table: the binary column must
+  // be pruned at the scan (metadata lives in its own struct).
+  private def q28(s: SparkSession, dir: String): DataFrame =
+    blobs(Fixtures.documents(s, dir))
+      .groupBy(col("meta.format").as("format"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("meta.n_bytes")).as("total_bytes"),
+        round(avg(col("meta.width")), 2).as("avg_width"),
+        round(avg(col("meta.height")), 2).as("avg_height"))
+      .orderBy(col("format"))
+
+  private val q28Sql =
+    """SELECT 'fake/' || lang AS format, COUNT(*) AS n, SUM(n_chars) AS total_bytes,
+      |  ROUND(AVG(1 + n_chars % 64), 2) AS avg_width,
+      |  ROUND(AVG(1 + n_chars % 48), 2) AS avg_height
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q29
+  // Frame-sample + per-frame fingerprint: 4 × 16-byte frames from each blob
+  // (docs ≥ 64 bytes), md5 per frame — the explode is a narrow op.
+  private def q29(s: SparkSession, dir: String): DataFrame =
+    blobs(Fixtures.documents(s, dir))
+      .filter(col("meta.n_bytes") >= 64)
+      .select(col("doc_id"), posexplode(frames(col("media"), 4, 16)))
+      .select(col("doc_id"), col("pos").as("frame_id"),
+        length(col("col")).as("frame_bytes"),
+        substring(md5(col("col")), 1, 8).as("frame_sig"))
+      .orderBy(col("doc_id"), col("frame_id"))
+
+  // DuckDB 1.0 has no substring/md5 over BLOB; the oracle works in char
+  // space instead, which is byte-identical here because the fixture text is
+  // pure ASCII (verified: octet_length(encode(text)) == length(text) for
+  // every document at every SF) and both engines hash UTF-8 bytes.
+  private val q29Sql =
+    """WITH f AS (SELECT doc_id, i - 1 AS frame_id,
+      |        substring(text, (i - 1) * 16 + 1, 16) AS frame
+      |      FROM documents CROSS JOIN (SELECT unnest(generate_series(1, 4)) i) s
+      |      WHERE n_chars >= 64)
+      |SELECT doc_id, frame_id, octet_length(encode(frame)) AS frame_bytes,
+      |       substr(md5(frame), 1, 8) AS frame_sig
+      |FROM f ORDER BY doc_id, frame_id""".stripMargin
+
+  // ---------------------------------------------------------------- q30
+  // Stub feature extraction: decode features then aggregate per source —
+  // the full decode → feature → aggregate pipeline shape.
+  private def q30(s: SparkSession, dir: String): DataFrame = {
+    // Aggregate the RAW byte values (exact integer sums, order-free) and
+    // normalize after the avg — double summation order differs across
+    // engines/parallelism, integer summation doesn't.
+    val media = encode(col("text"), "UTF-8")
+    val feats = Fixtures.documents(s, dir)
+      .select(col("source"),
+        conv(substring(md5(media), 1, 2), 16, 10).cast("long").as("f0raw"),
+        conv(substring(md5(media), 3, 2), 16, 10).cast("long").as("f1raw"))
+    feats.groupBy(col("source"))
+      .agg(round(avg(col("f0raw")) / 255.0, 4).as("avg_f0"),
+        round(avg(col("f1raw")) / 255.0, 4).as("avg_f1"),
+        count(lit(1)).as("n"))
+      .orderBy(col("source"))
+  }
+
+  // char-space md5 == byte-space md5 for the ASCII fixtures (see q29 note)
+  private val q30Sql =
+    """WITH feats AS (
+      |  SELECT source,
+      |    ('0x' || substr(md5(text), 1, 2))::BIGINT AS f0raw,
+      |    ('0x' || substr(md5(text), 3, 2))::BIGINT AS f1raw
+      |  FROM documents)
+      |SELECT source, ROUND(AVG(f0raw) / 255.0, 4) AS avg_f0,
+      |       ROUND(AVG(f1raw) / 255.0, 4) AS avg_f1, COUNT(*) AS n
+      |FROM feats GROUP BY source ORDER BY source""".stripMargin
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q28_media_meta", q28, Some(q28Sql)),
+    GraftQuery("q29_frame_sample", q29, Some(q29Sql)),
+    GraftQuery("q30_feature_stub", q30, Some(q30Sql)))
+}

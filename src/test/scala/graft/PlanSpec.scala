@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions — the 100-TB contract: filters reach the
+  * parquet scan, small dims broadcast, top-k never globally sorts, and
+  * metadata-only media queries prune the blob column. These are the
+  * properties that decide whether a plan survives a 1000× scale-up, so they
+  * are pinned as tests, not just eyeballed once.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+
+  test("q1: shipdate/discount/quantity filters are pushed to the parquet scan") {
+    val p = planOf("q1_filter_agg")
+    assert(p.contains("PushedFilters:"), p.take(800))
+    assert(p.contains("l_shipdate") && p.contains("GreaterThanOrEqual"),
+      "shipdate range should appear in pushed filters")
+  }
+
+  test("q1: scan reads only the needed columns") {
+    val p = planOf("q1_filter_agg")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey"),
+      s"projection pruning failed: $readSchema")
+  }
+
+  test("q3: nation side is broadcast") {
+    val p = planOf("q3_join_agg")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      p.take(800))
+  }
+
+  test("q9: global top-k plans as TakeOrderedAndProject (no full sort)") {
+    val p = planOf("q9_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("q4: latest-by-key aggregates in two phases (map-side partial)") {
+    // max_by carries a string in its buffer, so Spark picks SortAggregate
+    // (strings aren't hash-agg buffer types); what matters at scale is the
+    // partial phase before the exchange — rows shuffled = keys, not events.
+    val p = planOf("q4_latest_by_key")
+    assert("(Sort|Hash|ObjectHash)Aggregate".r.findAllIn(p).size >= 2, p.take(1200))
+  }
+
+  test("q28: metadata-only media query prunes the binary column at the scan") {
+    val p = planOf("q28_media_meta")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("text"),
+      s"media blob column should not be read for metadata-only agg: $readSchema")
+  }
+
+  test("q6: multiget pushes the IN-list into the scan") {
+    val p = planOf("q6_multiget")
+    assert(p.contains("PushedFilters:") && p.contains("In(user_id"),
+      p.take(800))
+  }
+}
