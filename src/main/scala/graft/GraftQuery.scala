@@ -25,5 +25,7 @@ object GraftQuery {
       operators.Similarity.queries ++
       operators.TextAnalysis.queries ++
       operators.Envelope.queries ++
-      operators.Multimodal.queries
+      operators.Multimodal.queries ++
+      operators.AsOfJoin.queries ++
+      operators.Sessionize.queries
 }

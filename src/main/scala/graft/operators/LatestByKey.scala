@@ -117,8 +117,29 @@ object LatestByKey {
       |WHERE user_id IN (1, 2, 3, 5, 8, 13, 21, 34)
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q35
+  // Per-partition tables (reference A13/A15: one table per TopicPartition).
+  // Spark deliberately hides Kafka partition ownership (SURVEY §7.5.5), so
+  // the partition id is surfaced as a column — pmod(key, 8) stands in for
+  // the Kafka partitioner — and state is grouped by (partition, key). The
+  // aggregate's partial phase means adding the partition column costs no
+  // extra shuffle: it's a prefix of the grouping key.
+  private def q35(s: SparkSession, dir: String): DataFrame =
+    Fixtures.events(s, dir)
+      .withColumn("partition", pmod(col("user_id"), lit(8)).cast("int"))
+      .groupBy(col("partition"), col("user_id"))
+      .agg(max_by(col("value"), col("event_id")).as("last_value"),
+        max(col("event_id")).as("last_event_id"))
+      .orderBy(col("partition"), col("user_id"))
+
+  private val q35Sql =
+    """SELECT CAST(user_id % 8 AS INT) AS partition, user_id,
+      |  MAX_BY(value, event_id) AS last_value, MAX(event_id) AS last_event_id
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q4_latest_by_key", q4, Some(q4Sql)),
     GraftQuery("q5_enrich_join", q5, Some(q5Sql)),
-    GraftQuery("q6_multiget", q6, Some(q6Sql)))
+    GraftQuery("q6_multiget", q6, Some(q6Sql)),
+    GraftQuery("q35_partitioned_latest", q35, Some(q35Sql)))
 }

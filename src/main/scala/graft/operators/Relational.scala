@@ -214,7 +214,40 @@ object Relational {
       |WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01')
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q33
+  // Set op: EXCEPT (distinct semantics both engines) — clickers who never
+  // purchased. Planned as a left-anti aggregate join on distinct keys.
+  private def q33(s: SparkSession, dir: String): DataFrame = {
+    val ev = Fixtures.events(s, dir)
+    ev.filter(col("event_type") === "click").select(col("user_id"))
+      .except(ev.filter(col("event_type") === "purchase").select(col("user_id")))
+      .orderBy(col("user_id"))
+  }
+
+  private val q33Sql =
+    """SELECT user_id FROM events WHERE event_type = 'click'
+      |EXCEPT
+      |SELECT user_id FROM events WHERE event_type = 'purchase'
+      |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q34
+  // Full outer join + agg: order counts per customer key, keeping customers
+  // with no orders and orders with no customer row.
+  private def q34(s: SparkSession, dir: String): DataFrame =
+    Fixtures.customer(s, dir)
+      .join(Fixtures.orders(s, dir), col("c_custkey") === col("o_custkey"), "full_outer")
+      .groupBy(coalesce(col("c_custkey"), col("o_custkey")).as("ck"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("ck"))
+
+  private val q34Sql =
+    """SELECT COALESCE(c_custkey, o_custkey) AS ck, COUNT(o_orderkey) AS n_orders
+      |FROM customer FULL JOIN orders ON c_custkey = o_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q33_except", q33, Some(q33Sql)),
+    GraftQuery("q34_full_outer", q34, Some(q34Sql)),
     GraftQuery("q1_filter_agg", q1, Some(q1Sql)),
     GraftQuery("q2_group_agg", q2, Some(q2Sql)),
     GraftQuery("q3_join_agg", q3, Some(q3Sql)),

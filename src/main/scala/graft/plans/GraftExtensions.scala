@@ -1,0 +1,22 @@
+package graft.plans
+
+import graft.functions.VectorDot
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions wiring: registers graft's custom Catalyst
+  * expressions as SQL functions, so `spark.sql("... vec_dot(a, b) ...")`
+  * works next to the Column API. Installed by Engine.configure via
+  * `withExtensions` — the injection point a deployment would use to ship
+  * the engine as a plain Spark extension jar
+  * (`spark.sql.extensions=graft.plans.GraftExtensions`).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VectorDot].getName, "vec_dot"),
+      (exprs: Seq[Expression]) => VectorDot(exprs.head, exprs(1))))
+  }
+}

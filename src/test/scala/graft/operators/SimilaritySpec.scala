@@ -25,6 +25,14 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.2, f"recall $recall%.2f below floor")
   }
 
+  test("vec_dot is registered as a SQL function via GraftExtensions") {
+    val v = spark.sql(
+      """SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |               array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)))""".stripMargin)
+      .head().getDouble(0)
+    assert(v == 11.0)
+  }
+
   test("approx_count_distinct within 10% of exact") {
     val exact = SparkEntry.queries("q10_distinct")(spark, TestSpark.sf001)
       .collect().head
