@@ -122,22 +122,25 @@ object Dedup {
   private val RowsPerBand = 4
 
   def minhashCandidates(shingles: DataFrame): DataFrame = {
-    // Permutation hashes use codegen'd xxhash64(p, sh) — the minhash
-    // internals never face the DuckDB oracle (the oracle is the exact
-    // jaccard), so no md5-string parity is needed here and the 64 hashes
-    // per shingle stay inside whole-stage codegen.
-    val hashed = shingles
-      .select(col("doc_id"), col("sh"),
-        explode(sequence(lit(0), lit(NumPerm - 1))).as("p"))
-      .select(col("doc_id"), col("p"), xxhash64(col("p"), col("sh")).as("h"))
-    val sigs = hashed.groupBy(col("doc_id"), col("p")).agg(min(col("h")).as("mh"))
-    val bands = sigs
-      .groupBy(col("doc_id"), floor(col("p") / RowsPerBand).as("band"))
-      .agg(md5(concat_ws(",",
-        transform(array_sort(collect_list(struct(col("p"), col("mh")))),
-          s => s.getField("mh").cast("string")))).as("sig"))
-    val x = bands.select(col("doc_id").as("a"), col("band"), col("sig"))
-    val y = bands.select(col("doc_id").as("b"), col("band").as("band2"), col("sig").as("sig2"))
+    // One aggregation pass with 64 codegen'd min(xxhash64(p, sh)) columns —
+    // no 64× row explosion, and the only shuffle groups by doc_id. The
+    // minhash internals never face the DuckDB oracle (the oracle is the
+    // exact jaccard), so codegen'd xxhash64 replaces md5-string parity.
+    val mins = (0 until NumPerm).map(p =>
+      min(xxhash64(lit(p), col("sh"))).as(s"mh$p"))
+    val sigs = shingles.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val nBands = NumPerm / RowsPerBand
+    val bandSigs = (0 until nBands).map { band =>
+      md5(concat_ws(",", (0 until RowsPerBand).map(r =>
+        col(s"mh${band * RowsPerBand + r}").cast("string")): _*)).as(s"band$band")
+    }
+    val banded = sigs
+      .select(col("doc_id") +: bandSigs: _*)
+      .select(col("doc_id"),
+        posexplode(array((0 until nBands).map(b => col(s"band$b")): _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "sig"))
+    val x = banded.select(col("doc_id").as("a"), col("band"), col("sig"))
+    val y = banded.select(col("doc_id").as("b"), col("band").as("band2"), col("sig").as("sig2"))
     x.join(y, col("band") === col("band2") && col("sig") === col("sig2") && col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
   }
@@ -161,16 +164,19 @@ object Dedup {
   private val BandBits = 12
 
   def simhash(docs: DataFrame): DataFrame = {
+    // One aggregation pass with 60 codegen'd sum expressions (one per bit)
+    // instead of exploding 60 rows per token — same math, no 60× row blowup.
     val tokCnt = docs.select(col("doc_id"), explode(wsTokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
-    val bits = tokCnt
-      .select(col("doc_id"), col("cnt"), hash60(col("tok")).as("h"),
-        explode(sequence(lit(0), lit(SimBits - 1))).as("b"))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(when(expr("(shiftright(h, b) & 1) = 1"), col("cnt"))
-        .otherwise(-col("cnt"))).as("s"))
-    bits.groupBy(col("doc_id"))
-      .agg(sum(when(col("s") >= 0, expr("shiftleft(1L, b)")).otherwise(0L)).as("sim"))
+      .withColumn("h", hash60(col("tok")))
+    val bitSums = (0 until SimBits).map(b =>
+      sum(when(expr(s"(shiftright(h, $b) & 1) = 1"), col("cnt"))
+        .otherwise(-col("cnt"))).as(s"s$b"))
+    val sim = (0 until SimBits)
+      .map(b => when(col(s"s$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    tokCnt.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), sim.as("sim"))
   }
 
   private def q18(s: SparkSession, dir: String): DataFrame = {

@@ -245,9 +245,49 @@ object Relational {
       |FROM customer FULL JOIN orders ON c_custkey = o_custkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q37
+  // UNION ALL + distinct-union comparison in one result.
+  private def q37(s: SparkSession, dir: String): DataFrame = {
+    val ev = Fixtures.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click").select(col("user_id"))
+    val purchases = ev.filter(col("event_type") === "purchase").select(col("user_id"))
+    val all = clicks.union(purchases)
+    all.agg(count(lit(1)).as("n_all"),
+      countDistinct(col("user_id")).as("n_distinct"))
+  }
+
+  private val q37Sql =
+    """SELECT COUNT(*) AS n_all, COUNT(DISTINCT user_id) AS n_distinct FROM (
+      |  SELECT user_id FROM events WHERE event_type = 'click'
+      |  UNION ALL
+      |  SELECT user_id FROM events WHERE event_type = 'purchase') t""".stripMargin
+
+  // ---------------------------------------------------------------- q38
+  // Exact interpolated percentiles per group (Spark `percentile` ==
+  // DuckDB `quantile_cont`, both linear interpolation). Exactness note:
+  // interpolation arithmetic on 2-dp doubles is deterministic — identical
+  // sorted inputs → identical doubles → identical ROUND.
+  private def q38(s: SparkSession, dir: String): DataFrame =
+    Fixtures.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        rnd(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        rnd(expr("percentile(o_totalprice, 0.95)"), 2).as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
+  private val q38Sql =
+    """SELECT o_orderpriority,
+      |  CAST(ROUND(quantile_cont(o_totalprice, 0.5), 2) AS DOUBLE) AS p50,
+      |  CAST(ROUND(quantile_cont(o_totalprice, 0.95), 2) AS DOUBLE) AS p95,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q33_except", q33, Some(q33Sql)),
     GraftQuery("q34_full_outer", q34, Some(q34Sql)),
+    GraftQuery("q37_union", q37, Some(q37Sql)),
+    GraftQuery("q38_percentiles", q38, Some(q38Sql)),
     GraftQuery("q1_filter_agg", q1, Some(q1Sql)),
     GraftQuery("q2_group_agg", q2, Some(q2Sql)),
     GraftQuery("q3_join_agg", q3, Some(q3Sql)),

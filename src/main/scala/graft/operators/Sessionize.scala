@@ -47,6 +47,28 @@ object Sessionize {
       |FROM sids GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  // ---------------------------------------------------------------- q36
+  // Sliding windows (2 h wide, 1 h slide): each event lands in two windows;
+  // Spark's `window()` plans this as a generate (expand) + one hash agg —
+  // a narrow op before the aggregation, no extra shuffle.
+  private def q36(s: SparkSession, dir: String): DataFrame =
+    Fixtures.events(s, dir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast(DecimalType(18, 4))), 2).cast("double").as("sv"))
+      .select(col("window.start").as("wstart"), col("event_type"), col("n"), col("sv"))
+      .orderBy(col("wstart"), col("event_type"))
+
+  private val q36Sql =
+    """WITH w AS (
+      |  SELECT event_type, value,
+      |    unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR, date_trunc('hour', ts)]) AS wstart
+      |  FROM events)
+      |SELECT CAST(wstart AS TIMESTAMP) AS wstart, event_type, COUNT(*) AS n,
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sv
+      |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
-    GraftQuery("q32_session_window", q32, Some(q32Sql)))
+    GraftQuery("q32_session_window", q32, Some(q32Sql)),
+    GraftQuery("q36_sliding_window", q36, Some(q36Sql)))
 }

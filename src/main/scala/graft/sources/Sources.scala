@@ -77,4 +77,27 @@ object Sources {
   def rate(spark: SparkSession, rowsPerSecond: Long): DataFrame =
     spark.readStream.format("rate")
       .option("rowsPerSecond", rowsPerSecond.toString).load()
+
+  /** CSV batch scan with explicit schema (no inference pass — at 100 TB an
+    * inference scan is a full extra read of the data).
+    */
+  def csvBatch(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true): DataFrame =
+    spark.read.schema(schema).option("header", header.toString).csv(path)
+
+  /** JSON-lines batch scan with explicit schema. */
+  def jsonBatch(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** CSV replay stream. */
+  def csvStream(spark: SparkSession, dir: String, schema: StructType,
+      header: Boolean = true, maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream.schema(schema).option("header", header.toString)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString).csv(dir)
+
+  /** JSON-lines replay stream. */
+  def jsonStream(spark: SparkSession, dir: String, schema: StructType,
+      maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString).json(dir)
 }
