@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.VectorDot
+import graft.functions.{BinaryRecordDecode, VectorDot}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -18,5 +18,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vec_dot"),
       (exprs: Seq[Expression]) => VectorDot(exprs.head, exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("binary_record_decode"),
+      new ExpressionInfo(classOf[BinaryRecordDecode].getName, "binary_record_decode"),
+      (exprs: Seq[Expression]) => BinaryRecordDecode(exprs.head)))
   }
 }

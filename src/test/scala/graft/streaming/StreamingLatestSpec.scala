@@ -85,6 +85,22 @@ class StreamingLatestSpec extends AnyFunSuite {
     }
   }
 
+  test("state store reader exposes the materialized RocksDB state (A18/A20 on real state)") {
+    val replayDir = Files.createTempDirectory("graft-replay3").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt3").toString
+    writeReplayChunk(replayDir, 0, Long.MaxValue)
+    val acc = TrieMap.empty[Long, LatestRow]
+    runStream(replayDir, ckpt, acc)
+    val state = spark.read.format("statestore")
+      .option("stateVarName", "latest")
+      .load(ckpt)
+    val rows = state.selectExpr("key.value AS user_id", "value.*").collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("last_event_id")).toMap
+    val expected = batchAnswer()
+    assert(rows.size == expected.size)
+    expected.foreach { case (k, (_, _, id)) => assert(rows(k) == id, s"key $k") }
+  }
+
   test("tombstone processor deletes keys") {
     import spark.implicits._
     import org.apache.spark.sql.{Encoders, streaming}
