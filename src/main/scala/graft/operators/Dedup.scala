@@ -266,7 +266,74 @@ object Dedup {
       |SELECT va AS vec_a, vb AS vec_b, ROUND(c, 4) AS cos_sim
       |FROM cos WHERE c >= 0.45 ORDER BY vec_a, vec_b""".stripMargin
 
+  // ---------------------------------------------------------------- q39
+  /** Connected components by iterative min-label propagation. Each round:
+    * label(v) ← min(label(v), min over neighbors' labels); fixpoint when no
+    * label changes. Near-dup components are tiny (pairs/triples), so this
+    * converges in O(component diameter) rounds ≈ 2-3; each round is one
+    * shuffle. At 100 TB this is the standard large-graph approach (the
+    * alternating small/large-star variant bounds rounds by log n).
+    */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    // edges: (a, b) undirected; labels start as the node id itself.
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val nbrMin = sym.join(labels, col("dst") === col("node"))
+        .groupBy(col("src")).agg(min(col("lbl")).as("nbr_lbl"))
+      val next = labels.join(nbrMin, col("node") === col("src"), "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"),
+          col("lbl").as("prev"))
+        .localCheckpoint() // truncate the iterative lineage
+      changed = next.filter(col("lbl") =!= col("prev")).count()
+      labels = next.select(col("node"), col("lbl"))
+      rounds += 1
+    }
+    labels
+  }
+
+  // Near-dup GROUP resolution: the decision a dedup pipeline actually ships
+  // (keep one representative per duplicate cluster, drop the rest).
+  private def q39(s: SparkSession, dir: String): DataFrame = {
+    val pairs = q17(s, dir).select(col("doc_a").as("a"), col("doc_b").as("b"))
+    connectedComponents(pairs)
+      .select(col("node").as("doc_id"), col("lbl").as("grp"),
+        (col("node") === col("lbl")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q39Sql =
+    """WITH RECURSIVE
+      |toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS g
+      |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      |              JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+      |sizes AS (SELECT doc_id, COUNT(*) n FROM grams GROUP BY 1),
+      |inter AS (
+      |  SELECT g1.doc_id a, g2.doc_id b, COUNT(*) i
+      |  FROM grams g1 JOIN grams g2 ON g1.g = g2.g AND g1.doc_id < g2.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT a, b FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+      |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8),
+      |edges AS (SELECT a src, b dst FROM pairs UNION ALL SELECT b, a FROM pairs),
+      |reach(node, r) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.node)
+      |SELECT node AS doc_id, MIN(r) AS grp, node = MIN(r) AS keep
+      |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q39_dedup_groups", q39, Some(q39Sql)),
     GraftQuery("q14_dedup_exact", q14, Some(q14Sql)),
     GraftQuery("q17_dedup_minhash_lsh", q17, Some(jaccardSql)),
     GraftQuery("q18_dedup_simhash", q18, Some(q18Sql)),
