@@ -143,6 +143,32 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("neighbor_id"), round(col("c"), 4).as("cos_sim"))
   }
 
+  /** Random-hyperplane LSH bucketing — the other bucketed scale path next
+    * to IVF. Hyperplanes are deterministic (±1 signs from md5 of
+    * "plane:p:d", computed once driver-side and shipped as literals — the
+    * broadcast-model shape). `bucket` packs `nPlanes` sign bits of the
+    * signed projections; near vectors collide with probability
+    * (1 − θ/π)^nPlanes. Candidates = bucket-equality self-join (an equi
+    * join → shuffle-hash, never pairwise); verification is the caller's
+    * exact cosine.
+    */
+  def lshBuckets(e: DataFrame, nPlanes: Int, dims: Int = 64): DataFrame = {
+    require(nPlanes <= 16)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(p: Int, d: Int): Double = {
+      val h = md.digest(s"plane:$p:$d".getBytes("UTF-8"))
+      if ((h(0) & 1) == 1) 1.0 else -1.0
+    }
+    val planes: Seq[org.apache.spark.sql.Column] = (0 until nPlanes).map { p =>
+      val signs = array((0 until dims).map(d => lit(sign(p, d))): _*)
+      val proj = aggregate(
+        zip_with(col("embedding"), signs, (x, sgn) => x.cast("double") * sgn),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1 << p)).otherwise(lit(0))
+    }
+    e.select(col("vec_id"), col("embedding"), planes.reduce(_ + _).as("bucket"))
+  }
+
   private def q22(s: SparkSession, dir: String): DataFrame =
     ivfTopK(Fixtures.embeddings(s, dir), col("vec_id") < 10,
       nlist = 16, nprobe = 4, k = 5)

@@ -156,7 +156,93 @@ object TextAnalysis {
       |  bit_xor(('0x' || substr(md5(tok || ':' || CAST(pos AS VARCHAR)), 1, 15))::BIGINT) AS fp
       |FROM toks GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q40
+  // TF-IDF top terms per document: tf per (doc, term) and df per term are
+  // two aggregations; the df side is one row per distinct term (tiny) and
+  // broadcasts back onto the tf side — no large shuffle beyond the tf
+  // groupBy. idf = ln((N+1)/(df+1)) + 1 (smoothed); top-3 terms per doc by
+  // (score desc, term) via a windowed rank.
+  private def q40(s: SparkSession, dir: String): DataFrame = {
+    val docs = Fixtures.documents(s, dir)
+    val n = docs.count() // corpus size: a scalar, computed once
+    val tf = docs.select(col("doc_id"), explode(wsTokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df_), "term")
+      .withColumn("score",
+        col("tf") * (log((lit(n) + 1.0) / (col("df") + lit(1.0))) + lit(1.0)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("term"), round(col("score"), 4).as("score"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  private val q40Sql =
+    """WITH tf AS (
+      |  SELECT doc_id, tok AS term, COUNT(*) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) tok FROM documents) t
+      |  GROUP BY 1, 2),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |scored AS (
+      |  SELECT doc_id, term, tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0) AS score
+      |  FROM tf JOIN df USING (term) CROSS JOIN n),
+      |ranked AS (
+      |  SELECT doc_id, term, score,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+      |  FROM scored)
+      |SELECT doc_id, rnk, term, ROUND(score, 4) AS score
+      |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+
+  // ---------------------------------------------------------------- q41
+  // Quality-percentile filtering: the end-to-end curation decision — score
+  // every document, compute the per-language median, keep docs strictly
+  // above it. Medians are one tiny aggregate broadcast back; the filter is
+  // a narrow op over the scored scan.
+  private def q41(s: SparkSession, dir: String): DataFrame = {
+    val toks = wsTokens(col("text"))
+    val enStops = stopwords.toMap.apply("en")
+    val nTok = size(toks)
+    val stopCnt = size(filter(toks, t => t.isin(enStops: _*)))
+    val score = round(
+      lit(0.4) * (least(col("n_chars"), lit(500)) / lit(500.0)) +
+        lit(0.3) * (stopCnt / nTok) +
+        lit(0.3) * (least(col("n_chars") / nTok, lit(8.0)) / lit(8.0)), 4)
+    val scored = Fixtures.documents(s, dir)
+      .select(col("doc_id"), col("lang"), score.as("quality"))
+    val medians = scored.groupBy(col("lang"))
+      .agg(expr("percentile(quality, 0.5)").as("median_q"))
+    scored.join(broadcast(medians), "lang")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("quality") > col("median_q"), 1).otherwise(0)).as("n_kept"),
+        round(max(col("median_q")), 4).as("median_q"))
+      .orderBy(col("lang"))
+  }
+
+  private val q41Sql = {
+    val enList = sqlList(stopwords.toMap.apply("en"))
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang,
+       |    ROUND(
+       |      0.4 * (LEAST(n_chars, 500) / 500.0) +
+       |      0.3 * (len(list_filter(string_split(text, ' '), t -> t IN $enList)) /
+       |             len(string_split(text, ' '))) +
+       |      0.3 * (LEAST(n_chars / len(string_split(text, ' ')), 8.0) / 8.0), 4) AS quality
+       |  FROM documents),
+       |medians AS (SELECT lang, quantile_cont(quality, 0.5) AS median_q FROM scored GROUP BY 1)
+       |SELECT lang, COUNT(*) AS n_total,
+       |  CAST(SUM(CASE WHEN quality > median_q THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  ROUND(MAX(median_q), 4) AS median_q
+       |FROM scored JOIN medians USING (lang)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q40_tfidf_topterms", q40, Some(q40Sql)),
+    GraftQuery("q41_quality_filter", q41, Some(q41Sql)),
     GraftQuery("q16_text_stats", q16, Some(q16Sql)),
     GraftQuery("q23_langid", q23, Some(q23Sql)),
     GraftQuery("q24_quality_score", q24, Some(q24Sql)),

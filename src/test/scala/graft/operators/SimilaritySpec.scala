@@ -25,6 +25,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.2, f"recall $recall%.2f below floor")
   }
 
+  test("LSH bucketing is deterministic and distributes vectors") {
+    import graft.Fixtures
+    val e = Fixtures.embeddings(spark, TestSpark.sf0001)
+    val b1 = Similarity.lshBuckets(e, nPlanes = 4)
+      .select("vec_id", "bucket").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b2 = Similarity.lshBuckets(e, nPlanes = 4)
+      .select("vec_id", "bucket").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(b1 == b2, "deterministic buckets")
+    val sizes = b1.values.groupBy(identity).view.mapValues(_.size)
+    assert(sizes.size > 4, s"vectors spread over buckets: ${sizes.toMap}")
+    assert(sizes.values.max < b1.size, "not all in one bucket")
+  }
+
   test("vec_dot is registered as a SQL function via GraftExtensions") {
     val v = spark.sql(
       """SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
