@@ -276,8 +276,12 @@ object Dedup {
     */
   def connectedComponents(edges: DataFrame): DataFrame = {
     // edges: (a, b) undirected; labels start as the node id itself.
+    // Materialize the (tiny) pair graph once — without this every
+    // propagation round re-derives the full upstream pipeline (minhash +
+    // verify) through the lineage.
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
     var changed = 1L
