@@ -56,9 +56,17 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("dupes"))
 
   // ---------------------------------------------------------------- shared
-  /** (doc_id, sh): distinct word-3-gram shingles per document. */
+  /** (doc_id, sh): distinct word-3-gram shingles per document.
+    *
+    * The repartition widens a possibly single-split scan before the
+    * CPU-dense shingle/hash stages: the fixture tables are one parquet file
+    * (→ one task), which would serialize 48M downstream hash evaluations
+    * onto one core. On a real many-file 100 TB table the scan is already
+    * wide and AQE coalesces the extra exchange away.
+    */
   private def docShingles(s: SparkSession, dir: String): DataFrame =
     Fixtures.documents(s, dir)
+      .repartition(col("doc_id"))
       .select(col("doc_id"), explode(array_distinct(wordShingles(col("text"), 3))).as("sh"))
 
   /** Exact jaccard ≥ threshold. `cands` = Some(pairs) restricts intersection
@@ -122,13 +130,16 @@ object Dedup {
   private val RowsPerBand = 4
 
   def minhashCandidates(shingles: DataFrame): DataFrame = {
-    // One aggregation pass with 64 codegen'd min(xxhash64(p, sh)) columns —
-    // no 64× row explosion, and the only shuffle groups by doc_id. The
-    // minhash internals never face the DuckDB oracle (the oracle is the
-    // exact jaccard), so codegen'd xxhash64 replaces md5-string parity.
+    // One aggregation pass with 64 codegen'd min-hash columns — no 64× row
+    // explosion, and the only shuffle groups by doc_id. The shingle STRING
+    // is hashed once (h0); each permutation re-hashes the 8-byte h0, ~4×
+    // cheaper than re-hashing the string 64 times. The minhash internals
+    // never face the DuckDB oracle (the oracle is the exact jaccard), so
+    // codegen'd xxhash64 replaces md5-string parity.
+    val hashed = shingles.withColumn("h0", xxhash64(col("sh")))
     val mins = (0 until NumPerm).map(p =>
-      min(xxhash64(lit(p), col("sh"))).as(s"mh$p"))
-    val sigs = shingles.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      min(xxhash64(lit(p), col("h0"))).as(s"mh$p"))
+    val sigs = hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
     val nBands = NumPerm / RowsPerBand
     val bandSigs = (0 until nBands).map { band =>
       md5(concat_ws(",", (0 until RowsPerBand).map(r =>
@@ -146,7 +157,10 @@ object Dedup {
   }
 
   private def q17(s: SparkSession, dir: String): DataFrame = {
-    val shingles = docShingles(s, dir)
+    // Materialized once: consumed by the signature branch AND the verify
+    // branch (at cluster scale this is persist(DISK_ONLY) on the shingle
+    // table; locally an eager checkpoint).
+    val shingles = docShingles(s, dir).localCheckpoint()
     verifyJaccard(shingles, Some(minhashCandidates(shingles)), 0.8)
   }
 
@@ -154,7 +168,7 @@ object Dedup {
   // Exact n-gram jaccard over all pairs sharing ≥1 shingle. Same
   // output/oracle as q17 but no approximation anywhere.
   private def q19(s: SparkSession, dir: String): DataFrame =
-    verifyJaccard(docShingles(s, dir), None, 0.8)
+    verifyJaccard(docShingles(s, dir).localCheckpoint(), None, 0.8)
 
   // ---------------------------------------------------------------- q18
   // Weighted SimHash (60-bit, md5-derived bits, token counts as weights) +
@@ -166,7 +180,8 @@ object Dedup {
   def simhash(docs: DataFrame): DataFrame = {
     // One aggregation pass with 60 codegen'd sum expressions (one per bit)
     // instead of exploding 60 rows per token — same math, no 60× row blowup.
-    val tokCnt = docs.select(col("doc_id"), explode(wsTokens(col("text"))).as("tok"))
+    val tokCnt = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), explode(wsTokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
       .withColumn("h", hash60(col("tok")))
     val bitSums = (0 until SimBits).map(b =>
@@ -229,8 +244,9 @@ object Dedup {
     val withNorm = e.select(col("vec_id"), col("embedding"),
       norm2Dec(col("embedding")).as("n2"),
       graft.functions.VectorDot.dot(col("embedding"), col("embedding")).as("n2d"))
-    val a = withNorm.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
-      col("n2").as("n2a"), col("n2d").as("n2da"))
+    val a = withNorm.repartition(32) // widen single-file scan for the pairwise loop
+      .select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        col("n2").as("n2a"), col("n2d").as("n2da"))
     val b = withNorm.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
       col("n2").as("n2b"), col("n2d").as("n2db"))
     val fastc = cosineFast(graft.functions.VectorDot.dot(col("ea"), col("eb")),

@@ -55,7 +55,8 @@ object Similarity {
   // (vec_id < 10), self excluded. Rank by exact-decimal cosine.
   private def q21(s: SparkSession, dir: String): DataFrame = {
     val e = Fixtures.embeddings(s, dir)
-    val withNorm = e.select(col("vec_id"), col("embedding"), norm2Dec(col("embedding")).as("n2"))
+    val withNorm = e.repartition(32) // widen single-file scan for the scoring loop
+      .select(col("vec_id"), col("embedding"), norm2Dec(col("embedding")).as("n2"))
     val qs = withNorm.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("n2").as("qn2"))
     val scored = withNorm.crossJoin(broadcast(qs))

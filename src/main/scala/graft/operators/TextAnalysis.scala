@@ -165,7 +165,8 @@ object TextAnalysis {
   private def q40(s: SparkSession, dir: String): DataFrame = {
     val docs = Fixtures.documents(s, dir)
     val n = docs.count() // corpus size: a scalar, computed once
-    val tf = docs.select(col("doc_id"), explode(wsTokens(col("text"))).as("term"))
+    val tf = docs.repartition(col("doc_id")) // widen single-file scan (see Dedup.docShingles)
+      .select(col("doc_id"), explode(wsTokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = tf.join(broadcast(df_), "term")
