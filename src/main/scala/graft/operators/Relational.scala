@@ -283,7 +283,80 @@ object Relational {
       |  COUNT(*) AS n
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q42
+  // Anti join: parts never shipped. left_anti keeps only probe columns and
+  // short-circuits on first build-side match.
+  private def q42(s: SparkSession, dir: String): DataFrame =
+    Fixtures.part(s, dir)
+      .join(Fixtures.lineitem(s, dir).select(col("l_partkey")),
+        col("p_partkey") === col("l_partkey"), "left_anti")
+      .groupBy(col("p_brand")).agg(count(lit(1)).as("n_unsold"))
+      .orderBy(col("p_brand"))
+
+  private val q42Sql =
+    """SELECT p_brand, COUNT(*) AS n_unsold FROM part
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  // ---------------------------------------------------------------- q43
+  // Scalar subquery: orders above the global average price, per priority.
+  // The average is a one-row aggregate broadcast into the filter.
+  private def q43(s: SparkSession, dir: String): DataFrame = {
+    val o = Fixtures.orders(s, dir)
+    val avgPrice = o.agg(
+      (sum(dec(col("o_totalprice"))).cast("double") / count(lit(1))).as("ap"))
+    o.crossJoin(broadcast(avgPrice))
+      .filter(col("o_totalprice") > col("ap"))
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val q43Sql =
+    """SELECT o_orderpriority, COUNT(*) AS n FROM orders
+      |WHERE o_totalprice > (
+      |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) FROM orders)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q44
+  // Date scalar functions: year/month/quarter/day-of-week breakdown.
+  private def q44(s: SparkSession, dir: String): DataFrame =
+    Fixtures.orders(s, dir)
+      .groupBy(year(col("o_orderdate")).as("y"), quarter(col("o_orderdate")).as("q"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(month(col("o_orderdate"))).as("months"),
+        countDistinct(dayofweek(col("o_orderdate"))).as("dows"))
+      .orderBy(col("y"), col("q"))
+
+  private val q44Sql =
+    """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y,
+      |       CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS q,
+      |       COUNT(*) AS n,
+      |       COUNT(DISTINCT EXTRACT(month FROM o_orderdate)) AS months,
+      |       COUNT(DISTINCT EXTRACT(dayofweek FROM o_orderdate) + 1) AS dows
+      |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q45
+  // String scalar breadth: edit distance, padding, replacement, length.
+  private def q45(s: SparkSession, dir: String): DataFrame =
+    Fixtures.part(s, dir)
+      .select(col("p_partkey"),
+        levenshtein(col("p_brand"), col("p_type")).as("lev"),
+        length(regexp_replace(col("p_name"), "[aeiou]", "")).as("consonants"),
+        lpad(col("p_brand"), 12, "_").as("padded"))
+      .orderBy(col("p_partkey"))
+      .limit(1000)
+
+  private val q45Sql =
+    """SELECT p_partkey, levenshtein(p_brand, p_type) AS lev,
+      |  length(regexp_replace(p_name, '[aeiou]', '', 'g')) AS consonants,
+      |  lpad(p_brand, 12, '_') AS padded
+      |FROM part ORDER BY p_partkey LIMIT 1000""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q42_anti_join", q42, Some(q42Sql)),
+    GraftQuery("q43_scalar_subquery", q43, Some(q43Sql)),
+    GraftQuery("q44_date_funcs", q44, Some(q44Sql)),
+    GraftQuery("q45_string_funcs", q45, Some(q45Sql)),
     GraftQuery("q33_except", q33, Some(q33Sql)),
     GraftQuery("q34_full_outer", q34, Some(q34Sql)),
     GraftQuery("q37_union", q37, Some(q37Sql)),

@@ -1,0 +1,31 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling utilities for hot keys (100-TB posture, SURVEY §7.1).
+  *
+  * AQE's skew-join splitting covers joins automatically; aggregations over
+  * a hot grouping key still funnel that key's entire partition through one
+  * task. [[saltedAgg]] is the classic two-phase fix: aggregate on
+  * (key, salt) first — spreading a hot key over `saltBuckets` tasks — then
+  * combine the partials. Only decomposable aggregates (sum/count/min/max
+  * shapes) qualify; the caller provides both phases.
+  */
+object Skew {
+
+  /** Two-phase salted aggregation.
+    *
+    * @param partials combine functions for phase 1 (per key+salt)
+    * @param finals   re-combine functions for phase 2 (per key), applied to
+    *                 the phase-1 column names
+    */
+  def saltedAgg(df: DataFrame, keyCol: String, saltBuckets: Int,
+      partials: Seq[Column], finals: Seq[Column]): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    val phase1 = salted.groupBy(col(keyCol), col("__salt"))
+      .agg(partials.head, partials.tail: _*)
+    phase1.groupBy(col(keyCol)).agg(finals.head, finals.tail: _*)
+  }
+}

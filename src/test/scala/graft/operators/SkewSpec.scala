@@ -1,0 +1,29 @@
+package graft.operators
+
+import graft.{Fixtures, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Salted two-phase aggregation must equal the direct aggregation — the
+  * skew fix can never change results (sum/count are decomposable).
+  */
+class SkewSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("saltedAgg(sum, count) equals direct groupBy agg") {
+    val li = Fixtures.lineitem(spark, TestSpark.sf0001)
+      .select(col("l_returnflag"),
+        col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 4)).as("q"))
+    val direct = li.groupBy(col("l_returnflag"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> ((r.getDecimal(1), r.getLong(2)))).toMap
+    val salted = Skew.saltedAgg(li, "l_returnflag", saltBuckets = 16,
+      partials = Seq(sum(col("q")).as("psq"), count(lit(1)).as("pn")),
+      finals = Seq(sum(col("psq")).as("sq"), sum(col("pn")).as("n")))
+      .collect().map(r => r.getString(0) -> ((r.getDecimal(1), r.getLong(2)))).toMap
+    assert(salted.keySet == direct.keySet)
+    direct.foreach { case (k, (sq, n)) =>
+      assert(salted(k)._1.compareTo(sq) == 0 && salted(k)._2 == n, s"key $k")
+    }
+  }
+}
