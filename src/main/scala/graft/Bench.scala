@@ -14,7 +14,11 @@ object Bench {
     SparkEntry.queries.get("q10_distinct").foreach(f => f(spark, sfDir).count())
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop sink: fully computes every output column (count() would let
+      // Catalyst prune the final projection and under-measure
+      // projection-heavy queries).
+      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
