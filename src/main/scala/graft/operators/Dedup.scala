@@ -97,7 +97,8 @@ object Dedup {
       .select(col("a").as("doc_a"), col("b").as("doc_b"),
         (col("i") * lit(1.0) / (col("na") + col("nb") - col("i"))).as("jac_raw"))
     jac.filter(col("jac_raw") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jac_raw"), 4).as("jac"))
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.Rounding.stable(col("jac_raw"), 4).as("jac"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -118,7 +119,8 @@ object Dedup {
       |  SELECT g1.doc_id a, g2.doc_id b, COUNT(*) i
       |  FROM grams g1 JOIN grams g2 ON g1.g = g2.g AND g1.doc_id < g2.doc_id
       |  GROUP BY 1, 2)
-      |SELECT a AS doc_a, b AS doc_b, ROUND(i * 1.0 / (sa.n + sb.n - i), 4) AS jac
+      |SELECT a AS doc_a, b AS doc_b,
+      |  floor((i * 1.0 / (sa.n + sb.n - i)) * 10000.0 + 0.5) / 10000.0 AS jac
       |FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
       |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
@@ -261,7 +263,8 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"),
         when(fastc >= 0.45 - 1e-6, exact).as("c"))
       .filter(col("c") >= 0.45)
-      .select(col("vec_a"), col("vec_b"), round(col("c"), 4).as("cos_sim"))
+      .select(col("vec_a"), col("vec_b"),
+        graft.functions.Rounding.stable(col("c"), 4).as("cos_sim"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
@@ -279,7 +282,7 @@ object Dedup {
       |cos AS (
       |  SELECT va, vb, CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) c
       |  FROM dots JOIN norms na ON na.vec_id = va JOIN norms nb ON nb.vec_id = vb)
-      |SELECT va AS vec_a, vb AS vec_b, ROUND(c, 4) AS cos_sim
+      |SELECT va AS vec_a, vb AS vec_b, floor(c * 10000.0 + 0.5) / 10000.0 AS cos_sim
       |FROM cos WHERE c >= 0.45 ORDER BY vec_a, vec_b""".stripMargin
 
   // ---------------------------------------------------------------- q39

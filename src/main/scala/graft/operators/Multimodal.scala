@@ -86,14 +86,14 @@ object Multimodal {
       .groupBy(col("meta.format").as("format"))
       .agg(count(lit(1)).as("n"),
         sum(col("meta.n_bytes")).as("total_bytes"),
-        round(avg(col("meta.width")), 2).as("avg_width"),
-        round(avg(col("meta.height")), 2).as("avg_height"))
+        graft.functions.Rounding.stable(avg(col("meta.width")), 2).as("avg_width"),
+        graft.functions.Rounding.stable(avg(col("meta.height")), 2).as("avg_height"))
       .orderBy(col("format"))
 
   private val q28Sql =
     """SELECT 'fake/' || lang AS format, COUNT(*) AS n, SUM(n_chars) AS total_bytes,
-      |  ROUND(AVG(1 + n_chars % 64), 2) AS avg_width,
-      |  ROUND(AVG(1 + n_chars % 48), 2) AS avg_height
+      |  floor(AVG(1 + n_chars % 64) * 100.0 + 0.5) / 100.0 AS avg_width,
+      |  floor(AVG(1 + n_chars % 48) * 100.0 + 0.5) / 100.0 AS avg_height
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------- q29
@@ -134,8 +134,8 @@ object Multimodal {
         conv(substring(md5(media), 1, 2), 16, 10).cast("long").as("f0raw"),
         conv(substring(md5(media), 3, 2), 16, 10).cast("long").as("f1raw"))
     feats.groupBy(col("source"))
-      .agg(round(avg(col("f0raw")) / 255.0, 4).as("avg_f0"),
-        round(avg(col("f1raw")) / 255.0, 4).as("avg_f1"),
+      .agg(graft.functions.Rounding.stable(avg(col("f0raw")) / 255.0, 4).as("avg_f0"),
+        graft.functions.Rounding.stable(avg(col("f1raw")) / 255.0, 4).as("avg_f1"),
         count(lit(1)).as("n"))
       .orderBy(col("source"))
   }
@@ -147,8 +147,8 @@ object Multimodal {
       |    ('0x' || substr(md5(text), 1, 2))::BIGINT AS f0raw,
       |    ('0x' || substr(md5(text), 3, 2))::BIGINT AS f1raw
       |  FROM documents)
-      |SELECT source, ROUND(AVG(f0raw) / 255.0, 4) AS avg_f0,
-      |       ROUND(AVG(f1raw) / 255.0, 4) AS avg_f1, COUNT(*) AS n
+      |SELECT source, floor((AVG(f0raw) / 255.0) * 10000.0 + 0.5) / 10000.0 AS avg_f0,
+      |       floor((AVG(f1raw) / 255.0) * 10000.0 + 0.5) / 10000.0 AS avg_f1, COUNT(*) AS n
       |FROM feats GROUP BY source ORDER BY source""".stripMargin
 
   val queries: Seq[GraftQuery] = Seq(

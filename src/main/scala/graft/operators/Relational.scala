@@ -59,7 +59,8 @@ object Relational {
       .agg(
         rnd(sum(dec(col("l_quantity"))), 2).as("sum_qty"),
         rnd(sum(dec(col("l_extendedprice"))), 2).as("sum_base_price"),
-        round(sum(dec(col("l_discount"))).cast("double") / count(lit(1)), 4).as("avg_disc"),
+        graft.functions.Rounding.stable(
+          sum(dec(col("l_discount"))).cast("double") / count(lit(1)), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
@@ -67,7 +68,7 @@ object Relational {
     """SELECT l_returnflag, l_linestatus,
       |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
       |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
-      |  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
+      |  floor((CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
       |  COUNT(*) AS count_order
       |FROM lineitem GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
@@ -271,15 +272,15 @@ object Relational {
     Fixtures.orders(s, dir)
       .groupBy(col("o_orderpriority"))
       .agg(
-        rnd(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
-        rnd(expr("percentile(o_totalprice, 0.95)"), 2).as("p95"),
+        graft.functions.Rounding.stable(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        graft.functions.Rounding.stable(expr("percentile(o_totalprice, 0.95)"), 2).as("p95"),
         count(lit(1)).as("n"))
       .orderBy(col("o_orderpriority"))
 
   private val q38Sql =
     """SELECT o_orderpriority,
-      |  CAST(ROUND(quantile_cont(o_totalprice, 0.5), 2) AS DOUBLE) AS p50,
-      |  CAST(ROUND(quantile_cont(o_totalprice, 0.95), 2) AS DOUBLE) AS p95,
+      |  floor(quantile_cont(o_totalprice, 0.5) * 100.0 + 0.5) / 100.0 AS p50,
+      |  floor(quantile_cont(o_totalprice, 0.95) * 100.0 + 0.5) / 100.0 AS p95,
       |  COUNT(*) AS n
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 

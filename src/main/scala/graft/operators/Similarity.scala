@@ -31,7 +31,8 @@ object Similarity {
     val e = Fixtures.embeddings(s, dir)
     val q0 = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
     e.crossJoin(broadcast(q0))
-      .select(col("vec_id"), round(cosineDec(col("embedding"), col("qe")), 4).as("cos_sim"))
+      .select(col("vec_id"),
+        graft.functions.Rounding.stable(cosineDec(col("embedding"), col("qe")), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(20)
   }
@@ -47,7 +48,7 @@ object Similarity {
       |    SUM(CAST(round(CAST(q.qx AS DOUBLE) * CAST(q.qx AS DOUBLE), 9) AS DECIMAL(28,12))) qn2
       |  FROM el JOIN q ON el.i = q.i GROUP BY 1)
       |SELECT vec_id,
-      |  ROUND(CAST(dot AS DOUBLE) / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE))), 4) AS cos_sim
+      |  floor((CAST(dot AS DOUBLE) / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE)))) * 10000.0 + 0.5) / 10000.0 AS cos_sim
       |FROM parts ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin
 
   // ---------------------------------------------------------------- q21
@@ -66,7 +67,8 @@ object Similarity {
     val w = Window.partitionBy(col("query_id")).orderBy(col("c").desc, col("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
-      .select(col("query_id"), col("rnk"), col("neighbor_id"), round(col("c"), 4).as("cos_sim"))
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        graft.functions.Rounding.stable(col("c"), 4).as("cos_sim"))
       .orderBy(col("query_id"), col("rnk"))
   }
 
@@ -89,7 +91,7 @@ object Similarity {
       |  SELECT query_id, neighbor_id, c,
       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) rnk
       |  FROM scored)
-      |SELECT query_id, rnk, neighbor_id, ROUND(c, 4) AS cos_sim
+      |SELECT query_id, rnk, neighbor_id, floor(c * 10000.0 + 0.5) / 10000.0 AS cos_sim
       |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
   // ---------------------------------------------------------------- q22

@@ -35,12 +35,13 @@ object TextAnalysis {
     Fixtures.documents(s, dir)
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n"),
-        round(avg(col("n_chars")), 2).as("avg_chars"),
+        graft.functions.Rounding.stable(avg(col("n_chars")), 2).as("avg_chars"),
         max(col("n_chars")).as("max_chars"))
       .orderBy(col("lang"), col("source"))
 
   private val q16Sql =
-    """SELECT lang, source, COUNT(*) n, ROUND(AVG(n_chars), 2) avg_chars, MAX(n_chars) max_chars
+    """SELECT lang, source, COUNT(*) n,
+      |  floor(AVG(n_chars) * 100.0 + 0.5) / 100.0 AS avg_chars, MAX(n_chars) max_chars
       |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
   // ---------------------------------------------------------------- q23
@@ -97,18 +98,18 @@ object TextAnalysis {
         lit(0.3) * (stopCnt / nTok) +
         lit(0.3) * (least(col("n_chars") / nTok, lit(8.0)) / lit(8.0))
     Fixtures.documents(s, dir)
-      .select(col("doc_id"), round(score, 4).as("quality"))
+      .select(col("doc_id"), graft.functions.Rounding.stable(score, 4).as("quality"))
       .orderBy(col("doc_id"))
   }
 
   private val q24Sql = {
     val enList = sqlList(stopwords.toMap.apply("en"))
     s"""SELECT doc_id,
-       |  ROUND(
+       |  floor((
        |    0.4 * (LEAST(n_chars, 500) / 500.0) +
        |    0.3 * (len(list_filter(string_split(text, ' '), t -> t IN $enList)) /
        |           len(string_split(text, ' '))) +
-       |    0.3 * (LEAST(n_chars / len(string_split(text, ' ')), 8.0) / 8.0), 4) AS quality
+       |    0.3 * (LEAST(n_chars / len(string_split(text, ' ')), 8.0) / 8.0)) * 10000.0 + 0.5) / 10000.0 AS quality
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
@@ -123,14 +124,14 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("ws")).as("ws_tokens"),
         sum(col("bp")).as("bpeish_tokens"),
-        round(avg(col("ws")), 2).as("avg_ws_tokens"))
+        graft.functions.Rounding.stable(avg(col("ws")), 2).as("avg_ws_tokens"))
       .orderBy(col("source"))
 
   private val q25Sql =
     """SELECT source, COUNT(*) AS n_docs,
       |  SUM(len(string_split(text, ' '))) AS ws_tokens,
       |  SUM(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS bpeish_tokens,
-      |  ROUND(AVG(len(string_split(text, ' '))), 2) AS avg_ws_tokens
+      |  floor(AVG(len(string_split(text, ' '))) * 100.0 + 0.5) / 100.0 AS avg_ws_tokens
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------- q26
@@ -176,7 +177,8 @@ object TextAnalysis {
       .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
-      .select(col("doc_id"), col("rnk"), col("term"), round(col("score"), 4).as("score"))
+      .select(col("doc_id"), col("rnk"), col("term"),
+        graft.functions.Rounding.stable(col("score"), 4).as("score"))
       .orderBy(col("doc_id"), col("rnk"))
   }
 
@@ -194,7 +196,7 @@ object TextAnalysis {
       |  SELECT doc_id, term, score,
       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
       |  FROM scored)
-      |SELECT doc_id, rnk, term, ROUND(score, 4) AS score
+      |SELECT doc_id, rnk, term, floor(score * 10000.0 + 0.5) / 10000.0 AS score
       |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
 
   // ---------------------------------------------------------------- q41
@@ -207,7 +209,7 @@ object TextAnalysis {
     val enStops = stopwords.toMap.apply("en")
     val nTok = size(toks)
     val stopCnt = size(filter(toks, t => t.isin(enStops: _*)))
-    val score = round(
+    val score = graft.functions.Rounding.stable(
       lit(0.4) * (least(col("n_chars"), lit(500)) / lit(500.0)) +
         lit(0.3) * (stopCnt / nTok) +
         lit(0.3) * (least(col("n_chars") / nTok, lit(8.0)) / lit(8.0)), 4)
@@ -219,7 +221,7 @@ object TextAnalysis {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_total"),
         sum(when(col("quality") > col("median_q"), 1).otherwise(0)).as("n_kept"),
-        round(max(col("median_q")), 4).as("median_q"))
+        graft.functions.Rounding.stable(max(col("median_q")), 4).as("median_q"))
       .orderBy(col("lang"))
   }
 
@@ -227,16 +229,16 @@ object TextAnalysis {
     val enList = sqlList(stopwords.toMap.apply("en"))
     s"""WITH scored AS (
        |  SELECT doc_id, lang,
-       |    ROUND(
+       |    floor((
        |      0.4 * (LEAST(n_chars, 500) / 500.0) +
        |      0.3 * (len(list_filter(string_split(text, ' '), t -> t IN $enList)) /
        |             len(string_split(text, ' '))) +
-       |      0.3 * (LEAST(n_chars / len(string_split(text, ' ')), 8.0) / 8.0), 4) AS quality
+       |      0.3 * (LEAST(n_chars / len(string_split(text, ' ')), 8.0) / 8.0)) * 10000.0 + 0.5) / 10000.0 AS quality
        |  FROM documents),
        |medians AS (SELECT lang, quantile_cont(quality, 0.5) AS median_q FROM scored GROUP BY 1)
        |SELECT lang, COUNT(*) AS n_total,
        |  CAST(SUM(CASE WHEN quality > median_q THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-       |  ROUND(MAX(median_q), 4) AS median_q
+       |  floor(MAX(median_q) * 10000.0 + 0.5) / 10000.0 AS median_q
        |FROM scored JOIN medians USING (lang)
        |GROUP BY lang ORDER BY lang""".stripMargin
   }
