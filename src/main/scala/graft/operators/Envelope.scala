@@ -33,7 +33,7 @@ object Envelope {
     val withCorrupt = schema.add(corrupt, org.apache.spark.sql.types.StringType)
     val decoded = from_json(raw, withCorrupt,
       Map("columnNameOfCorruptRecord" -> corrupt))
-    val others = df.columns.filterNot(_ == jsonCol).map(col)
+    val others = df.columns.filterNot(_ == jsonCol).map(col).toSeq
     df.select(others :+ decoded.dropFields(corrupt).as("payload") :+
       decoded.getField(corrupt).as("error"): _*)
   }
