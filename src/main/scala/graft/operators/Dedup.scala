@@ -67,7 +67,8 @@ object Dedup {
   private def docShingles(s: SparkSession, dir: String): DataFrame =
     Fixtures.documents(s, dir)
       .repartition(col("doc_id"))
-      .select(col("doc_id"), explode(array_distinct(wordShingles(col("text"), 3))).as("sh"))
+      .select(col("doc_id"),
+        explode(graft.functions.WordNGrams.distinctNGrams(col("text"), 3)).as("sh"))
 
   /** Exact jaccard ≥ threshold. `cands` = Some(pairs) restricts intersection
     * counting to a candidate set (LSH banding — the scale path: candidates
