@@ -23,8 +23,15 @@ object TextFunctions {
   /** Deterministic 60-bit non-negative hash usable identically in DuckDB:
     * first 15 hex chars of md5 → BIGINT. (`('0x' || substr(md5(x),1,15))::BIGINT`
     * on the oracle side.) 60 bits keeps it positive and exact in a Long.
+    * Computed off the digest bytes directly (see [[Md5Hash60]]); equality
+    * with the conv/substring formulation is spec-pinned.
     */
-  def hash60(c: Column): Column =
+  def hash60(c: Column): Column = Md5Hash60.hash60(c)
+
+  /** The SQL-built-ins formulation of [[hash60]] (kept for the equality
+    * spec and as the form a pure-SQL user would write).
+    */
+  def hash60Sql(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
 
   /** Word n-gram shingles as an array column (distinct not applied). */
