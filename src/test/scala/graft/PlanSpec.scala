@@ -55,6 +55,16 @@ class PlanSpec extends AnyFunSuite {
       s"media blob column should not be read for metadata-only agg: $readSchema")
   }
 
+  test("q31: as-of join uses one key shuffle + sort, not a per-key range join") {
+    val p = planOf("q31_asof_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "as-of must not plan as a nested-loop range join")
+    // union of two scans → one hash partitioning for the window, plus the
+    // final presentation sort; anything more means an extra shuffle crept in
+    val shuffles = "Exchange (hash|range)partitioning".r.findAllIn(p).size
+    assert(shuffles <= 3, s"unexpected shuffles ($shuffles):\n${p.take(1200)}")
+  }
+
   test("q6: multiget pushes the IN-list into the scan") {
     val p = planOf("q6_multiget")
     assert(p.contains("PushedFilters:") && p.contains("In(user_id"),
