@@ -148,11 +148,14 @@ object Dedup {
       md5(concat_ws(",", (0 until RowsPerBand).map(r =>
         col(s"mh${band * RowsPerBand + r}").cast("string")): _*)).as(s"band$band")
     }
+    // tiny (docs × bands rows); materialized so the self-join below doesn't
+    // recompute the minhash pass once per side
     val banded = sigs
       .select(col("doc_id") +: bandSigs: _*)
       .select(col("doc_id"),
         posexplode(array((0 until nBands).map(b => col(s"band$b")): _*)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "sig"))
+      .localCheckpoint()
     val x = banded.select(col("doc_id").as("a"), col("band"), col("sig"))
     val y = banded.select(col("doc_id").as("b"), col("band").as("band2"), col("sig").as("sig2"))
     x.join(y, col("band") === col("band2") && col("sig") === col("sig2") && col("a") < col("b"))
@@ -198,7 +201,9 @@ object Dedup {
   }
 
   private def q18(s: SparkSession, dir: String): DataFrame = {
-    val sims = simhash(Fixtures.documents(s, dir))
+    // one row per doc; materialized so the banded self-join doesn't
+    // recompute the simhash pipeline once per side
+    val sims = simhash(Fixtures.documents(s, dir)).localCheckpoint()
     val banded = sims.select(col("doc_id"), col("sim"),
       explode(sequence(lit(0), lit(SimBits / BandBits - 1))).as("band"))
       .withColumn("bandval", expr(s"shiftright(sim, cast(band * $BandBits as int)) & ${(1 << BandBits) - 1}"))
