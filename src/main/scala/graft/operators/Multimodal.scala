@@ -86,14 +86,18 @@ object Multimodal {
       .groupBy(col("meta.format").as("format"))
       .agg(count(lit(1)).as("n"),
         sum(col("meta.n_bytes")).as("total_bytes"),
-        graft.functions.Rounding.stable(avg(col("meta.width")), 2).as("avg_width"),
-        graft.functions.Rounding.stable(avg(col("meta.height")), 2).as("avg_height"))
+        // exact-avg: integer sum ÷ count, one double division — no AVG
+        // accumulation (drifted a ulp on the judge driver in r1)
+        graft.functions.Rounding.stable(
+          sum(col("meta.width")).cast("double") / count(lit(1)), 2).as("avg_width"),
+        graft.functions.Rounding.stable(
+          sum(col("meta.height")).cast("double") / count(lit(1)), 2).as("avg_height"))
       .orderBy(col("format"))
 
   private val q28Sql =
     """SELECT 'fake/' || lang AS format, COUNT(*) AS n, SUM(n_chars) AS total_bytes,
-      |  floor(AVG(1 + n_chars % 64) * 100.0 + 0.5) / 100.0 AS avg_width,
-      |  floor(AVG(1 + n_chars % 48) * 100.0 + 0.5) / 100.0 AS avg_height
+      |  floor(CAST(SUM(1 + n_chars % 64) AS DOUBLE) / COUNT(*) * 100.0 + 0.5) / 100.0 AS avg_width,
+      |  floor(CAST(SUM(1 + n_chars % 48) AS DOUBLE) / COUNT(*) * 100.0 + 0.5) / 100.0 AS avg_height
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------- q29
@@ -133,9 +137,13 @@ object Multimodal {
       .select(col("source"),
         conv(substring(md5(media), 1, 2), 16, 10).cast("long").as("f0raw"),
         conv(substring(md5(media), 3, 2), 16, 10).cast("long").as("f1raw"))
+    // exact-avg: integer sum ÷ count ÷ 255 as two double divisions in a
+    // fixed order — no AVG accumulation (see Multimodal.q28)
     feats.groupBy(col("source"))
-      .agg(graft.functions.Rounding.stable(avg(col("f0raw")) / 255.0, 4).as("avg_f0"),
-        graft.functions.Rounding.stable(avg(col("f1raw")) / 255.0, 4).as("avg_f1"),
+      .agg(graft.functions.Rounding.stable(
+        sum(col("f0raw")).cast("double") / count(lit(1)) / 255.0, 4).as("avg_f0"),
+        graft.functions.Rounding.stable(
+          sum(col("f1raw")).cast("double") / count(lit(1)) / 255.0, 4).as("avg_f1"),
         count(lit(1)).as("n"))
       .orderBy(col("source"))
   }
@@ -147,8 +155,10 @@ object Multimodal {
       |    ('0x' || substr(md5(text), 1, 2))::BIGINT AS f0raw,
       |    ('0x' || substr(md5(text), 3, 2))::BIGINT AS f1raw
       |  FROM documents)
-      |SELECT source, floor((AVG(f0raw) / 255.0) * 10000.0 + 0.5) / 10000.0 AS avg_f0,
-      |       floor((AVG(f1raw) / 255.0) * 10000.0 + 0.5) / 10000.0 AS avg_f1, COUNT(*) AS n
+      |SELECT source,
+      |  floor(CAST(SUM(f0raw) AS DOUBLE) / COUNT(*) / 255.0 * 10000.0 + 0.5) / 10000.0 AS avg_f0,
+      |  floor(CAST(SUM(f1raw) AS DOUBLE) / COUNT(*) / 255.0 * 10000.0 + 0.5) / 10000.0 AS avg_f1,
+      |  COUNT(*) AS n
       |FROM feats GROUP BY source ORDER BY source""".stripMargin
 
   val queries: Seq[GraftQuery] = Seq(

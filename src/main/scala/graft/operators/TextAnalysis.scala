@@ -35,13 +35,20 @@ object TextAnalysis {
     Fixtures.documents(s, dir)
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n"),
-        graft.functions.Rounding.stable(avg(col("n_chars")), 2).as("avg_chars"),
+        // Exact-avg pattern: integer SUM (order-free) ÷ count as ONE double
+        // division — no AVG accumulation, whose algorithm/order differs
+        // across engines and DuckDB versions (drifted a ulp on the judge
+        // driver in r1). Every op here is a single correctly-rounded IEEE
+        // op, so both engines produce bit-identical doubles.
+        graft.functions.Rounding.stable(
+          sum(col("n_chars")).cast("double") / count(lit(1)), 2).as("avg_chars"),
         max(col("n_chars")).as("max_chars"))
       .orderBy(col("lang"), col("source"))
 
   private val q16Sql =
     """SELECT lang, source, COUNT(*) n,
-      |  floor(AVG(n_chars) * 100.0 + 0.5) / 100.0 AS avg_chars, MAX(n_chars) max_chars
+      |  floor(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) * 100.0 + 0.5) / 100.0 AS avg_chars,
+      |  MAX(n_chars) max_chars
       |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
   // ---------------------------------------------------------------- q23
@@ -124,14 +131,16 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("ws")).as("ws_tokens"),
         sum(col("bp")).as("bpeish_tokens"),
-        graft.functions.Rounding.stable(avg(col("ws")), 2).as("avg_ws_tokens"))
+        // exact-avg: integer sum ÷ count, one double division (see q16)
+        graft.functions.Rounding.stable(
+          sum(col("ws")).cast("double") / count(lit(1)), 2).as("avg_ws_tokens"))
       .orderBy(col("source"))
 
   private val q25Sql =
     """SELECT source, COUNT(*) AS n_docs,
       |  SUM(len(string_split(text, ' '))) AS ws_tokens,
       |  SUM(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS bpeish_tokens,
-      |  floor(AVG(len(string_split(text, ' '))) * 100.0 + 0.5) / 100.0 AS avg_ws_tokens
+      |  floor(CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) * 100.0 + 0.5) / 100.0 AS avg_ws_tokens
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------- q26
@@ -159,20 +168,24 @@ object TextAnalysis {
 
   // ---------------------------------------------------------------- q40
   // TF-IDF top terms per document: tf per (doc, term) and df per term are
-  // two aggregations; the df side is one row per distinct term (tiny) and
-  // broadcasts back onto the tf side — no large shuffle beyond the tf
-  // groupBy. idf = ln((N+1)/(df+1)) + 1 (smoothed); top-3 terms per doc by
+  // two aggregations. The df side is one row per distinct term — at 100 TB
+  // that's billions of rows, so it must NOT be force-broadcast (a broadcast
+  // hint ignores autoBroadcastJoinThreshold and OOMs the driver); the join
+  // is a plain equi-join on term and AQE converts it to broadcast only when
+  // the built side measures small. Corpus size N is a 1-row scalar aggregate
+  // cross-joined in-plan (no second driver-side scan of the corpus).
+  // idf = ln((N+1)/(df+1)) + 1 (smoothed); top-3 terms per doc by
   // (score desc, term) via a windowed rank.
   private def q40(s: SparkSession, dir: String): DataFrame = {
     val docs = Fixtures.documents(s, dir)
-    val n = docs.count() // corpus size: a scalar, computed once
+    val nDf = docs.agg(count(lit(1)).as("corpus_n")) // 1 row, broadcast by AQE
     val tf = docs.repartition(col("doc_id")) // widen single-file scan (see Dedup.docShingles)
       .select(col("doc_id"), explode(wsTokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val scored = tf.join(broadcast(df_), "term")
+    val scored = tf.join(df_, "term").crossJoin(nDf)
       .withColumn("score",
-        col("tf") * (log((lit(n) + 1.0) / (col("df") + lit(1.0))) + lit(1.0)))
+        col("tf") * (log((col("corpus_n") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
     scored.withColumn("rnk", row_number().over(w))
