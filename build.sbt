@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output goes raw to stdout — without this, sbt prefixes every
+// line with "[info] ", which breaks the driver's parse of Bench's JSON line
+// (BENCH_r01/r02 both show "parsed": null with the line visible in "tail").
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1,9 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Bench main (driver contract): times every `SparkEntry.queries` entry on
+  * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+  *
+  * Each query runs `SPARK_GRAFT_REPS` times (default 3) and reports the
+  * MEDIAN — a single GC/JIT/compilation hiccup must not become the round's
+  * official number (r1 recorded a 21 s q13 that re-ran at 2 s). A query that
+  * throws is reported in an `"errors"` map and excluded from the total
+  * instead of being silently recorded as its time-to-failure.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val spark = Engine.configure(
       SparkSession.builder().master(s"local[$cpus]"),
       shufflePartitions = cpus.toInt).getOrCreate()
@@ -12,19 +24,35 @@ object Bench {
     // query doesn't absorb session startup cost.
     Fixtures.tableNames.foreach(t => Fixtures.table(spark, sfDir, t).count())
     SparkEntry.queries.get("q10_distinct").foreach(f => f(spark, sfDir).count())
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // noop sink: fully computes every output column (count() would let
       // Catalyst prune the final projection and under-measure
       // projection-heavy queries).
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
     }
+
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val results = SparkEntry.queries.flatMap { case (name, fn) =>
+      try {
+        val times = (1 to reps).map(_ => timeOnce(fn)).sorted
+        Some(name -> times(times.size / 2)) // median
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          errors += name -> e.getClass.getSimpleName
+          None
+      }
+    }
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

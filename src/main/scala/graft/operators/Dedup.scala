@@ -56,7 +56,12 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("dupes"))
 
   // ---------------------------------------------------------------- shared
-  /** (doc_id, sh): distinct word-3-gram shingles per document.
+  /** (doc_id, sh): distinct word-3-gram shingles per document, as
+    * `xxhash64` LONGs — every downstream join/aggregate keys on an 8-byte
+    * long instead of the raw ~30-byte gram string, which roughly quarters
+    * the shuffle width of the self-joins (q17/q19). Collisions merge two
+    * grams with probability ~n²/2⁶⁴ per doc — immaterial against the
+    * oracle's 4-decimal jaccard at any realistic shingle count.
     *
     * The repartition widens a possibly single-split scan before the
     * CPU-dense shingle/hash stages: the fixture tables are one parquet file
@@ -68,7 +73,8 @@ object Dedup {
     Fixtures.documents(s, dir)
       .repartition(col("doc_id"))
       .select(col("doc_id"),
-        explode(graft.functions.WordNGrams.distinctNGrams(col("text"), 3)).as("sh"))
+        explode(graft.functions.WordNGrams.distinctNGrams(col("text"), 3)).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("sh"))
 
   /** Exact jaccard ≥ threshold. `cands` = Some(pairs) restricts intersection
     * counting to a candidate set (LSH banding — the scale path: candidates
@@ -83,7 +89,11 @@ object Dedup {
     val s2 = shingles.select(col("doc_id").as("b2"), col("sh").as("sh2"))
     val inter = cands match {
       case Some(pairs) =>
-        broadcast(pairs).join(s1, "a")
+        // No broadcast hint: LSH candidate pairs are O(1)/doc on clean data
+        // but unbounded on a near-dup-heavy crawl — a forced broadcast OOMs
+        // the driver exactly when dedup matters most. AQE picks broadcast
+        // at runtime whenever the measured size actually fits.
+        pairs.join(s1, "a")
           .join(s2, col("b") === col("b2") && col("sh") === col("sh2"))
           .groupBy(col("a"), col("b")).agg(count(lit(1)).as("i"))
       case None =>
@@ -134,12 +144,12 @@ object Dedup {
 
   def minhashCandidates(shingles: DataFrame): DataFrame = {
     // One aggregation pass with 64 codegen'd min-hash columns — no 64× row
-    // explosion, and the only shuffle groups by doc_id. The shingle STRING
-    // is hashed once (h0); each permutation re-hashes the 8-byte h0, ~4×
-    // cheaper than re-hashing the string 64 times. The minhash internals
-    // never face the DuckDB oracle (the oracle is the exact jaccard), so
-    // codegen'd xxhash64 replaces md5-string parity.
-    val hashed = shingles.withColumn("h0", xxhash64(col("sh")))
+    // explosion, and the only shuffle groups by doc_id. The shingle column
+    // is already an xxhash64 long (docShingles); each permutation re-hashes
+    // the 8-byte value, ~4× cheaper than re-hashing a string 64 times. The
+    // minhash internals never face the DuckDB oracle (the oracle is the
+    // exact jaccard), so codegen'd xxhash64 replaces md5-string parity.
+    val hashed = shingles.withColumn("h0", col("sh"))
     val mins = (0 until NumPerm).map(p =>
       min(xxhash64(lit(p), col("h0"))).as(s"mh$p"))
     val sigs = hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
@@ -292,38 +302,83 @@ object Dedup {
       |FROM cos WHERE c >= 0.45 ORDER BY vec_a, vec_b""".stripMargin
 
   // ---------------------------------------------------------------- q39
-  /** Connected components by iterative min-label propagation. Each round:
-    * label(v) ← min(label(v), min over neighbors' labels); fixpoint when no
-    * label changes. Near-dup components are tiny (pairs/triples), so this
-    * converges in O(component diameter) rounds ≈ 2-3; each round is one
-    * shuffle. At 100 TB this is the standard large-graph approach (the
-    * alternating small/large-star variant bounds rounds by log n).
+  /** Connected components by alternating large-star / small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14): each round is two grouped-min shuffles and converges in
+    * O(log n) rounds regardless of component shape — plain min-label
+    * propagation needs O(component DIAMETER) rounds, so a 1000-node chain
+    * (common for drifting near-dup chains in crawl data) would cost 1000
+    * shuffles. Labels are the component minimum, matching the recursive-CTE
+    * oracle. At fixpoint the edge set is a disjoint union of stars centered
+    * at each component's minimum node.
+    *
+    * Fault tolerance at cluster scale: per-round RELIABLE checkpoints — a
+    * `localCheckpoint` would pin iteration state to executor memory, and one
+    * lost executor kills the whole job mid-iteration. On a real cluster
+    * `setCheckpointDir` points at durable storage (HDFS/object store); here
+    * the JVM tmpdir plays that role.
     */
-  def connectedComponents(edges: DataFrame): DataFrame = {
-    // edges: (a, b) undirected; labels start as the node id itself.
-    // Materialize the (tiny) pair graph once — without this every
-    // propagation round re-derives the full upstream pipeline (minhash +
-    // verify) through the lineage.
-    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
-      .union(edges.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint()
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("lbl", col("node"))
-    var changed = 1L
+  def connectedComponents(edges: DataFrame): DataFrame =
+    connectedComponentsWithRounds(edges)._1
+
+  /** Large-star: every node u connects its LARGER neighbors to
+    * m = min(N(u) ∪ {u}). Operates on the symmetric neighbor view.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val nbr = e.select(col("hi").as("src"), col("lo").as("dst"))
+      .union(e.select(col("lo").as("src"), col("hi").as("dst")))
+    val mins = nbr.groupBy(col("src")).agg(least(min(col("dst")), col("src")).as("m"))
+    nbr.join(mins, "src")
+      .filter(col("dst") > col("src"))
+      .select(col("dst").as("hi"), col("m").as("lo"))
+      .filter(col("hi") =!= col("lo")).distinct()
+  }
+
+  /** Small-star: every node connects its smaller neighbors (and itself) to
+    * its minimum smaller neighbor. Operates on the (hi → lo) direction.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+    e.join(mins, "hi").select(col("lo").as("v"), col("m"))
+      .union(mins.select(col("hi").as("v"), col("m")))
+      .filter(col("v") =!= col("m"))
+      .select(greatest(col("v"), col("m")).as("hi"), least(col("v"), col("m")).as("lo"))
+      .distinct()
+  }
+
+  private[graft] def connectedComponentsWithRounds(edges: DataFrame): (DataFrame, Int) = {
+    val spark = edges.sparkSession
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(
+        s"${System.getProperty("java.io.tmpdir")}/graft-ckpt")
+    // canonical undirected edges (hi > lo), self-loops dropped; checkpointed
+    // so rounds don't re-derive the upstream pipeline (minhash + verify)
+    var e = edges.select(greatest(col("a"), col("b")).as("hi"),
+        least(col("a"), col("b")).as("lo"))
+      .filter(col("hi") =!= col("lo")).distinct().checkpoint()
+    // convergence = edge-set signature stable across a full round (one tiny
+    // aggregate per round — the same driver-side action any iterative
+    // fixpoint needs)
+    def sig(df: DataFrame): (Long, Long) = {
+      // bit_xor, not sum: xor of 64-bit hashes can't overflow (ANSI mode)
+      val r = df.select(xxhash64(col("hi"), col("lo")).as("h"))
+        .agg(count(lit(1)), coalesce(expr("bit_xor(h)"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var prev = sig(e)
     var rounds = 0
-    while (changed > 0 && rounds < 20) {
-      val nbrMin = sym.join(labels, col("dst") === col("node"))
-        .groupBy(col("src")).agg(min(col("lbl")).as("nbr_lbl"))
-      val next = labels.join(nbrMin, col("node") === col("src"), "left")
-        .select(col("node"),
-          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"),
-          col("lbl").as("prev"))
-        .localCheckpoint() // truncate the iterative lineage
-      changed = next.filter(col("lbl") =!= col("prev")).count()
-      labels = next.select(col("node"), col("lbl"))
+    var converged = false
+    while (!converged && rounds < 64) {
+      val next = smallStar(largeStar(e)).checkpoint()
+      val cur = sig(next)
+      converged = cur == prev
+      prev = cur
+      e = next
       rounds += 1
     }
-    labels
+    val labels = e.select(col("hi").as("node"), col("lo").as("lbl"))
+      .union(e.select(col("lo"), col("lo")).distinct())
+    (labels, rounds)
   }
 
   // Near-dup GROUP resolution: the decision a dedup pipeline actually ships

@@ -38,6 +38,41 @@ object Envelope {
       decoded.getField(corrupt).as("error"): _*)
   }
 
+  /** Fallback decode composition — the reference's `MonadError`-based
+    * decoder alternative (`KafkaDecoder.scala:19-22`: `handleErrorWith`
+    * chains a second decoder when the first fails) as a `coalesce` over
+    * try-decodes: try `primary`, else try `legacy` lifted through `migrate`,
+    * else NULL payload with the raw input in `error`.
+    *
+    * A decode "fails" when the JSON is malformed (corrupt-record channel) OR
+    * none of the schema's fields materialize — the strict interpretation a
+    * schema'd decoder implies (a v1 record parsed with the v2 schema yields
+    * an all-null struct, which must fall through to the v1 decoder, not
+    * succeed vacuously).
+    */
+  def decodeFallback(df: DataFrame, rawCol: String, primary: StructType,
+      legacy: StructType, migrate: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : DataFrame = {
+    val corrupt = "_graft_corrupt"
+    def tryDecode(sch: StructType): org.apache.spark.sql.Column = {
+      val d = from_json(col(rawCol),
+        sch.add(corrupt, org.apache.spark.sql.types.StringType),
+        Map("columnNameOfCorruptRecord" -> corrupt))
+      val anyField = sch.fieldNames.map(f => d.getField(f).isNotNull)
+        .reduce(_ || _)
+      when(d.getField(corrupt).isNull && anyField, d.dropFields(corrupt))
+    }
+    // migrate() typically builds a struct from the legacy fields, which on a
+    // NULL input would produce a struct-of-nulls (not NULL) and vacuously
+    // win the coalesce — guard it so decode failure stays NULL.
+    val legacyDecoded = tryDecode(legacy)
+    val payload = coalesce(tryDecode(primary),
+      when(legacyDecoded.isNotNull, migrate(legacyDecoded)))
+    val others = df.columns.filterNot(_ == rawCol).map(col).toSeq
+    df.select(others :+ payload.as("payload") :+
+      when(payload.isNull, col(rawCol)).as("error"): _*)
+  }
+
   // ---------------------------------------------------------------- q27
   // Decode-as-projection (reference A3) over events.props, error channel
   // intact. Scalar extraction via get_json_object keeps the whole row

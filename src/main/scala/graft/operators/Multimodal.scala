@@ -95,7 +95,11 @@ object Multimodal {
       .orderBy(col("format"))
 
   private val q28Sql =
-    """SELECT 'fake/' || lang AS format, COUNT(*) AS n, SUM(n_chars) AS total_bytes,
+    // CAST(SUM AS BIGINT): DuckDB SUM(INTEGER) yields HUGEINT, which the
+    // driver's hasher renders differently from Spark's BIGINT even when the
+    // values agree (r1/r2 hash-mismatch root cause; q41's cast SUM was green)
+    """SELECT 'fake/' || lang AS format, COUNT(*) AS n,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_bytes,
       |  floor(CAST(SUM(1 + n_chars % 64) AS DOUBLE) / COUNT(*) * 100.0 + 0.5) / 100.0 AS avg_width,
       |  floor(CAST(SUM(1 + n_chars % 48) AS DOUBLE) / COUNT(*) * 100.0 + 0.5) / 100.0 AS avg_height
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin

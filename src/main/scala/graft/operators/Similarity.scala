@@ -119,9 +119,14 @@ object Similarity {
 
   /** IVF-probed approximate top-k: score only vectors in the query's
     * `nprobe` nearest cells.
+    *
+    * `exactRescore = true` scores survivors with the exact-decimal cosine
+    * (order-free, oracle-hashable) instead of the fast double path — used by
+    * q46, where `nprobe = nlist` makes IVF provably ≡ brute force, giving
+    * the whole index/probe/rank machinery a value oracle (q21's SQL).
     */
   def ivfTopK(e: DataFrame, queryPred: org.apache.spark.sql.Column,
-      nlist: Int, nprobe: Int, k: Int): DataFrame = {
+      nlist: Int, nprobe: Int, k: Int, exactRescore: Boolean = false): DataFrame = {
     val index = ivfIndex(e, nlist)
     val qs = index.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("n2").as("qn2"))
@@ -136,14 +141,24 @@ object Similarity {
       .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("qe"), col("qn2"), col("cent_id").as("cell"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("c").desc, col("neighbor_id"))
-    index.join(broadcast(probes), Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+    val score =
+      if (exactRescore)
+        cosineWithNorms(dotDec(col("embedding"), col("qe")),
+          norm2Dec(col("embedding")), norm2Dec(col("qe")))
+      else
         cosineFast(graft.functions.VectorDot.dot(col("embedding"), col("qe")),
-          col("n2"), col("qn2")).as("c"))
+          col("n2"), col("qn2"))
+    val out = index.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), score.as("c"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("neighbor_id"), round(col("c"), 4).as("cos_sim"))
+    if (exactRescore)
+      out.select(col("query_id"), col("rnk"), col("neighbor_id"),
+        graft.functions.Rounding.stable(col("c"), 4).as("cos_sim"))
+    else
+      out.select(col("query_id"), col("rnk"), col("neighbor_id"),
+        round(col("c"), 4).as("cos_sim"))
   }
 
   /** Random-hyperplane LSH bucketing — the other bucketed scale path next
@@ -155,15 +170,20 @@ object Similarity {
     * join → shuffle-hash, never pairwise); verification is the caller's
     * exact cosine.
     */
+  /** Deterministic ±1 hyperplane signs (md5 of "plane:p:d") — computed once
+    * driver-side and shipped as literals, the broadcast-model shape. Shared
+    * by the fast and exact bucketing paths and by the q47 oracle SQL.
+    */
+  private def planeSign(p: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"plane:$p:$d".getBytes("UTF-8"))
+    if ((h(0) & 1) == 1) 1.0 else -1.0
+  }
+
   def lshBuckets(e: DataFrame, nPlanes: Int, dims: Int = 64): DataFrame = {
     require(nPlanes <= 16)
-    val md = java.security.MessageDigest.getInstance("MD5")
-    def sign(p: Int, d: Int): Double = {
-      val h = md.digest(s"plane:$p:$d".getBytes("UTF-8"))
-      if ((h(0) & 1) == 1) 1.0 else -1.0
-    }
     val planes: Seq[org.apache.spark.sql.Column] = (0 until nPlanes).map { p =>
-      val signs = array((0 until dims).map(d => lit(sign(p, d))): _*)
+      val signs = array((0 until dims).map(d => lit(planeSign(p, d))): _*)
       val proj = aggregate(
         zip_with(col("embedding"), signs, (x, sgn) => x.cast("double") * sgn),
         lit(0.0), (acc, v) => acc + v)
@@ -172,13 +192,71 @@ object Similarity {
     e.select(col("vec_id"), col("embedding"), planes.reduce(_ + _).as("bucket"))
   }
 
+  /** Exact-decimal variant of [[lshBuckets]]: each signed projection is a
+    * [[dotDec]] against the ±1 plane vector, so the sign decision (and hence
+    * the bucket id) is order-free and reproducible in the DuckDB oracle —
+    * this is what lets the LSH machinery be hash-checked (q47) rather than
+    * property-checked only.
+    */
+  def lshBucketsExact(e: DataFrame, nPlanes: Int, dims: Int = 64): DataFrame = {
+    require(nPlanes <= 16)
+    val planes: Seq[org.apache.spark.sql.Column] = (0 until nPlanes).map { p =>
+      val signs = array((0 until dims).map(d => lit(planeSign(p, d))): _*)
+      when(dotDec(col("embedding"), signs) >= 0, lit(1 << p)).otherwise(lit(0))
+    }
+    e.select(col("vec_id"), planes.reduce(_ + _).cast("long").as("bucket"))
+  }
+
   private def q22(s: SparkSession, dir: String): DataFrame =
     ivfTopK(Fixtures.embeddings(s, dir), col("vec_id") < 10,
       nlist = 16, nprobe = 4, k = 5)
       .orderBy(col("query_id"), col("rnk"))
 
+  // ---------------------------------------------------------------- q46
+  // IVF with nprobe = nlist probes EVERY cell, so the approximate machinery
+  // (index build, centroid probe, per-cell scoring, windowed rank) is
+  // provably equivalent to brute force — giving it q21's value oracle
+  // (VERDICT r1 item 8). The approximate configuration (q22) keeps its
+  // recall property in AnnSpec.
+  private def q46(s: SparkSession, dir: String): DataFrame =
+    ivfTopK(Fixtures.embeddings(s, dir), col("vec_id") < 10,
+      nlist = 16, nprobe = 16, k = 5, exactRescore = true)
+      .orderBy(col("query_id"), col("rnk"))
+
+  // ---------------------------------------------------------------- q47
+  // Hyperplane-LSH bucket histogram: 12 planes → 4096 buckets. Projections
+  // are exact decimal, so bucket ids hash-match the oracle, which re-derives
+  // the same ±1 plane vectors as array literals.
+  private def q47(s: SparkSession, dir: String): DataFrame =
+    lshBucketsExact(Fixtures.embeddings(s, dir), nPlanes = 12)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+
+  private val q47Sql = {
+    val planeRows = (0 until 12).map { p =>
+      (0 until 64).map(d => if (planeSign(p, d) > 0) "1.0" else "-1.0")
+        .mkString(s"($p, [", ", ", "])")
+    }.mkString(",\n    ")
+    s"""WITH planes AS (
+       |  SELECT p, unnest(s) sgn, generate_subscripts(s, 1) i FROM (VALUES
+       |    $planeRows) t(p, s)),
+       |el AS (
+       |  SELECT vec_id, unnest(embedding) x, generate_subscripts(embedding, 1) i FROM embeddings),
+       |proj AS (
+       |  SELECT vec_id, p,
+       |    SUM(CAST(round(CAST(x AS DOUBLE) * sgn, 9) AS DECIMAL(28,12))) pr
+       |  FROM el JOIN planes USING (i) GROUP BY 1, 2),
+       |buckets AS (
+       |  SELECT vec_id,
+       |    CAST(SUM(CASE WHEN pr >= 0 THEN 1 << p ELSE 0 END) AS BIGINT) bucket
+       |  FROM proj GROUP BY 1)
+       |SELECT bucket, COUNT(*) AS n FROM buckets GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q15_cosine_topk", q15, Some(q15Sql)),
     GraftQuery("q21_ann_brute", q21, Some(q21Sql)),
-    GraftQuery("q22_ann_ivf", q22, None))
+    GraftQuery("q22_ann_ivf", q22, None),
+    GraftQuery("q46_ann_ivf_exhaustive", q46, Some(q21Sql)),
+    GraftQuery("q47_lsh_buckets", q47, Some(q47Sql)))
 }

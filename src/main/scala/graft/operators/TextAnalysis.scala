@@ -138,8 +138,8 @@ object TextAnalysis {
 
   private val q25Sql =
     """SELECT source, COUNT(*) AS n_docs,
-      |  SUM(len(string_split(text, ' '))) AS ws_tokens,
-      |  SUM(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS bpeish_tokens,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+      |  CAST(SUM(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS BIGINT) AS bpeish_tokens,
       |  floor(CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) * 100.0 + 0.5) / 100.0 AS avg_ws_tokens
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
@@ -183,7 +183,9 @@ object TextAnalysis {
       .select(col("doc_id"), explode(wsTokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val scored = tf.join(df_, "term").crossJoin(nDf)
+    // broadcast(nDf) is always safe (a global agg is provably one row) and
+    // pins the plan even with AQE off — unlike df_, which must stay unhinted
+    val scored = tf.join(df_, "term").crossJoin(broadcast(nDf))
       .withColumn("score",
         col("tf") * (log((col("corpus_n") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)))
     val w = org.apache.spark.sql.expressions.Window

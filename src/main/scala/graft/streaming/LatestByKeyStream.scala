@@ -78,6 +78,56 @@ class LatestValueWithTombstoneProcessor(tombstoneType: String)
   }
 }
 
+/** Per-user running stats — the second "column family". The value sum is
+  * kept in exact long cents so streaming ≡ batch bit-for-bit (double
+  * accumulation order would differ).
+  */
+case class UserStats(user_id: Long, n_events: Long, sum_cents: Long)
+
+/** Combined profile row emitted per touched key per epoch. */
+case class ProfileRow(user_id: Long, last_event_type: String, last_event_id: Long,
+    n_events: Long, sum_cents: Long)
+
+/** Multi-state-variable processor — the reference's `PolyKVStore` COLUMN
+  * FAMILIES (/root/reference/src/main/scala/com/iravid/fs2/kafka/streams/
+  * PolyKVStore.scala:85-106: one RocksDB store, many named handles) map to
+  * multiple named state variables registered on one
+  * `StatefulProcessorHandle`: each variable owns its own keyspace in the
+  * same per-partition store and both commit atomically in the same epoch
+  * (A24). The state-store reader exposes each variable independently by
+  * `stateVarName` — the per-column-family scan.
+  */
+class ProfileProcessor extends StatefulProcessor[Long, Event, ProfileRow] {
+  @transient private var latest: ValueState[LatestRow] = _
+  @transient private var stats: ValueState[UserStats] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    latest = getHandle.getValueState[LatestRow]("latest",
+      Encoders.product[LatestRow], TTLConfig.NONE)
+    stats = getHandle.getValueState[UserStats]("stats",
+      Encoders.product[UserStats], TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[Event],
+      timerValues: TimerValues): Iterator[ProfileRow] = {
+    var cur = if (latest.exists()) latest.get() else null
+    var st = if (stats.exists()) stats.get() else UserStats(key, 0L, 0L)
+    var touched = false
+    rows.foreach { e =>
+      if (cur == null || e.event_id > cur.last_event_id)
+        cur = LatestRow(key, e.event_type, e.value, e.event_id)
+      st = UserStats(key, st.n_events + 1, st.sum_cents + math.round(e.value * 100))
+      touched = true
+    }
+    if (!touched) Iterator.empty
+    else {
+      latest.update(cur); stats.update(st)
+      Iterator.single(ProfileRow(key, cur.last_event_type, cur.last_event_id,
+        st.n_events, st.sum_cents))
+    }
+  }
+}
+
 object LatestByKeyStream {
   /** Fold a (streaming or batch) typed changelog into the latest-by-key
     * update stream. Output mode Update: one row per touched key per epoch.
@@ -87,5 +137,13 @@ object LatestByKeyStream {
     implicit val keyEnc = Encoders.scalaLong
     events.groupByKey(_.user_id)
       .transformWithState(new LatestValueProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Fold a typed changelog into the two-column-family profile table. */
+  def profileTable(events: Dataset[Event]): Dataset[ProfileRow] = {
+    implicit val enc = Encoders.product[ProfileRow]
+    implicit val keyEnc = Encoders.scalaLong
+    events.groupByKey(_.user_id)
+      .transformWithState(new ProfileProcessor, TimeMode.None(), OutputMode.Update())
   }
 }

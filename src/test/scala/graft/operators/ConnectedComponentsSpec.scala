@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Alternating-star connected components: correctness against a driver-side
+  * union-find oracle, and the round bound that motivates the algorithm —
+  * a long chain (diameter ≫ log n) must converge in O(log n) rounds, where
+  * plain min-label propagation would need one round per hop.
+  */
+class ConnectedComponentsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def unionFind(n: Long, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    edges.flatMap(e => Seq(e._1, e._2)).distinct.map(v => v -> find(v)).toMap
+  }
+
+  private def run(edges: Seq[(Long, Long)]): (Map[Long, Long], Int) = {
+    import spark.implicits._
+    val (labels, rounds) =
+      Dedup.connectedComponentsWithRounds(edges.toDF("a", "b"))
+    (labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap, rounds)
+  }
+
+  test("64-node chain: labels = component min, rounds = O(log n) not O(diameter)") {
+    val chain = (0L until 63L).map(i => (i, i + 1))
+    val (labels, rounds) = run(chain)
+    assert(labels.size == 64)
+    assert(labels.values.toSet == Set(0L), "every node labeled with the chain min")
+    assert(rounds <= 16, s"star contraction must beat diameter 63, took $rounds rounds")
+  }
+
+  test("random graph matches a union-find oracle") {
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.tabulate(120)(_ =>
+      (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong)).filter(e => e._1 != e._2)
+    val (labels, _) = run(edges)
+    val expected = unionFind(80, edges)
+    assert(labels == expected)
+  }
+
+  test("disjoint pairs and singleton-free output") {
+    // components {1,2}, {5,9}, {7}-less: nodes appear only via edges
+    val (labels, rounds) = run(Seq((2L, 1L), (9L, 5L), (5L, 9L)))
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 9L -> 5L))
+    assert(rounds <= 4)
+  }
+}
