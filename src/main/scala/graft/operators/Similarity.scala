@@ -141,14 +141,19 @@ object Similarity {
       .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("qe"), col("qn2"), col("cent_id").as("cell"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("c").desc, col("neighbor_id"))
-    val score =
+    // exact path: decimal norms computed ONCE per corpus row / per query row
+    // (as columns n2d/qn2d), never per pair — the pairwise work stays one
+    // decimal dot, same as q21's shape.
+    val (indexSide, probeSide, score) =
       if (exactRescore)
-        cosineWithNorms(dotDec(col("embedding"), col("qe")),
-          norm2Dec(col("embedding")), norm2Dec(col("qe")))
+        (index.withColumn("n2d", norm2Dec(col("embedding"))),
+          probes.withColumn("qn2d", norm2Dec(col("qe"))),
+          cosineWithNorms(dotDec(col("embedding"), col("qe")), col("n2d"), col("qn2d")))
       else
-        cosineFast(graft.functions.VectorDot.dot(col("embedding"), col("qe")),
-          col("n2"), col("qn2"))
-    val out = index.join(broadcast(probes), Seq("cell"))
+        (index, probes,
+          cosineFast(graft.functions.VectorDot.dot(col("embedding"), col("qe")),
+            col("n2"), col("qn2")))
+    val out = indexSide.join(broadcast(probeSide), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), score.as("c"))
       .withColumn("rnk", row_number().over(w))

@@ -70,4 +70,34 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters:") && p.contains("In(user_id"),
       p.take(800))
   }
+
+  /** Plan under broadcast-threshold 0: any BroadcastExchange that remains is
+    * a forced hint. Only provably-tiny sides (1-row scalar aggregates, the
+    * explicit ANN query side) may be pinned; unbounded-cardinality sides
+    * (per-term DF table, LSH candidate pairs) must be left to AQE (VERDICT
+    * r1 items 3/4 — a forced broadcast OOMs the driver at 100 TB).
+    */
+  private def withZeroBroadcastThreshold[T](f: => T): T = {
+    val k = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(k)
+    spark.conf.set(k, "-1")
+    try f finally spark.conf.set(k, prev)
+  }
+
+  test("q40: per-term DF table is never hint-broadcast (only the 1-row corpus count is)") {
+    withZeroBroadcastThreshold {
+      val p = planOf("q40_tfidf_topterms")
+      val broadcasts = "BroadcastExchange".r.findAllIn(p).size
+      assert(broadcasts == 1,
+        s"expected exactly the pinned 1-row corpus-count broadcast, got $broadcasts:\n${p.take(1500)}")
+    }
+  }
+
+  test("q17: LSH candidate pairs are never hint-broadcast") {
+    withZeroBroadcastThreshold {
+      val p = planOf("q17_dedup_minhash_lsh")
+      assert(!p.contains("BroadcastExchange"),
+        s"candidate-pair side must stay AQE-decided:\n${p.take(1500)}")
+    }
+  }
 }
