@@ -165,8 +165,29 @@ object Multimodal {
       |  COUNT(*) AS n
       |FROM feats GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q52
+  // Resize (thumbnail) pipeline: resize stub + per-thumb size and signature
+  // — the decode→transform→fingerprint stage chain over the blob column.
+  // Narrow end to end: no shuffle, blob pruned down to the 32-byte head.
+  private def q52(s: SparkSession, dir: String): DataFrame =
+    blobs(Fixtures.documents(s, dir))
+      .select(col("doc_id"), col("meta.n_bytes").as("orig_bytes"),
+        resizeStub(col("media"), 32).as("thumb"))
+      .select(col("doc_id"), col("orig_bytes"),
+        length(col("thumb")).as("thumb_bytes"),
+        substring(md5(col("thumb")), 1, 12).as("thumb_sig"))
+      .orderBy(col("doc_id"))
+
+  // char-space ≡ byte-space for the ASCII fixtures (see q29 note)
+  private val q52Sql =
+    """SELECT doc_id, n_chars AS orig_bytes,
+      |  octet_length(encode(substring(text, 1, 32))) AS thumb_bytes,
+      |  substr(md5(substring(text, 1, 32)), 1, 12) AS thumb_sig
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q28_media_meta", q28, Some(q28Sql)),
     GraftQuery("q29_frame_sample", q29, Some(q29Sql)),
-    GraftQuery("q30_feature_stub", q30, Some(q30Sql)))
+    GraftQuery("q30_feature_stub", q30, Some(q30Sql)),
+    GraftQuery("q52_resize_pipeline", q52, Some(q52Sql)))
 }

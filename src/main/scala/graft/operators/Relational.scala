@@ -353,7 +353,78 @@ object Relational {
       |  lpad(p_brand, 12, '_') AS padded
       |FROM part ORDER BY p_partkey LIMIT 1000""".stripMargin
 
+  // ---------------------------------------------------------------- q48
+  // CUBE over two keys: all four grouping sets from ONE Expand + one hash
+  // agg (same plan property as q12's rollup — never four scans). Money sums
+  // in exact decimal.
+  private def q48(s: SparkSession, dir: String): DataFrame =
+    Fixtures.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), rnd(sum(dec(col("o_totalprice"))), 2).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+        col("n"), col("total"))
+      .orderBy(col("st"), col("pri"))
+
+  private val q48Sql =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS st, COALESCE(o_orderpriority, 'ALL') AS pri,
+      |  COUNT(*) AS n, CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY st, pri""".stripMargin
+
+  // ---------------------------------------------------------------- q49
+  // Pivot: documents per source × language, languages as columns. The value
+  // list is EXPLICIT — at scale an implicit pivot runs a distinct scan just
+  // to discover columns and caps at spark.sql.pivotMaxValues; a declared
+  // vocabulary keeps it one pass. Counts coalesced to 0 to match the
+  // oracle's FILTER aggregation.
+  private val pivotLangs = Seq("de", "en", "es", "fr", "zh")
+  private def q49(s: SparkSession, dir: String): DataFrame = {
+    val p = Fixtures.documents(s, dir)
+      .groupBy(col("source"))
+      .pivot("lang", pivotLangs)
+      .agg(count(lit(1)))
+    p.select(col("source") +:
+      pivotLangs.map(l => coalesce(col(l), lit(0L)).as(l)): _*)
+      .orderBy(col("source"))
+  }
+
+  private val q49Sql = {
+    val cols = pivotLangs.map(l =>
+      s"COUNT(*) FILTER (lang = '$l') AS $l").mkString(",\n      |  ")
+    s"""SELECT source,
+       |  $cols
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q50
+  // lag/lead frames over the per-user event changelog — offset window
+  // functions the reference's offset-ordered streams imply but never
+  // provide. One hash shuffle on user_id, one sort within partitions.
+  private def q50(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    Fixtures.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        lag(col("event_type"), 1).over(w).as("prev_type"),
+        lead(col("event_type"), 1).over(w).as("next_type"),
+        (col("event_id") - coalesce(lag(col("event_id"), 1).over(w), col("event_id")))
+          .as("gap"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q50Sql =
+    """SELECT event_id, user_id, event_type,
+      |  LAG(event_type, 1) OVER w AS prev_type,
+      |  LEAD(event_type, 1) OVER w AS next_type,
+      |  event_id - COALESCE(LAG(event_id, 1) OVER w, event_id) AS gap
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+      |ORDER BY event_id""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q48_cube", q48, Some(q48Sql)),
+    GraftQuery("q49_pivot", q49, Some(q49Sql)),
+    GraftQuery("q50_lag_lead", q50, Some(q50Sql)),
     GraftQuery("q42_anti_join", q42, Some(q42Sql)),
     GraftQuery("q43_scalar_subquery", q43, Some(q43Sql)),
     GraftQuery("q44_date_funcs", q44, Some(q44Sql)),

@@ -258,6 +258,47 @@ object TextAnalysis {
        |GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q51
+  // Unigram language-model quality score — the perplexity-style filter a
+  // training-data pipeline runs after the heuristic ones (q24/q41): build a
+  // unigram LM from the corpus itself (p(term) = count/total), score each
+  // document by its mean log-probability. Two aggregations + one equi-join
+  // on term (same scale shape as q40: the LM side must NOT be
+  // force-broadcast; AQE decides). Cross-engine hashing works because each
+  // log-prob is rounded to 9 dp and summed as DECIMAL — order-free.
+  private def q51(s: SparkSession, dir: String): DataFrame = {
+    // materialized once: feeds the total count, the LM aggregation AND the
+    // scoring join (lineage would recompute the tokenize 3×)
+    val toks = Fixtures.documents(s, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(wsTokens(col("text"))).as("term"))
+      .localCheckpoint()
+    val totals = toks.agg(count(lit(1)).as("t")) // 1 row, safe to pin
+    val lm = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(totals))
+      .select(col("term"),
+        round(log(col("c").cast("double") / col("t")), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 12)).as("lp"))
+    toks.join(lm, "term")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        graft.functions.Rounding.stable(
+          sum(col("lp")).cast("double") / count(lit(1)), 4).as("avg_logp"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q51Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tot AS (SELECT COUNT(*) AS t FROM toks),
+      |lm AS (
+      |  SELECT term, CAST(round(ln(CAST(COUNT(*) AS DOUBLE) / MAX(tot.t)), 9) AS DECIMAL(28,12)) AS lp
+      |  FROM toks CROSS JOIN tot GROUP BY term)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      |  floor(CAST(SUM(lp) AS DOUBLE) / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS avg_logp
+      |FROM toks JOIN lm USING (term)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q40_tfidf_topterms", q40, Some(q40Sql)),
     GraftQuery("q41_quality_filter", q41, Some(q41Sql)),
@@ -265,5 +306,6 @@ object TextAnalysis {
     GraftQuery("q23_langid", q23, Some(q23Sql)),
     GraftQuery("q24_quality_score", q24, Some(q24Sql)),
     GraftQuery("q25_token_stats", q25, Some(q25Sql)),
-    GraftQuery("q26_fingerprint", q26, Some(q26Sql)))
+    GraftQuery("q26_fingerprint", q26, Some(q26Sql)),
+    GraftQuery("q51_unigram_logprob", q51, Some(q51Sql)))
 }
