@@ -51,6 +51,35 @@ case class BinaryRecordDecode(child: Expression)
     copy(child = newChild)
 }
 
+/** Column-level encoder for the same wire format — the scodec `Codec` is
+  * bidirectional, so the engine's analogue must be too. Together with
+  * [[BinaryRecordDecode]] this gives the round-trip law `decode(encode(r))
+  * == r` as an executable query (q53), not just a JVM-side test.
+  */
+case class BinaryRecordEncode(i: Expression, k: Expression, bla: Expression)
+    extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(i, k, bla)
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "binary_record_encode"
+
+  override def eval(input: InternalRow): Any = {
+    val iv = i.eval(input)
+    val kv = k.eval(input)
+    val bv = bla.eval(input)
+    if (iv == null || kv == null || bv == null) null
+    else BinaryRecordDecode.encode(
+      iv.asInstanceOf[UTF8String].toString,
+      kv.asInstanceOf[Int],
+      bv.asInstanceOf[Boolean])
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(i = newChildren(0), k = newChildren(1), bla = newChildren(2))
+}
+
 object BinaryRecordDecode {
   val schema: StructType = StructType(Seq(
     StructField("i", StringType),
@@ -59,6 +88,11 @@ object BinaryRecordDecode {
 
   def decode(c: Column): Column =
     ColumnBridge.column(BinaryRecordDecode(ColumnBridge.expression(c)))
+
+  def encodeCol(i: Column, k: Column, bla: Column): Column =
+    ColumnBridge.column(BinaryRecordEncode(
+      ColumnBridge.expression(i), ColumnBridge.expression(k),
+      ColumnBridge.expression(bla)))
 
   /** Test-side encoder for the same layout (the reference encodes via
     * scodec; round-trip property: decode(encode(r)) == r).

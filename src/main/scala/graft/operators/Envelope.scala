@@ -90,6 +90,57 @@ object Envelope {
       |  CASE WHEN json_extract_string(props, '$.k') IS NULL THEN props END AS err
       |FROM events ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q53
+  // Binary codec round-trip as a query (A26): encode (len-prefixed utf8,
+  // int32 BE, bool byte) from fixture columns, decode it back, emit the
+  // fields. The oracle computes the fields directly — so the hash check
+  // proves decode ∘ encode = id on real data, not just in a unit test.
+  private def q53(s: SparkSession, dir: String): DataFrame = {
+    val enc = graft.functions.BinaryRecordDecode.encodeCol(
+      substring(col("text"), 1, 10),
+      col("n_chars").cast("int"),
+      pmod(col("n_chars"), lit(2)) === 0)
+    Fixtures.documents(s, dir)
+      .select(col("doc_id"), graft.functions.BinaryRecordDecode.decode(enc).as("r"))
+      .select(col("doc_id"), col("r.i").as("i"), col("r.k").as("k"),
+        col("r.bla").as("bla"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q53Sql =
+    """SELECT doc_id, substring(text, 1, 10) AS i, CAST(n_chars AS INT) AS k,
+      |  (n_chars % 2 = 0) AS bla
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q54
+  // Fallback decode as a query (A26, KafkaDecoder.scala:19-22): half the
+  // rows carry the current JSON schema, half the legacy one; decodeFallback
+  // must route each through the right decoder and migrate legacy into the
+  // current shape. Oracle computes the merged result directly.
+  private def q54(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val v2 = StructType(Seq(StructField("id", LongType), StructField("name", StringType)))
+    val v1 = StructType(Seq(StructField("uid", LongType), StructField("label", StringType)))
+    val raw = when(pmod(col("doc_id"), lit(2)) === 0,
+      concat(lit("{\"id\": "), col("doc_id").cast("string"),
+        lit(", \"name\": \""), col("lang"), lit("\"}")))
+      .otherwise(
+        concat(lit("{\"uid\": "), col("doc_id").cast("string"),
+          lit(", \"label\": \""), col("source"), lit("\"}")))
+    val df = Fixtures.documents(s, dir).select(col("doc_id"), raw.as("raw"))
+    decodeFallback(df, "raw", v2, v1,
+      lc => struct(lc.getField("uid").as("id"), lc.getField("label").as("name")))
+      .select(col("doc_id"), col("payload.id").as("id"), col("payload.name").as("name"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q54Sql =
+    """SELECT doc_id, doc_id AS id,
+      |  CASE WHEN doc_id % 2 = 0 THEN lang ELSE source END AS name
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
-    GraftQuery("q27_decode_envelope", q27, Some(q27Sql)))
+    GraftQuery("q27_decode_envelope", q27, Some(q27Sql)),
+    GraftQuery("q53_codec_roundtrip", q53, Some(q53Sql)),
+    GraftQuery("q54_decode_fallback", q54, Some(q54Sql)))
 }
