@@ -416,8 +416,32 @@ object Dedup {
       |SELECT node AS doc_id, MIN(r) AS grp, node = MIN(r) AS keep
       |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q56
+  // Near-exact dedup via normalization: lowercase, strip non-alphanumerics,
+  // collapse runs of spaces — the canonical "same doc modulo formatting"
+  // pass a pipeline runs between exact and fuzzy dedup. Same plan shape as
+  // q14 (hash agg on the normalized key); at 100 TB you'd key on
+  // md5(norm) (exactDedupByHash) to shuffle 16 bytes.
+  private def q56(s: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    Fixtures.documents(s, dir)
+      .select(col("lang"), norm.as("norm"))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("norm")).as("distinct_docs"),
+        count(lit(1)).as("docs"))
+      .orderBy(col("lang"))
+  }
+
+  private val q56Sql =
+    """SELECT lang,
+      |  COUNT(DISTINCT trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS distinct_docs,
+      |  COUNT(*) AS docs
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q39_dedup_groups", q39, Some(q39Sql)),
+    GraftQuery("q56_dedup_normalized", q56, Some(q56Sql)),
     GraftQuery("q14_dedup_exact", q14, Some(q14Sql)),
     GraftQuery("q17_dedup_minhash_lsh", q17, Some(jaccardSql)),
     GraftQuery("q18_dedup_simhash", q18, Some(q18Sql)),

@@ -299,6 +299,65 @@ object TextAnalysis {
       |FROM toks JOIN lm USING (term)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q55
+  // Corpus-wide bigram counts, top 100 — n-gram statistics for tokenizer /
+  // LM corpus prep. Bigrams are built with array ops (zip_with over shifted
+  // slices) — a narrow map, no self-join; the only shuffle is the count
+  // aggregation, with map-side partial agg. Top-100 is a
+  // TakeOrderedAndProject, never a global sort.
+  private def q55(s: SparkSession, dir: String): DataFrame = {
+    val toks = wsTokens(col("text"))
+    val n = size(toks)
+    val bgs = zip_with(slice(toks, lit(1), greatest(n - 1, lit(0))),
+      slice(toks, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    Fixtures.documents(s, dir)
+      .repartition(col("doc_id")) // widen single-file scan (see Dedup.docShingles)
+      .select(explode(bgs).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bg"))
+      .limit(100)
+  }
+
+  private val q55Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents),
+      |bg AS (
+      |  SELECT a.tok || ' ' || b.tok AS bg
+      |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1)
+      |SELECT bg, COUNT(*) AS n FROM bg GROUP BY bg
+      |ORDER BY n DESC, bg LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------- q59
+  // Benchmark decontamination check: which blocklist phrases appear in the
+  // corpus, and in how many documents. The phrase list is tiny and
+  // broadcast; the corpus is scanned ONCE with a narrow contains per
+  // phrase. (Real decontamination at 100 TB hashes benchmark n-grams and
+  // equi-joins against document shingles — the q17 machinery; this is the
+  // exact small-list form.)
+  private val contamPhrases = Seq(
+    "the quick brown", "lorem ipsum", "correct horse battery",
+    "the the", "data data")
+  private def q59(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val phrases = contamPhrases.toDF("phrase")
+    Fixtures.documents(s, dir)
+      .crossJoin(broadcast(phrases))
+      .groupBy(col("phrase"))
+      .agg(sum(when(expr("instr(text, phrase) > 0"), 1).otherwise(0))
+        .cast("long").as("n_docs"))
+      .orderBy(col("phrase"))
+  }
+
+  private val q59Sql = {
+    val lst = contamPhrases.map(p => s"'$p'").mkString(", ")
+    s"""SELECT phrase,
+       |  CAST(SUM(CASE WHEN strpos(text, phrase) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs
+       |FROM documents CROSS JOIN (SELECT unnest([$lst]) AS phrase) p
+       |GROUP BY phrase ORDER BY phrase""".stripMargin
+  }
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q40_tfidf_topterms", q40, Some(q40Sql)),
     GraftQuery("q41_quality_filter", q41, Some(q41Sql)),
@@ -307,5 +366,7 @@ object TextAnalysis {
     GraftQuery("q24_quality_score", q24, Some(q24Sql)),
     GraftQuery("q25_token_stats", q25, Some(q25Sql)),
     GraftQuery("q26_fingerprint", q26, Some(q26Sql)),
-    GraftQuery("q51_unigram_logprob", q51, Some(q51Sql)))
+    GraftQuery("q51_unigram_logprob", q51, Some(q51Sql)),
+    GraftQuery("q55_bigram_counts", q55, Some(q55Sql)),
+    GraftQuery("q59_contamination", q59, Some(q59Sql)))
 }

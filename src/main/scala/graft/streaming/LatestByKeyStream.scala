@@ -128,6 +128,35 @@ class ProfileProcessor extends StatefulProcessor[Long, Event, ProfileRow] {
   }
 }
 
+/** One (user, event_type) count — MapState output row. */
+case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+/** MapState processor — the reference's `PolyKVStore` column family IS a
+  * key→value map (`KVStore[F, K, V]`, streams/KVStore.scala:5-27); Spark's
+  * `MapState` is the direct analogue: a per-grouping-key map with per-entry
+  * point access (get/put/iterator ≈ the store's get/put/scan, A18–A20
+  * inside state). Emits the key's full map each epoch (Update mode).
+  */
+class TypeCountsProcessor extends StatefulProcessor[Long, Event, TypeCount] {
+  @transient private var counts: MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    counts = getHandle.getMapState[String, Long]("type_counts",
+      Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[Event],
+      timerValues: TimerValues): Iterator[TypeCount] = {
+    var touched = false
+    rows.foreach { e =>
+      val cur = if (counts.containsKey(e.event_type)) counts.getValue(e.event_type) else 0L
+      counts.updateValue(e.event_type, cur + 1)
+      touched = true
+    }
+    if (!touched) Iterator.empty
+    else counts.iterator().map { case (t, n) => TypeCount(key, t, n) }
+  }
+}
+
 object LatestByKeyStream {
   /** Fold a (streaming or batch) typed changelog into the latest-by-key
     * update stream. Output mode Update: one row per touched key per epoch.
@@ -145,5 +174,13 @@ object LatestByKeyStream {
     implicit val keyEnc = Encoders.scalaLong
     events.groupByKey(_.user_id)
       .transformWithState(new ProfileProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Fold a typed changelog into per-user event-type counts (MapState). */
+  def typeCounts(events: Dataset[Event]): Dataset[TypeCount] = {
+    implicit val enc = Encoders.product[TypeCount]
+    implicit val keyEnc = Encoders.scalaLong
+    events.groupByKey(_.user_id)
+      .transformWithState(new TypeCountsProcessor, TimeMode.None(), OutputMode.Update())
   }
 }

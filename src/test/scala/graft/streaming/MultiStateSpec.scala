@@ -68,4 +68,35 @@ class MultiStateSpec extends AnyFunSuite {
       assert(statsState(k) == ((exp.n_events, exp.sum_cents)), s"stats CF key $k")
     }
   }
+
+  test("MapState column family: per-user event-type counts match the batch pivot") {
+    import spark.implicits._
+    val all = events()
+    val replayDir = Files.createTempDirectory("graft-mc-replay").toString
+    val ckpt = Files.createTempDirectory("graft-mc-ckpt").toString
+    all.toDS().repartition(2).write.mode("append").parquet(replayDir)
+
+    val schema = spark.read.parquet(replayDir).schema
+    val stream = Sources.fileStream(spark, replayDir, schema, maxFilesPerTrigger = 2)
+      .as[Event]
+    val acc = TrieMap.empty[(Long, String), Long]
+    val q = LatestByKeyStream.typeCounts(stream)
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (ds: Dataset[TypeCount], _: Long) =>
+        ds.collect().foreach(r => acc((r.user_id, r.event_type)) = r.n)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val expected = all.groupBy(e => (e.user_id, e.event_type))
+      .map { case (k, es) => k -> es.size.toLong }
+    assert(acc.toMap == expected)
+
+    // the map-state column family materializes one entry per (key, map-key)
+    val state = spark.read.format("statestore")
+      .option("stateVarName", "type_counts").load(ckpt)
+    assert(state.count() == expected.size.toLong)
+  }
 }
