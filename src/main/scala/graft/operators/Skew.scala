@@ -28,4 +28,26 @@ object Skew {
       .agg(partials.head, partials.tail: _*)
     phase1.groupBy(col(keyCol)).agg(finals.head, finals.tail: _*)
   }
+
+  /** Salted equi-join for a skewed LEFT side: the hot left keys spread over
+    * `saltBuckets` shuffle partitions; the (smaller, unskewed) right side is
+    * replicated once per salt bucket so every (key, salt) pair still finds
+    * its match. Semantics are exactly `left.join(right, key)` (inner).
+    *
+    * This is the manual fallback for engines/paths where AQE's runtime
+    * skew-join splitting can't see the skew (e.g. a skewed key feeding a
+    * sort-merge join straight from a bucketed table with no runtime stats).
+    * Right-side replication costs |right| × saltBuckets — use only when the
+    * right side is small relative to the hot key's row count.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      saltBuckets: Int): DataFrame = {
+    val saltedLeft = left.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets))
+        .cast("int"))
+    val replicatedRight = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    saltedLeft.join(replicatedRight, Seq(keyCol, "__salt"))
+      .drop("__salt")
+  }
 }

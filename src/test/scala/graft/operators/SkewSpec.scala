@@ -26,4 +26,19 @@ class SkewSpec extends AnyFunSuite {
       assert(salted(k)._1.compareTo(sq) == 0 && salted(k)._2 == n, s"key $k")
     }
   }
+
+  test("saltedJoin equals plain inner join (hot-key spread, right replicated)") {
+    val orders = Fixtures.orders(spark, TestSpark.sf0001)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+    val cust = Fixtures.customer(spark, TestSpark.sf0001)
+      .select(col("c_custkey").as("o_custkey"), col("c_name"))
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getString(2))
+    val direct = orders.join(cust, "o_custkey")
+      .select(col("o_orderkey"), col("c_name"), col("o_orderstatus"))
+      .collect().map(key).toSet
+    val salted = Skew.saltedJoin(orders, cust, "o_custkey", saltBuckets = 8)
+      .select(col("o_orderkey"), col("c_name"), col("o_orderstatus"))
+      .collect().map(key).toSet
+    assert(salted == direct)
+  }
 }
