@@ -93,6 +93,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q51: unigram LM term table is never hint-broadcast (only the 1-row total is)") {
+    withZeroBroadcastThreshold {
+      val p = planOf("q51_unigram_logprob")
+      val broadcasts = "BroadcastExchange".r.findAllIn(p).size
+      assert(broadcasts == 1,
+        s"expected exactly the pinned 1-row token-total broadcast, got $broadcasts:\n${p.take(1500)}")
+    }
+  }
+
+  test("q55: top-100 bigrams plan as TakeOrderedAndProject (no global sort)") {
+    val p = planOf("q55_bigram_counts")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
   test("q17: LSH candidate pairs are never hint-broadcast") {
     withZeroBroadcastThreshold {
       val p = planOf("q17_dedup_minhash_lsh")
