@@ -22,5 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("binary_record_decode"),
       new ExpressionInfo(classOf[BinaryRecordDecode].getName, "binary_record_decode"),
       (exprs: Seq[Expression]) => BinaryRecordDecode(exprs.head)))
+    // user-written HOF dot products silently get the codegen'd loop
+    e.injectOptimizerRule(_ => VectorDotRewrite)
   }
 }

@@ -40,6 +40,19 @@ object Sinks {
   def foreachBatch[T](ds: Dataset[T])(f: (Dataset[T], Long) => Unit): DataStreamWriter[T] =
     ds.writeStream.foreachBatch(f)
 
+  /** Hive-style partitioned parquet layout: one directory per partition
+    * value, so a filter on the partition column prunes whole directories at
+    * PLANNING time (PartitionFilters — zero I/O for excluded partitions).
+    * The standard layout for 100 TB facts partitioned by date/tenant/lang;
+    * pair with `spark.sql.files.maxPartitionBytes` so each surviving file
+    * splits into right-sized tasks. PartitionedWriteSpec pins the pruning.
+    */
+  def writePartitioned(df: org.apache.spark.sql.DataFrame, path: String,
+      partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
   /** Bucketed managed table: co-locates data by key at WRITE time so
     * later joins/aggregations on the bucket key plan with NO exchange —
     * the pre-partitioning strategy for repeatedly-joined 100 TB facts
