@@ -48,6 +48,22 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(labels == expected)
   }
 
+  test("property: random graphs match union-find (6 seeds, varied density)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val params = Gen.Parameters.default
+    for (seed <- 1 to 6) {
+      val nNodes = 20 + seed * 15
+      val nEdges = seed * 30
+      val gen = Gen.listOfN(nEdges, Gen.zip(
+        Gen.choose(0L, nNodes.toLong), Gen.choose(0L, nNodes.toLong)))
+      val edges = gen.apply(params, Seed(seed.toLong)).get.filter(e => e._1 != e._2)
+      val (labels, rounds) = run(edges)
+      assert(labels == unionFind(nNodes.toLong, edges), s"seed $seed")
+      assert(rounds <= 20, s"seed $seed took $rounds rounds")
+    }
+  }
+
   test("disjoint pairs and singleton-free output") {
     // components {1,2}, {5,9}, {7}-less: nodes appear only via edges
     val (labels, rounds) = run(Seq((2L, 1L), (9L, 5L), (5L, 9L)))
