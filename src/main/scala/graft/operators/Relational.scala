@@ -421,7 +421,47 @@ object Relational {
       |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
       |ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q57
+  // TPC-H Q5 shape — the 6-table join (region→nation→{customer,supplier}
+  // →orders→lineitem with the customer-nation = supplier-nation local-
+  // supplier condition). The dims (region/nation/customer/supplier) all sit
+  // under the broadcast threshold so Catalyst plans a chain of broadcast
+  // hash joins into the lineitem scan; the date filter pushes to the orders
+  // scan. At 100 TB only orders⋈lineitem shuffles.
+  private def q57(s: SparkSession, dir: String): DataFrame = {
+    val asia = Fixtures.region(s, dir).filter(col("r_name") === "ASIA")
+    val n = Fixtures.nation(s, dir).join(asia, col("n_regionkey") === col("r_regionkey"))
+    val ord = Fixtures.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    Fixtures.lineitem(s, dir)
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(Fixtures.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(Fixtures.supplier(s, dir),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(rnd(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 4)) - dec(col("l_discount")))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  private val q57Sql =
+    """SELECT n_name,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q57_regional_revenue", q57, Some(q57Sql)),
     GraftQuery("q48_cube", q48, Some(q48Sql)),
     GraftQuery("q49_pivot", q49, Some(q49Sql)),
     GraftQuery("q50_lag_lead", q50, Some(q50Sql)),
