@@ -460,7 +460,31 @@ object Relational {
       |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
       |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
 
+  // ---------------------------------------------------------------- q58
+  // Array-function surface: per-user sorted distinct event types and
+  // bounded event-id list, emitted as strings (cross-engine array-column
+  // hashing is representation-fragile; strings are not). collect_set is
+  // unordered by contract — sort_array makes the output deterministic at
+  // any parallelism.
+  private def q58(s: SparkSession, dir: String): DataFrame =
+    Fixtures.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        concat_ws(",", sort_array(collect_set(col("event_type")))).as("types"),
+        size(collect_set(col("event_type"))).as("n_types"),
+        concat_ws(",", slice(sort_array(collect_list(col("event_id"))), 1, 5).cast("array<string>"))
+          .as("first5_events"))
+      .orderBy(col("user_id"))
+
+  private val q58Sql =
+    """SELECT user_id,
+      |  string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types,
+      |  CAST(COUNT(DISTINCT event_type) AS INT) AS n_types,
+      |  array_to_string(list_slice(list_sort(list(event_id)), 1, 5), ',') AS first5_events
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q58_array_funcs", q58, Some(q58Sql)),
     GraftQuery("q57_regional_revenue", q57, Some(q57Sql)),
     GraftQuery("q48_cube", q48, Some(q48Sql)),
     GraftQuery("q49_pivot", q49, Some(q49Sql)),

@@ -93,6 +93,14 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q57: dims broadcast into the fact scan; only the key join shuffles") {
+    val p = planOf("q57_regional_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"region/nation/customer/supplier should chain broadcast joins:\n${p.take(1500)}")
+    assert(p.contains("PushedFilters") && p.contains("o_orderdate"),
+      "date filter must reach the orders scan")
+  }
+
   test("q51: unigram LM term table is never hint-broadcast (only the 1-row total is)") {
     withZeroBroadcastThreshold {
       val p = planOf("q51_unigram_logprob")
