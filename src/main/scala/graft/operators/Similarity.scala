@@ -107,14 +107,21 @@ object Similarity {
       graft.functions.VectorDot.dot(col("embedding"), col("embedding")).as("n2"))
     val cents = withNorm.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"), col("n2").as("cn2"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("cc").desc, col("cent_id"))
+    // nearest centroid (tie-break: smallest cent_id) via max_by over
+    // struct(cc, -cent_id) — a hash aggregate whose map-side partial
+    // combines the nlist candidate rows BEFORE the shuffle, so the exchange
+    // carries one row per vector, not nlist. (A window row_number would
+    // shuffle corpus × nlist rows and sort them.)
     withNorm.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("n2"), col("cent_id"),
         cosineFast(graft.functions.VectorDot.dot(col("embedding"), col("ce")),
           col("n2"), col("cn2")).as("cc"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("cent_id").as("cell"), col("vec_id"), col("embedding"), col("n2"))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("cent_id"), struct(col("cc"), (-col("cent_id")).as("tie"))).as("cell"),
+        any_value(col("embedding")).as("embedding"), // constant per vec_id
+        any_value(col("n2")).as("n2"))
+      .select(col("cell"), col("vec_id"), col("embedding"), col("n2"))
   }
 
   /** IVF-probed approximate top-k: score only vectors in the query's
