@@ -30,6 +30,20 @@ for name, sql in sorted(oracle.items()):
     if list(exp.columns) != list(got.columns):
         print(f"FAIL {name}: columns {list(got.columns)} vs oracle {list(exp.columns)}")
         fail += 1; continue
+    # dtype-KIND strictness: the driver hashes stringified values, so an
+    # oracle HUGEINT surfacing as float64 ("36017.0") hash-mismatches
+    # Spark's int64 ("36017") even though numeric == passes (r1/r2 q25/q28
+    # root cause). Width differences (int32 vs int64) stringify identically
+    # and are fine — the r2-green queries prove the driver accepts them —
+    # so compare numpy dtype KIND (i/u/f/b/O/M), not exact dtype.
+    def kind(d):
+        k = d.kind
+        return 'i' if k == 'u' else k
+    dt_bad = [(c, str(exp[c].dtype), str(got[c].dtype)) for c in exp.columns
+              if kind(exp[c].dtype) != kind(got[c].dtype)]
+    if dt_bad:
+        print(f"FAIL {name}: dtype mismatch (oracle vs spark): {dt_bad}")
+        fail += 1; continue
     if len(exp) != len(got):
         print(f"FAIL {name}: rows {len(got)} vs oracle {len(exp)}"); fail += 1; continue
     bad = None
