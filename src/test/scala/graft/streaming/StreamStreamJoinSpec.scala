@@ -60,6 +60,61 @@ class StreamStreamJoinSpec extends AnyFunSuite {
       s"missing=${(batch -- streamed).take(5)} extra=${(streamed -- batch).take(5)}")
   }
 
+  test("left-outer stream-stream join emits unmatched rows after watermark passes") {
+    val dir = Files.createTempDirectory("graft-ssj-outer").toString
+    val ev = Fixtures.events(spark, TestSpark.sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    ev.repartition(2).write.mode("append").parquet(dir)
+    // sentinel pushes the watermark far past every click's join horizon so
+    // unmatched clicks are finalized and emitted with a null purchase side
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 24 * 3600 * 1000L)
+    import spark.implicits._
+    Seq((999999L, sentinelTs, 999999L, "click", 0.0),
+        (999998L, sentinelTs, 999999L, "purchase", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+
+    def sides(stream: Boolean) = {
+      val src = if (stream) Sources.fileStream(spark, dir, schema, maxFilesPerTrigger = 2)
+      else spark.read.parquet(dir)
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("user_id").as("click_user"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"))
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("purchase_user"), col("ts").as("purchase_ts"),
+          col("event_id").as("purchase_id"))
+      (clicks, purchases)
+    }
+    val cond = col("click_user") === col("purchase_user") &&
+      col("purchase_ts") >= col("click_ts") &&
+      col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES")
+
+    val (sc, sp) = sides(stream = true)
+    val q = sc.withWatermark("click_ts", "1 hour")
+      .join(sp.withWatermark("purchase_ts", "1 hour"), cond, "left_outer")
+      .select(col("click_id"), col("purchase_id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_outer_out").start()
+    q.processAllAvailable()
+    val streamed = spark.table("ssj_outer_out")
+      .filter(col("click_id") =!= 999999L)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    q.stop()
+
+    val (bc, bp) = sides(stream = false)
+    val batch = bc.join(bp, cond, "left_outer")
+      .select(col("click_id"), col("purchase_id"))
+      .filter(col("click_id") =!= 999999L)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(batch.exists(_._2 == -1L), "fixture must contain unmatched clicks")
+    assert(streamed == batch,
+      s"missing=${(batch -- streamed).take(5)} extra=${(streamed -- batch).take(5)}")
+  }
+
   test("flatMapGroupsWithState fallback reproduces the latest-by-key fold") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
