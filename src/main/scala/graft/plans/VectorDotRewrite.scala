@@ -66,7 +66,11 @@ object VectorDotRewrite extends Rule[LogicalPlan] {
             Literal(zero, DoubleType),
             LambdaFunction(addF, Seq(acc: NamedLambdaVariable, v: NamedLambdaVariable), _),
             LambdaFunction(fin, Seq(facc: NamedLambdaVariable), _))
-          if zero == 0.0 && isFloatArray(a) && isFloatArray(b) &&
+          // bit-exact +0.0 check: -0.0 == 0.0 is true, but an empty-array
+          // fold would return -0.0 where VectorDot returns +0.0
+          if zero.isInstanceOf[Double] &&
+            java.lang.Double.doubleToRawLongBits(zero.asInstanceOf[Double]) == 0L &&
+            isFloatArray(a) && isFloatArray(b) &&
             isCastMultiply(mult, x, y) && isAccAdd(addF, acc, v) &&
             sameVar(fin, facc) =>
         VectorDot(a, b)
