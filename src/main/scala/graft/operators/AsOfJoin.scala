@@ -21,8 +21,14 @@ object AsOfJoin {
 
   /** Generic as-of join. Right payload columns must not collide with left
     * columns; both sides need `keyCol` and `timeCol`.
+    *
+    * `forward = false` (default): latest right row with time ≤ left time.
+    * `forward = true`: EARLIEST right row with time ≥ left time — the same
+    * single-shuffle sweep run over the reversed time order, so the scale
+    * properties are identical (never a per-key range nested loop).
     */
-  def asOf(left: DataFrame, right: DataFrame, keyCol: String, timeCol: String): DataFrame = {
+  def asOf(left: DataFrame, right: DataFrame, keyCol: String, timeCol: String,
+      forward: Boolean = false): DataFrame = {
     val leftOnly = left.columns.filterNot(c => c == keyCol || c == timeCol)
     val rightOnly = right.columns.filterNot(c => c == keyCol || c == timeCol)
     val l2 = rightOnly.foldLeft(left.withColumn("__side", lit(1))) {
@@ -32,11 +38,16 @@ object AsOfJoin {
       case (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
     val unioned = l2.unionByName(r2)
-    // right rows (side 0) sort before left rows at equal time → `<=`;
-    // rightOnly.head in the ordering makes equal-time right rows resolve
-    // deterministically (greatest offset wins, matching max_by semantics).
-    val ord: Seq[Column] = col(timeCol) +: col("__side") +:
-      rightOnly.headOption.map(col).toSeq
+    // Right rows (side 0) sort before left rows at equal time → inclusive
+    // semantics in both directions. The payload tie-break keeps equal-time
+    // right rows deterministic: backward = greatest offset wins (max_by),
+    // forward = smallest offset wins (min_by) — in the DESC sweep the
+    // smallest id must sort LAST, hence .desc on the payload column too.
+    val ord: Seq[Column] =
+      if (forward)
+        col(timeCol).desc +: col("__side") +: rightOnly.headOption.map(c => col(c).desc).toSeq
+      else
+        col(timeCol) +: col("__side") +: rightOnly.headOption.map(col).toSeq
     val w = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = rightOnly.foldLeft(unioned) { case (df, c) =>
@@ -72,6 +83,34 @@ object AsOfJoin {
       |  ON c.user_id = p.user_id AND p.ts <= c.ts
       |ORDER BY c.event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q60
+  // Forward as-of: for each click, the user's EARLIEST purchase at-or-after
+  // the click — the "next conversion" question. Same sweep, reversed order.
+  private def q60(s: SparkSession, dir: String): DataFrame = {
+    val e = Fixtures.events(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+    asOf(clicks, purchases, "user_id", "ts", forward = true)
+      .select(col("event_id"), col("user_id"), col("purchase_id"),
+        round(col("purchase_value"), 2).as("purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
+  // DuckDB's ASOF JOIN matches the nearest row under any inequality; `>=`
+  // gives the forward direction.
+  private val q60Sql =
+    """SELECT c.event_id, c.user_id, p.purchase_id,
+      |       ROUND(p.purchase_value, 2) AS purchase_value
+      |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+      |ASOF LEFT JOIN (SELECT user_id, ts, event_id AS purchase_id, value AS purchase_value
+      |                FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id AND p.ts >= c.ts
+      |ORDER BY c.event_id""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
-    GraftQuery("q31_asof_join", q31, Some(q31Sql)))
+    GraftQuery("q31_asof_join", q31, Some(q31Sql)),
+    GraftQuery("q60_asof_forward", q60, Some(q60Sql)))
 }
