@@ -38,7 +38,13 @@ object Bench {
     val results = SparkEntry.queries.flatMap { case (name, fn) =>
       try {
         val times = (1 to reps).map(_ => timeOnce(fn)).sorted
-        Some(name -> times(times.size / 2)) // median
+        // true median: even rep counts average the two middle values
+        // (times(n/2) alone is the UPPER middle — a 2-rep run would report
+        // the worse rep, the exact outlier the median exists to reject)
+        val median =
+          if (times.size % 2 == 1) times(times.size / 2)
+          else (times(times.size / 2 - 1) + times(times.size / 2)) / 2.0
+        Some(name -> median)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")

@@ -20,7 +20,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * scoring); hash-checked outputs still go through VectorFunctions.dotDec
   * for cross-engine exactness.
   *
-  * Null array elements are treated as 0 (fixture embeddings are dense).
+  * Null semantics are HOF-strict: a NULL array, a length mismatch, or any
+  * NULL element yields NULL — exactly what the declarative
+  * aggregate(zip_with(...)) shape produces, which is what makes the
+  * VectorDotRewrite substitution sound (see the doGenCode comment).
   */
 case class VectorDot(left: Expression, right: Expression)
     extends BinaryExpression {

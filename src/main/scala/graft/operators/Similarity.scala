@@ -135,26 +135,31 @@ object Similarity {
   def ivfTopK(e: DataFrame, queryPred: org.apache.spark.sql.Column,
       nlist: Int, nprobe: Int, k: Int, exactRescore: Boolean = false): DataFrame = {
     val index = ivfIndex(e, nlist)
-    val qs = index.filter(queryPred)
+    val qsBase = index.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("n2").as("qn2"))
+    // exact path: the query-side decimal norm is computed HERE — one row per
+    // query, BEFORE the × nlist probe explosion (a withColumn after `probes`
+    // would re-run the interpreted decimal fold once per probed cell)
+    val qs = if (exactRescore) qsBase.withColumn("qn2d", norm2Dec(col("qe"))) else qsBase
+    val carry = Seq(col("query_id"), col("qe"), col("qn2")) ++
+      (if (exactRescore) Seq(col("qn2d")) else Nil)
     val cents = index.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"), col("n2").as("cn2"))
     val wp = Window.partitionBy(col("query_id")).orderBy(col("qc").desc, col("cent_id"))
     val probes = qs.crossJoin(broadcast(cents))
-      .select(col("query_id"), col("qe"), col("qn2"), col("cent_id"),
+      .select(carry :+ col("cent_id") :+
         cosineFast(graft.functions.VectorDot.dot(col("qe"), col("ce")),
-          col("qn2"), col("cn2")).as("qc"))
+          col("qn2"), col("cn2")).as("qc"): _*)
       .withColumn("rn", row_number().over(wp))
       .filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("qe"), col("qn2"), col("cent_id").as("cell"))
+      .select(carry :+ col("cent_id").as("cell"): _*)
     val w = Window.partitionBy(col("query_id")).orderBy(col("c").desc, col("neighbor_id"))
-    // exact path: decimal norms computed ONCE per corpus row / per query row
-    // (as columns n2d/qn2d), never per pair — the pairwise work stays one
-    // decimal dot, same as q21's shape.
+    // decimal norms are per-row columns on each side, never per pair — the
+    // pairwise work stays one decimal dot, same as q21's shape
     val (indexSide, probeSide, score) =
       if (exactRescore)
         (index.withColumn("n2d", norm2Dec(col("embedding"))),
-          probes.withColumn("qn2d", norm2Dec(col("qe"))),
+          probes,
           cosineWithNorms(dotDec(col("embedding"), col("qe")), col("n2d"), col("qn2d")))
       else
         (index, probes,

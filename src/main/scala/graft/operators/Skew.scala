@@ -20,10 +20,20 @@ object Skew {
     * @param finals   re-combine functions for phase 2 (per key), applied to
     *                 the phase-1 column names
     */
+  /** Deterministic per-row salt: a hash of the full row. Task-identity salts
+    * (spark_partition_id + monotonically_increasing_id) are NONdeterministic
+    * across stage recomputation — after a shuffle-fetch failure a re-run map
+    * task can assign different salts, and reducers that already fetched the
+    * old attempt then double-count or drop rows. A row hash recomputes
+    * identically. Identical rows share a salt, which is harmless for
+    * decomposable aggregates and joins (same result either way).
+    */
+  private def rowSalt(df: DataFrame, saltBuckets: Int): Column =
+    pmod(xxhash64(df.columns.map(col): _*), lit(saltBuckets.toLong)).cast("int")
+
   def saltedAgg(df: DataFrame, keyCol: String, saltBuckets: Int,
       partials: Seq[Column], finals: Seq[Column]): DataFrame = {
-    val salted = df.withColumn("__salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    val salted = df.withColumn("__salt", rowSalt(df, saltBuckets))
     val phase1 = salted.groupBy(col(keyCol), col("__salt"))
       .agg(partials.head, partials.tail: _*)
     phase1.groupBy(col(keyCol)).agg(finals.head, finals.tail: _*)
@@ -42,9 +52,7 @@ object Skew {
     */
   def saltedJoin(left: DataFrame, right: DataFrame, keyCol: String,
       saltBuckets: Int): DataFrame = {
-    val saltedLeft = left.withColumn("__salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets))
-        .cast("int"))
+    val saltedLeft = left.withColumn("__salt", rowSalt(left, saltBuckets))
     val replicatedRight = right.withColumn("__salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     saltedLeft.join(replicatedRight, Seq(keyCol, "__salt"))

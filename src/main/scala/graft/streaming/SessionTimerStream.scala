@@ -46,8 +46,13 @@ class SessionTimerProcessor(gapMs: Long)
       maxTs = math.max(maxTs, e.ts.getTime)
     }
     if (maxTs != Long.MinValue) {
+      // deadline from the FULL buffer, not just this batch: an out-of-order
+      // (but non-late) batch with an earlier max would otherwise pull the
+      // timer before lastBufferedTs + gap and close open sessions early
+      var bufMax = maxTs
+      buf.get().foreach(e => bufMax = math.max(bufMax, e.ts.getTime))
       getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
-      getHandle.registerTimer(maxTs + gapMs)
+      getHandle.registerTimer(bufMax + gapMs)
     }
     Iterator.empty
   }
