@@ -185,7 +185,33 @@ object Multimodal {
       |  substr(md5(substring(text, 1, 32)), 1, 12) AS thumb_sig
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q61
+  // Video-style content signature: sample 4 frames, hash each, XOR-fold
+  // into one 60-bit signature per blob — frame-level dedup/fingerprinting
+  // for video corpora. Narrow scan + per-doc fold; the only shuffle is the
+  // final (tiny) aggregation.
+  private def q61(s: SparkSession, dir: String): DataFrame =
+    blobs(Fixtures.documents(s, dir))
+      .filter(col("meta.n_bytes") >= 64)
+      .select(col("doc_id"), posexplode(frames(col("media"), 4, 16)))
+      .select(col("doc_id"),
+        conv(substring(md5(col("col")), 1, 15), 16, 10).cast("long").as("h"))
+      .groupBy(col("doc_id"))
+      .agg(expr("bit_xor(h)").as("video_sig"), count(lit(1)).as("n_frames"))
+      .orderBy(col("doc_id"))
+
+  // char-space ≡ byte-space for ASCII fixtures (see q29 note)
+  private val q61Sql =
+    """WITH f AS (SELECT doc_id, substring(text, (i - 1) * 16 + 1, 16) AS frame
+      |      FROM documents CROSS JOIN (SELECT unnest(generate_series(1, 4)) i) s
+      |      WHERE n_chars >= 64)
+      |SELECT doc_id,
+      |  bit_xor(('0x' || substr(md5(frame), 1, 15))::BIGINT) AS video_sig,
+      |  COUNT(*) AS n_frames
+      |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q61_video_signature", q61, Some(q61Sql)),
     GraftQuery("q28_media_meta", q28, Some(q28Sql)),
     GraftQuery("q29_frame_sample", q29, Some(q29Sql)),
     GraftQuery("q30_feature_stub", q30, Some(q30Sql)),

@@ -270,7 +270,46 @@ object Similarity {
        |SELECT bucket, COUNT(*) AS n FROM buckets GROUP BY bucket ORDER BY bucket""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q62
+  // Embedding int8 quantization — the storage-compression pass a 100 TB
+  // vector corpus runs before indexing (4× smaller, cache-friendlier
+  // scans). Per-vector symmetric scheme: scale = max|x| / 127,
+  // qᵢ = floor(xᵢ/scale + 0.5). All narrow per-row array folds; the
+  // floor(+0.5) rounding and single-division scale are spelled identically
+  // in the oracle, so the emitted checksums are exact. Zero vectors are
+  // excluded (scale 0 ⇒ q undefined) — none exist in the fixtures, but the
+  // guard keeps the operator total.
+  private def q62(s: SparkSession, dir: String): DataFrame = {
+    val absmax = aggregate(col("embedding"),
+      lit(0.0), (a, x) => greatest(a, abs(x.cast("double"))))
+    val e = Fixtures.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), absmax.as("m"))
+      .filter(col("m") > 0)
+      .withColumn("scale", col("m") / 127.0)
+    val quant = transform(col("embedding"),
+      x => floor(x.cast("double") / col("scale") + 0.5).cast("long"))
+    e.select(col("vec_id"),
+      graft.functions.Rounding.stable(col("scale"), 9).as("scale_r"),
+      aggregate(quant, lit(0L), (a, q) => a + q).as("qsum"),
+      aggregate(quant, lit(0L), (a, q) => greatest(a, abs(q))).as("qabsmax"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val q62Sql =
+    """WITH el AS (
+      |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+      |mx AS (SELECT vec_id, MAX(abs(x)) AS m FROM el GROUP BY vec_id),
+      |q AS (
+      |  SELECT el.vec_id, mx.m, CAST(floor(x / (m / 127.0) + 0.5) AS BIGINT) AS q
+      |  FROM el JOIN mx USING (vec_id) WHERE mx.m > 0)
+      |SELECT vec_id,
+      |  floor((m / 127.0) * 1000000000.0 + 0.5) / 1000000000.0 AS scale_r,
+      |  CAST(SUM(q) AS BIGINT) AS qsum,
+      |  CAST(MAX(abs(q)) AS BIGINT) AS qabsmax
+      |FROM q GROUP BY vec_id, m ORDER BY vec_id""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q62_embed_quantize", q62, Some(q62Sql)),
     GraftQuery("q15_cosine_topk", q15, Some(q15Sql)),
     GraftQuery("q21_ann_brute", q21, Some(q21Sql)),
     GraftQuery("q22_ann_ivf", q22, None),
