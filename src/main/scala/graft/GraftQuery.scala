@@ -27,5 +27,6 @@ object GraftQuery {
       operators.Envelope.queries ++
       operators.Multimodal.queries ++
       operators.AsOfJoin.queries ++
-      operators.Sessionize.queries
+      operators.Sessionize.queries ++
+      operators.Curation.queries
 }
