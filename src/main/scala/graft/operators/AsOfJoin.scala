@@ -26,34 +26,47 @@ object AsOfJoin {
     * `forward = true`: EARLIEST right row with time ≥ left time — the same
     * single-shuffle sweep run over the reversed time order, so the scale
     * properties are identical (never a per-key range nested loop).
+    *
+    * All right payload columns come from the SAME matched right row: the
+    * sweep carries one `last(struct(payload*), ignoreNulls)` rather than a
+    * per-column `last`, so a legitimately-NULL payload field in the matched
+    * row stays NULL instead of being stitched from an older right row.
+    * Equal-time right rows tie-break deterministically by the payload
+    * struct's field order (backward: greatest wins; forward: smallest wins).
     */
   def asOf(left: DataFrame, right: DataFrame, keyCol: String, timeCol: String,
       forward: Boolean = false): DataFrame = {
     val leftOnly = left.columns.filterNot(c => c == keyCol || c == timeCol)
     val rightOnly = right.columns.filterNot(c => c == keyCol || c == timeCol)
-    val l2 = rightOnly.foldLeft(left.withColumn("__side", lit(1))) {
-      case (df, c) => df.withColumn(c, lit(null).cast(right.schema(c).dataType))
-    }
-    val r2 = leftOnly.foldLeft(right.withColumn("__side", lit(0))) {
+    if (rightOnly.isEmpty) return left
+    val payloadType = org.apache.spark.sql.types.StructType(
+      rightOnly.map(c => right.schema(c).copy(name = c)))
+    val l2 = left.withColumn("__side", lit(1))
+      .withColumn("__p", lit(null).cast(payloadType))
+    val r2 = leftOnly.foldLeft(
+      right.withColumn("__side", lit(0))
+        .withColumn("__p", struct(rightOnly.map(col): _*))
+        .drop(rightOnly: _*)) {
       case (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
     val unioned = l2.unionByName(r2)
     // Right rows (side 0) sort before left rows at equal time → inclusive
-    // semantics in both directions. The payload tie-break keeps equal-time
-    // right rows deterministic: backward = greatest offset wins (max_by),
-    // forward = smallest offset wins (min_by) — in the DESC sweep the
-    // smallest id must sort LAST, hence .desc on the payload column too.
+    // semantics in both directions. The struct tie-break keeps equal-time
+    // right rows deterministic: backward = greatest payload wins (max_by),
+    // forward = smallest wins — in the DESC sweep the smallest must sort
+    // LAST, hence .desc on the payload struct too. Left rows carry a NULL
+    // struct, which never competes (ignoreNulls + differing __side).
     val ord: Seq[Column] =
-      if (forward)
-        col(timeCol).desc +: col("__side") +: rightOnly.headOption.map(c => col(c).desc).toSeq
-      else
-        col(timeCol) +: col("__side") +: rightOnly.headOption.map(col).toSeq
+      if (forward) Seq(col(timeCol).desc, col("__side"), col("__p").desc)
+      else Seq(col(timeCol), col("__side"), col("__p"))
     val w = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = rightOnly.foldLeft(unioned) { case (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    val matched = unioned
+      .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
+    val out = rightOnly.foldLeft(matched.filter(col("__side") === 1)) {
+      case (df, c) => df.withColumn(c, col("__p").getField(c))
     }
-    matched.filter(col("__side") === 1).drop("__side")
+    out.drop("__side", "__p")
   }
 
   // ---------------------------------------------------------------- q31

@@ -61,7 +61,12 @@ object Dedup {
     * long instead of the raw ~30-byte gram string, which roughly quarters
     * the shuffle width of the self-joins (q17/q19). Collisions merge two
     * grams with probability ~n²/2⁶⁴ per doc — immaterial against the
-    * oracle's 4-decimal jaccard at any realistic shingle count.
+    * oracle's 4-decimal jaccard at any realistic shingle count. NOTE the
+    * failure mode is a hard oracle hash mismatch (a collision shrinks one
+    * doc's shingle set and flips a 4-dp jaccard), not a soft degradation:
+    * if corpora grow to where n²/2⁶⁴ stops being ignorable (~10⁸ shingles
+    * per doc), widen to a 128-bit hash (two independent xxhash64 seeds) for
+    * the oracle-checked paths.
     *
     * The repartition widens a possibly single-split scan before the
     * CPU-dense shingle/hash stages: the fixture tables are one parquet file
@@ -368,14 +373,29 @@ object Dedup {
     var prev = sig(e)
     var rounds = 0
     var converged = false
-    while (!converged && rounds < 64) {
+    val maxRounds = 64
+    while (!converged && rounds < maxRounds) {
       val next = smallStar(largeStar(e)).checkpoint()
       val cur = sig(next)
-      converged = cur == prev
+      // The (count, xor-of-hash) signature is a cheap screen; on a signature
+      // HIT, confirm with an exact set compare before declaring fixpoint —
+      // a colliding pair of distinct consecutive edge sets must not
+      // terminate the loop early with wrong labels. At fixpoint both sides
+      // are the same checkpointed star edges, so the except is one cheap
+      // hash-join over already-materialized data, paid once.
+      converged = cur == prev && next.exceptAll(e).isEmpty
       prev = cur
       e = next
       rounds += 1
     }
+    if (!converged)
+      // Loud failure beats silently returning half-contracted labels: the
+      // caller would treat duplicated/wrong group labels as real clusters.
+      // Kiveris et al. prove O(log² n) worst-case rounds (O(log n) in
+      // practice), so 64 non-converging rounds means a bug, not a big graph.
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxRounds rounds; " +
+        "edge set still changing — refusing to emit possibly-wrong labels")
     val labels = e.select(col("hi").as("node"), col("lo").as("lbl"))
       .union(e.select(col("lo"), col("lo")).distinct())
     (labels, rounds)

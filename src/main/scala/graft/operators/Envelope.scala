@@ -49,6 +49,16 @@ object Envelope {
     * schema'd decoder implies (a v1 record parsed with the v2 schema yields
     * an all-null struct, which must fall through to the v1 decoder, not
     * succeed vacuously).
+    *
+    * CONTRACT: under this strictness a VALID record whose schema fields are
+    * all legitimately null (e.g. `{"id":null,"name":null}`) is
+    * indistinguishable from a schema mismatch — it falls through to the
+    * legacy decoder and, if that also yields all nulls, to the error
+    * channel. This diverges from plain `from_json` (which would return the
+    * all-null struct as success) and is the deliberate price of supporting
+    * schema fallback at all; ensure at least one field of each schema is
+    * effectively non-nullable in practice, or add a required discriminator
+    * field before relying on fallback routing.
     */
   def decodeFallback(df: DataFrame, rawCol: String, primary: StructType,
       legacy: StructType, migrate: org.apache.spark.sql.Column => org.apache.spark.sql.Column)

@@ -20,20 +20,31 @@ object Skew {
     * @param finals   re-combine functions for phase 2 (per key), applied to
     *                 the phase-1 column names
     */
-  /** Deterministic per-row salt: a hash of the full row. Task-identity salts
+  /** Deterministic per-row salt: a hash of the full row (plus an optional
+    * caller-supplied disambiguator). Task-identity salts
     * (spark_partition_id + monotonically_increasing_id) are NONdeterministic
     * across stage recomputation — after a shuffle-fetch failure a re-run map
     * task can assign different salts, and reducers that already fetched the
     * old attempt then double-count or drop rows. A row hash recomputes
-    * identically. Identical rows share a salt, which is harmless for
-    * decomposable aggregates and joins (same result either way).
+    * identically.
+    *
+    * CAVEAT: identical rows share a salt, so a hot key whose rows are exact
+    * duplicates (common in heavy-hitter counting) collapses into ONE
+    * (key, salt) bucket and is NOT spread. Results stay correct, but the
+    * skew mitigation is defeated. When the input has a stable per-row
+    * ordinal (a Kafka offset, an event id, a file row number), pass it as
+    * `disambiguator` — it is mixed into the hash so duplicate rows land in
+    * different buckets while staying recompute-deterministic.
     */
-  private def rowSalt(df: DataFrame, saltBuckets: Int): Column =
-    pmod(xxhash64(df.columns.map(col): _*), lit(saltBuckets.toLong)).cast("int")
+  private def rowSalt(df: DataFrame, saltBuckets: Int,
+      disambiguator: Option[Column]): Column =
+    pmod(xxhash64(df.columns.map(col) ++ disambiguator: _*),
+      lit(saltBuckets.toLong)).cast("int")
 
   def saltedAgg(df: DataFrame, keyCol: String, saltBuckets: Int,
-      partials: Seq[Column], finals: Seq[Column]): DataFrame = {
-    val salted = df.withColumn("__salt", rowSalt(df, saltBuckets))
+      partials: Seq[Column], finals: Seq[Column],
+      disambiguator: Option[Column] = None): DataFrame = {
+    val salted = df.withColumn("__salt", rowSalt(df, saltBuckets, disambiguator))
     val phase1 = salted.groupBy(col(keyCol), col("__salt"))
       .agg(partials.head, partials.tail: _*)
     phase1.groupBy(col(keyCol)).agg(finals.head, finals.tail: _*)
@@ -51,8 +62,9 @@ object Skew {
     * right side is small relative to the hot key's row count.
     */
   def saltedJoin(left: DataFrame, right: DataFrame, keyCol: String,
-      saltBuckets: Int): DataFrame = {
-    val saltedLeft = left.withColumn("__salt", rowSalt(left, saltBuckets))
+      saltBuckets: Int, disambiguator: Option[Column] = None): DataFrame = {
+    val saltedLeft = left.withColumn("__salt",
+      rowSalt(left, saltBuckets, disambiguator))
     val replicatedRight = right.withColumn("__salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     saltedLeft.join(replicatedRight, Seq(keyCol, "__salt"))
