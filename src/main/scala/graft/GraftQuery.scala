@@ -28,5 +28,7 @@ object GraftQuery {
       operators.Multimodal.queries ++
       operators.AsOfJoin.queries ++
       operators.Sessionize.queries ++
-      operators.Curation.queries
+      operators.Curation.queries ++
+      operators.RangeJoin.queries ++
+      operators.Sketches.queries
 }

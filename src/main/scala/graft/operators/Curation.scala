@@ -1,8 +1,10 @@
 package graft.operators
 
 import graft.{Fixtures, GraftQuery}
+import graft.functions.Rounding
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus curation — the composition a training-data pipeline
@@ -100,7 +102,140 @@ object Curation {
       |  COUNT(*) AS n
       |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q66
+  // Repetition signals (the Gopher-style "repetitious text" quality rules):
+  // per document, the fraction of tokens taken by the most frequent word,
+  // the duplicate-word fraction (1 − distinct/total), and the fraction of
+  // bigrams taken by the most frequent bigram. High values flag boilerplate
+  // and degenerate generations — a standard pre-training drop rule.
+  //
+  // Scale shape: explode → two-level aggregate, all keyed by doc_id, so the
+  // shuffles partition on the document — no global state, no hot keys
+  // beyond a single document's token count.
+  private def q66(s: SparkSession, dir: String): DataFrame = {
+    val docs = Fixtures.documents(s, dir)
+    val toks = wsTokens(col("text"))
+    // explode can't nest inside other expressions — two-step selects.
+    val words = docs.select(col("doc_id"), explode(toks).as("w"))
+    val wc = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    val ws = wc.groupBy(col("doc_id")).agg(
+      max(col("c")).as("mx"), sum(col("c")).as("n"), count(lit(1)).as("d"))
+    val bigrams = docs.select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), explode(
+        zip_with(slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bg"))
+    val bc = bigrams.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+    val bs = bc.groupBy(col("doc_id")).agg(
+      max(col("c")).as("bmx"), sum(col("c")).as("bn"))
+    ws.join(bs, Seq("doc_id"))
+      .select(col("doc_id"),
+        Rounding.stable(col("mx") * lit(1.0) / col("n"), 4).as("top_word_frac"),
+        Rounding.stable(lit(1.0) - col("d") * lit(1.0) / col("n"), 4).as("dup_word_frac"),
+        Rounding.stable(col("bmx") * lit(1.0) / col("bn"), 4).as("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q66Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents),
+      |wc AS (SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+      |ws AS (SELECT doc_id, MAX(c) AS mx, SUM(c) AS n, COUNT(*) AS d FROM wc GROUP BY 1),
+      |big AS (SELECT a.doc_id, a.w || ' ' || b.w AS bg
+      |        FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+      |bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM big GROUP BY 1, 2),
+      |bs AS (SELECT doc_id, MAX(c) AS bmx, SUM(c) AS bn FROM bc GROUP BY 1)
+      |SELECT ws.doc_id,
+      |  floor(mx * 1.0 / n * 10000.0 + 0.5) / 10000.0 AS top_word_frac,
+      |  floor((1.0 - d * 1.0 / n) * 10000.0 + 0.5) / 10000.0 AS dup_word_frac,
+      |  floor(bmx * 1.0 / bn * 10000.0 + 0.5) / 10000.0 AS top_bigram_frac
+      |FROM ws JOIN bs USING (doc_id) ORDER BY ws.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q67
+  /** Deterministic per-stratum sampling: keep a row iff its md5-derived
+    * bucket (0–99) falls below the stratum's percentage. Hash-based
+    * sampling is reproducible across runs AND engines (unlike
+    * `df.sampleBy`, whose Bernoulli draw depends on Spark's RNG stream and
+    * partitioning), stable under corpus growth, and a pure narrow map — the
+    * standard way to rebalance language/source mixes in a training corpus.
+    */
+  def stratumKeep(idCol: Column, stratum: Column, pctByStratum: Map[String, Int],
+      defaultPct: Int): Column = {
+    val bucket = conv(substring(md5(idCol.cast("string")), 1, 4), 16, 10)
+      .cast("long") % 100
+    val pct = pctByStratum.foldLeft(lit(defaultPct)) {
+      case (acc, (k, p)) => when(stratum === k, lit(p)).otherwise(acc)
+    }
+    bucket < pct
+  }
+
+  // Downsample dominant-language English to 10%, keep 50% of the rest —
+  // emitted as a per-language funnel so the result is small and auditable.
+  private def q67(s: SparkSession, dir: String): DataFrame = {
+    val keep = stratumKeep(col("doc_id"), col("lang"), Map("en" -> 10), 50)
+    Fixtures.documents(s, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(keep, 1L).otherwise(0L)).as("n_kept"))
+      .orderBy(col("lang"))
+  }
+
+  private val q67Sql =
+    """WITH b AS (
+      |  SELECT lang,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS bucket
+      |  FROM documents)
+      |SELECT lang, COUNT(*) AS n_total,
+      |  CAST(SUM(CASE WHEN bucket < (CASE WHEN lang = 'en' THEN 10 ELSE 50 END)
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |FROM b GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- q68
+  // Greedy sequence packing: assign documents (in stable doc_id order,
+  // per language shard) to fixed token-budget bins by cumulative token
+  // count — the batch-construction step before training (pack short docs
+  // into context-window-sized sequences). A doc belongs to the bin where
+  // its first token lands: bin = floor(start_offset / budget).
+  //
+  // Scale honesty: packing is inherently sequential WITHIN a shard (each
+  // doc's bin depends on the running total), so the window partitions by
+  // the shard key (lang here; at 100 TB: lang × a hash-shard column, cf.
+  // q64's md5-bucket split) and shards pack in parallel — never one global
+  // ordered window, which would funnel the corpus through one task.
+  private val PackBudget = 256
+  private def q68(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Fixtures.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(wsTokens(col("text"))).as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("bin",
+        floor((col("cum") - col("n_tok")) / lit(PackBudget)).cast("long"))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("lang"), col("bin"))
+  }
+
+  private val q68Sql =
+    """WITH d AS (
+      |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok FROM documents),
+      |c AS (
+      |  SELECT doc_id, lang, n_tok,
+      |    SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM d)
+      |SELECT lang, CAST(floor((cum - n_tok) / 256.0) AS BIGINT) AS bin,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+      |  MIN(doc_id) AS first_doc
+      |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q63_curation_pipeline", q63, Some(q63Sql)),
-    GraftQuery("q64_dataset_split", q64, Some(q64Sql)))
+    GraftQuery("q64_dataset_split", q64, Some(q64Sql)),
+    GraftQuery("q66_repetition", q66, Some(q66Sql)),
+    GraftQuery("q67_stratified_sample", q67, Some(q67Sql)),
+    GraftQuery("q68_seq_packing", q68, Some(q68Sql)))
 }
