@@ -122,4 +122,24 @@ class PlanSpec extends AnyFunSuite {
         s"candidate-pair side must stay AQE-decided:\n${p.take(1500)}")
     }
   }
+
+  test("q65: band join is an equi hash join on (key, bucket), never a nested loop") {
+    withZeroBroadcastThreshold {
+      val p = planOf("q65_interval_join")
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"band join must stay an equi-join on (key, bucket):\n${p.take(1500)}")
+    }
+  }
+
+  test("q68: packing window partitions by the shard key (no single-partition global window)") {
+    val p = planOf("q68_seq_packing")
+    assert(!p.contains("SinglePartition"),
+      s"sequence packing must not funnel the corpus through one task:\n${p.take(1500)}")
+  }
+
+  test("q69: HLL sketches aggregate partially before the shuffle (mergeable)") {
+    val p = planOf("q69_hll_users")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"sketch agg should run partial+final (merge at reducers):\n${p.take(1500)}")
+  }
 }
