@@ -31,8 +31,11 @@ object AsOfJoin {
     * sweep carries one `last(struct(payload*), ignoreNulls)` rather than a
     * per-column `last`, so a legitimately-NULL payload field in the matched
     * row stays NULL instead of being stitched from an older right row.
-    * Equal-time right rows tie-break deterministically by the payload
-    * struct's field order (backward: greatest wins; forward: smallest wins).
+    * Equal-time right rows tie-break deterministically by the ORDERABLE
+    * payload fields in struct order (backward: greatest wins; forward:
+    * smallest wins); non-orderable payload types (maps) are carried in the
+    * sweep struct but excluded from the sort key — with no orderable
+    * payload field at all, equal-time right duplicates resolve arbitrarily.
     */
   def asOf(left: DataFrame, right: DataFrame, keyCol: String, timeCol: String,
       forward: Boolean = false): DataFrame = {
@@ -55,10 +58,21 @@ object AsOfJoin {
     // right rows deterministic: backward = greatest payload wins (max_by),
     // forward = smallest wins — in the DESC sweep the smallest must sort
     // LAST, hence .desc on the payload struct too. Left rows carry a NULL
-    // struct, which never competes (ignoreNulls + differing __side).
+    // struct, which never competes (ignoreNulls + differing __side). The
+    // sort key uses only ORDERABLE payload fields — a map-typed payload
+    // column in orderBy would throw at planning time.
+    val orderableFields = rightOnly.filter(c =>
+      org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(
+        right.schema(c).dataType))
+    val tieBreak: Seq[Column] =
+      if (orderableFields.isEmpty) Nil
+      else {
+        val key = struct(orderableFields.map(c => col("__p").getField(c)): _*)
+        Seq(if (forward) key.desc else key.asc)
+      }
     val ord: Seq[Column] =
-      if (forward) Seq(col(timeCol).desc, col("__side"), col("__p").desc)
-      else Seq(col(timeCol), col("__side"), col("__p"))
+      if (forward) Seq(col(timeCol).desc, col("__side")) ++ tieBreak
+      else Seq(col(timeCol), col("__side")) ++ tieBreak
     val w = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = unioned

@@ -128,7 +128,10 @@ object Curation {
     val bc = bigrams.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
     val bs = bc.groupBy(col("doc_id")).agg(
       max(col("c")).as("bmx"), sum(col("c")).as("bn"))
-    ws.join(bs, Seq("doc_id"))
+    // LEFT join: a 1-token document has no bigrams but must still get its
+    // word-level signals (an inner join would silently exempt it from the
+    // Gopher-rule filter); its bigram fraction is NULL.
+    ws.join(bs, Seq("doc_id"), "left")
       .select(col("doc_id"),
         Rounding.stable(col("mx") * lit(1.0) / col("n"), 4).as("top_word_frac"),
         Rounding.stable(lit(1.0) - col("d") * lit(1.0) / col("n"), 4).as("dup_word_frac"),
@@ -150,7 +153,7 @@ object Curation {
       |  floor(mx * 1.0 / n * 10000.0 + 0.5) / 10000.0 AS top_word_frac,
       |  floor((1.0 - d * 1.0 / n) * 10000.0 + 0.5) / 10000.0 AS dup_word_frac,
       |  floor(bmx * 1.0 / bn * 10000.0 + 0.5) / 10000.0 AS top_bigram_frac
-      |FROM ws JOIN bs USING (doc_id) ORDER BY ws.doc_id""".stripMargin
+      |FROM ws LEFT JOIN bs USING (doc_id) ORDER BY ws.doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q67
   /** Deterministic per-stratum sampling: keep a row iff its md5-derived

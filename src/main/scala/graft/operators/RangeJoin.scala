@@ -37,12 +37,23 @@ object RangeJoin {
     * and equal `keyCol`. Non-key/time columns of the two sides must not
     * collide (rename before calling, as with [[AsOfJoin.asOf]]).
     */
+  /** Exact floor division on longs. `floor(a / b)` would divide in DOUBLE,
+    * whose 53-bit mantissa can round a quotient onto the wrong integer for
+    * |a| ≳ 9.0e15 (µs timestamps past ~year 2255) — an off-by-one bucket
+    * silently drops in-band pairs. `(a - pmod(a,b)) div b` stays integral:
+    * the numerator is exactly divisible, so truncating `div` == floor.
+    */
+  private def floorDivCol(a: org.apache.spark.sql.Column, b: Long) = {
+    val num = a - pmod(a, lit(b))
+    call_function("div", num, lit(b))
+  }
+
   def bandJoin(left: DataFrame, right: DataFrame, keyCol: String,
       leftTime: String, rightTime: String, bandMicros: Long): DataFrame = {
     require(bandMicros > 0, "bandMicros must be positive")
     val lb = left.withColumn("__b",
-      floor(unix_micros(col(leftTime)) / lit(bandMicros)).cast("long"))
-    val rBucket = floor(unix_micros(col(rightTime)) / lit(bandMicros)).cast("long")
+      floorDivCol(unix_micros(col(leftTime)), bandMicros))
+    val rBucket = floorDivCol(unix_micros(col(rightTime)), bandMicros)
     val rb = right.withColumn("__b",
       explode(array(rBucket - 1, rBucket, rBucket + 1)))
     lb.join(rb, Seq(keyCol, "__b"))

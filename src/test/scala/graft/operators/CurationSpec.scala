@@ -22,27 +22,22 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
 
-  test("sequence packing preserves every document and fills bins to the budget") {
+  test("sequence packing preserves every document; bins are valid start-offset buckets") {
+    // Only assert TRUE invariants of bin = floor(start_offset / budget):
+    // a doc longer than the budget legally skips bins (no contiguity), and
+    // fill level depends on doc-length distribution (no near-budget bound) —
+    // fixture-dependent asserts on those would break on regenerated data.
     val packed = SparkEntry.queries("q68_seq_packing")(spark, dir)
     val nDocs = packed.agg(sum(col("n_docs"))).head().getLong(0)
     assert(nDocs === Fixtures.documents(spark, dir).count())
-    // bins are contiguous 0..max per lang (no gaps: each bin's start offset
-    // is the previous cumulative total)
+    // every lang starts at bin 0 (first doc's start offset is 0)...
+    assert(packed.groupBy(col("lang")).agg(min(col("bin")).as("mn"))
+      .filter(col("mn") =!= 0).isEmpty)
+    // ...and the max bin is bounded by the lang's total tokens / budget
     val bad = packed.groupBy(col("lang"))
-      .agg(max(col("bin")).as("mx"), count(lit(1)).as("c"))
-      .filter(col("mx") =!= col("c") - 1)
+      .agg(max(col("bin")).as("mx"), sum(col("sum_tokens")).as("tot"))
+      .filter(col("mx") > col("tot") / lit(256))
     assert(bad.isEmpty)
-    // every bin except a lang's last holds at least the budget's worth of
-    // starts: sum_tokens ≥ budget − (last doc spillover) is loose; the
-    // sharp invariant is that a NEW bin only opens once the previous bin's
-    // start offsets passed the budget — equivalently each non-final bin's
-    // cumulative token span ≥ 256.
-    val spans = packed.withColumn("is_last",
-        col("bin") === max(col("bin")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))))
-      .filter(!col("is_last"))
-    assert(spans.filter(col("sum_tokens") < lit(256) - lit(100)).isEmpty,
-      "non-final bins should be near the token budget")
   }
 
   test("repetition fractions are in (0,1] and top_word_frac ≥ 1/n_tokens") {
