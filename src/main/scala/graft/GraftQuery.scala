@@ -30,5 +30,6 @@ object GraftQuery {
       operators.Sessionize.queries ++
       operators.Curation.queries ++
       operators.RangeJoin.queries ++
-      operators.Sketches.queries
+      operators.Sketches.queries ++
+      operators.Layout.queries
 }
