@@ -20,9 +20,12 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf.values.forall(_.size == 5), "k results per query")
     val recall = brute.keys.toSeq
       .map(q => ivf(q).intersect(brute(q)).size / 5.0).sum / brute.size
-    info(f"IVF recall@5 = $recall%.2f (nlist=16, nprobe=4)")
-    // nprobe/nlist = 1/4 of cells scanned; random-vector recall floor.
-    assert(recall >= 0.2, f"recall $recall%.2f below floor")
+    info(f"IVF recall@5 = $recall%.2f (nlist=16, nprobe=4, 1 Lloyd iter)")
+    // nprobe/nlist = 1/4 of cells scanned; one Lloyd refinement lifts the
+    // seed-centroid recall from ~0.2 to ~0.94 on the fixture — floor set
+    // well below the measured value but far above the unrefined index, so a
+    // regression to seed-quality centroids fails loudly.
+    assert(recall >= 0.6, f"recall $recall%.2f below floor")
   }
 
   test("LSH bucketing is deterministic and distributes vectors") {
