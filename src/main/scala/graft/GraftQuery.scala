@@ -31,5 +31,6 @@ object GraftQuery {
       operators.Curation.queries ++
       operators.RangeJoin.queries ++
       operators.Sketches.queries ++
-      operators.Layout.queries
+      operators.Layout.queries ++
+      operators.Profile.queries
 }

@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.{Fixtures, GraftQuery}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Dataset profiling — [EXT]: the per-column statistics pass every
+  * large-scale ingestion runs before training (null rates, ranges,
+  * checksums) to catch schema drift and corrupt loads.
+  *
+  * Scale shape: ONE full-scan aggregate computes every metric for every
+  * profiled column map-side (a single partial-agg row per task), then a
+  * codegen'd `stack` unpivots the 1-row result into the (column, metrics)
+  * report — the scan is never repeated per column, which is the difference
+  * between profiling at 100 TB in one pass and in N.
+  *
+  * Determinism: numeric metrics are cast to DECIMAL before aggregation
+  * (order-free sums) and emitted as DECIMAL, matching the oracle digit for
+  * digit.
+  */
+object Profile {
+
+  private val Dec = DecimalType(18, 2)
+
+  // ---------------------------------------------------------------- q71
+  private def q71(s: SparkSession, dir: String): DataFrame = {
+    val li = Fixtures.lineitem(s, dir)
+    def m(c: String, p: String) = Seq(
+      (count(lit(1)) - count(col(c))).as(s"${p}_nulls"),
+      min(col(c).cast(Dec)).as(s"${p}_min"),
+      max(col(c).cast(Dec)).as(s"${p}_max"),
+      sum(col(c).cast(Dec)).cast(Dec).as(s"${p}_sum"))
+    val agged = li.agg(
+      (m("l_quantity", "q") ++ m("l_extendedprice", "e") ++ m("l_discount", "d")).head,
+      (m("l_quantity", "q") ++ m("l_extendedprice", "e") ++ m("l_discount", "d")).tail: _*)
+    agged.selectExpr(
+      """stack(3,
+        |  'l_discount',      d_nulls, d_min, d_max, d_sum,
+        |  'l_extendedprice', e_nulls, e_min, e_max, e_sum,
+        |  'l_quantity',      q_nulls, q_min, q_max, q_sum
+        |) as (col_name, n_nulls, vmin, vmax, vsum)""".stripMargin)
+      .orderBy(col("col_name"))
+  }
+
+  private val q71Sql = {
+    def row(c: String) =
+      s"""SELECT '$c' AS col_name,
+         |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_nulls,
+         |  CAST(MIN(CAST($c AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS vmin,
+         |  CAST(MAX(CAST($c AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS vmax,
+         |  CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS vsum
+         |FROM lineitem""".stripMargin
+    Seq("l_discount", "l_extendedprice", "l_quantity").map(row)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q71_profile", q71, Some(q71Sql)))
+}

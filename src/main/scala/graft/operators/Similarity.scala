@@ -349,7 +349,37 @@ object Similarity {
       |  CAST(MAX(abs(q)) AS BIGINT) AS qabsmax
       |FROM q GROUP BY vec_id, m ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- q72
+  // Per-label embedding centroid components (first 8 dims): the class-mean
+  // step behind centroid classifiers, cluster drift monitoring, and IVF
+  // seeding. Emitted as exact decimal (sum, count) pairs rather than means —
+  // order-free, hash-checkable, and the consumer can divide. One narrow
+  // posexplode + one map-side-combinable aggregate.
+  private def q72(s: SparkSession, dir: String): DataFrame = {
+    val el = Fixtures.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+    el.filter(col("pos") < 8)
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(round(col("x").cast("double"), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+          .cast(org.apache.spark.sql.types.DecimalType(28, 12)).as("s"),
+        count(lit(1)).as("n"))
+      .orderBy(col("label"), col("pos"))
+  }
+
+  // posexplode is 0-based, generate_subscripts 1-based → i-1.
+  private val q72Sql =
+    """WITH el AS (
+      |  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+      |         CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings)
+      |SELECT label, pos,
+      |  CAST(SUM(CAST(round(x, 9) AS DECIMAL(28,12))) AS DECIMAL(28,12)) AS s,
+      |  COUNT(*) AS n
+      |FROM el WHERE pos < 8 GROUP BY label, pos ORDER BY label, pos""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q72_label_centroids", q72, Some(q72Sql)),
     GraftQuery("q62_embed_quantize", q62, Some(q62Sql)),
     GraftQuery("q15_cosine_topk", q15, Some(q15Sql)),
     GraftQuery("q21_ann_brute", q21, Some(q21Sql)),
