@@ -22,8 +22,8 @@ object Layout {
     * non-negative ints below 2^bits; total bits must fit a long.
     */
   def zValue(cols: Seq[Column], bits: Int): Column = {
-    require(cols.nonEmpty && bits * cols.size <= 63,
-      "interleaved width must fit in a signed long")
+    require(cols.nonEmpty && bits > 0 && bits * cols.size <= 63,
+      "need >=1 column, bits >= 1, and interleaved width fitting a signed long")
     val n = cols.size
     val parts = for {
       (c, j) <- cols.zipWithIndex

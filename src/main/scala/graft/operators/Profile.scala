@@ -31,9 +31,8 @@ object Profile {
       min(col(c).cast(Dec)).as(s"${p}_min"),
       max(col(c).cast(Dec)).as(s"${p}_max"),
       sum(col(c).cast(Dec)).cast(Dec).as(s"${p}_sum"))
-    val agged = li.agg(
-      (m("l_quantity", "q") ++ m("l_extendedprice", "e") ++ m("l_discount", "d")).head,
-      (m("l_quantity", "q") ++ m("l_extendedprice", "e") ++ m("l_discount", "d")).tail: _*)
+    val ms = m("l_quantity", "q") ++ m("l_extendedprice", "e") ++ m("l_discount", "d")
+    val agged = li.agg(ms.head, ms.tail: _*)
     agged.selectExpr(
       """stack(3,
         |  'l_discount',      d_nulls, d_min, d_max, d_sum,

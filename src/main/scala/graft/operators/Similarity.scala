@@ -157,9 +157,9 @@ object Similarity {
     (index, cents)
   }
 
-  /** Seed-centroid index (no refinement) — kept as the named single-table
-    * entry point; q46's exhaustive probe uses it so its plan stays
-    * byte-comparable to q21's oracle.
+  /** Convenience API: the seed-centroid index table alone, for callers that
+    * manage probing themselves (the in-repo queries go through [[ivfTopK]],
+    * which uses [[ivfBuild]] directly).
     */
   def ivfIndex(e: DataFrame, nlist: Int): DataFrame =
     ivfBuild(e, nlist)._1
@@ -356,10 +356,12 @@ object Similarity {
   // order-free, hash-checkable, and the consumer can divide. One narrow
   // posexplode + one map-side-combinable aggregate.
   private def q72(s: SparkSession, dir: String): DataFrame = {
+    // slice BEFORE the explode: generating all 64 (pos, x) rows and
+    // filtering to 8 would blow the scan output up 8× for nothing
     val el = Fixtures.embeddings(s, dir)
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
-    el.filter(col("pos") < 8)
-      .groupBy(col("label"), col("pos"))
+      .select(col("label"),
+        posexplode(slice(col("embedding"), 1, 8)).as(Seq("pos", "x")))
+    el.groupBy(col("label"), col("pos"))
       .agg(sum(round(col("x").cast("double"), 9)
           .cast(org.apache.spark.sql.types.DecimalType(28, 12)))
           .cast(org.apache.spark.sql.types.DecimalType(28, 12)).as("s"),
