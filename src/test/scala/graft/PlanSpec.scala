@@ -142,4 +142,18 @@ class PlanSpec extends AnyFunSuite {
     assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
       s"sketch agg should run partial+final (merge at reducers):\n${p.take(1500)}")
   }
+
+  test("q71: multi-column profile reads the table exactly once") {
+    val p = planOf("q71_profile")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"profiling must not rescan per column:\n${p.take(1500)}")
+  }
+
+  test("q70/q72: layout and centroid aggregates combine map-side (partial+final)") {
+    for (q <- Seq("q70_zorder_ranges", "q72_label_centroids")) {
+      val p = planOf(q)
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$q should partial-aggregate before the exchange:\n${p.take(1200)}")
+    }
+  }
 }
