@@ -39,6 +39,26 @@ object Sketches {
       .orderBy(col("event_type"))
   }
 
+  // ---------------------------------------------------------------- q73
+  // Mergeable approximate percentiles (Greenwald-Khanna summaries inside
+  // `approx_percentile`): the distribution-drift monitor for a 100 TB
+  // column — partial summaries combine map-side and merge across
+  // partitions/days, unlike exact percentiles (q38) which need a full sort
+  // per group. Rank error ≤ 1/accuracy; value bounds are property-tested
+  // against the exact percentiles in SketchesSpec (no DuckDB oracle:
+  // its approx_quantile uses a different sketch).
+  private def q73(s: SparkSession, dir: String): DataFrame =
+    Fixtures.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(percentile_approx(col("l_extendedprice"),
+        array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("p"))
+      .select(col("l_returnflag"),
+        col("p").getItem(0).as("p50"),
+        col("p").getItem(1).as("p95"),
+        col("p").getItem(2).as("p99"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Seq[GraftQuery] = Seq(
-    GraftQuery("q69_hll_users", q69, None))
+    GraftQuery("q69_hll_users", q69, None),
+    GraftQuery("q73_approx_percentiles", q73, None))
 }

@@ -23,6 +23,26 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("approx percentiles bracket the exact percentiles within rank tolerance") {
+    val approx = SparkEntry.queries("q73_approx_percentiles")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    // exact value at rank p ± 1% (accuracy 10000 ⇒ rank error 1e-4; the
+    // loose ±1% window keeps the test robust at tiny fixture sizes)
+    val exact = Fixtures.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, array(0.49, 0.51, 0.94, 0.96, 0.98, 1.0))").as("e"))
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[Double](1)).toMap
+    assert(approx.keySet === exact.keySet)
+    for ((k, Seq(p50, p95, p99)) <- approx) {
+      val e = exact(k)
+      assert(p50 >= e(0) && p50 <= e(1), s"$k p50=$p50 not in [${e(0)}, ${e(1)}]")
+      assert(p95 >= e(2) && p95 <= e(3), s"$k p95=$p95 not in [${e(2)}, ${e(3)}]")
+      assert(p99 >= e(4) && p99 <= e(5), s"$k p99=$p99 not in [${e(4)}, ${e(5)}]")
+    }
+  }
+
   test("sketch union is merge-associative: union of per-type sketches == whole-table sketch") {
     val e = Fixtures.events(spark, dir)
     val viaUnion = e.groupBy(col("event_type"))
