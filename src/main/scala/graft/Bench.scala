@@ -52,18 +52,25 @@ object Bench {
           None
       }
     }
+    println(renderJson(results.toSeq, errors.toSeq, reps, sfDir))
+    spark.stop()
+  }
+
+  /** The single JSON result line. Millisecond precision is load-bearing:
+    * full nanosecond doubles made the 63-query line ~3.4 kB, overflowing
+    * the harness's output tail-capture window so the line START was cut off
+    * and rounds 2–3 recorded the bench as unparseable. 3 dp keeps the line
+    * well under the window (BenchJsonSpec pins a budget per query).
+    */
+  private[graft] def renderJson(results: Seq[(String, Double)],
+      errors: Seq[(String, String)], reps: Int, sfDir: String): String = {
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    // Millisecond precision: full nanosecond doubles made the 63-query line
-    // ~3.4 kB, overflowing the driver's output tail-capture window so the
-    // line start was cut off and BENCH_r{2,3} recorded parsed:null. 3 dp
-    // keeps the whole line < 2 kB.
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    val qs = results.map { case (k, v) => jstr(k) + ":" + fmt(v) }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
-    spark.stop()
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
   }
 }

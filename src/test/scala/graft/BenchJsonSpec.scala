@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench result line is a round ARTIFACT parsed from a bounded output
+  * tail — length regressions silently void the round's performance record
+  * (it happened twice before the precision fix), so the line format is
+  * pinned here against the real query inventory.
+  */
+class BenchJsonSpec extends AnyFunSuite {
+
+  private def lineFor(names: Seq[String]): String =
+    Bench.renderJson(names.map(_ -> 123.456789012), Seq.empty, 3,
+      "/root/testdata/sf0.1")
+
+  test("bench line for the full current inventory stays far below the capture window") {
+    val line = lineFor(SparkEntry.queries.keys.toSeq)
+    assert(line.length < 2500,
+      s"bench line ${line.length} chars — approaching the ~3 kB tail window")
+  }
+
+  test("bench line is valid single-line JSON with 3-dp values and locale-proof dots") {
+    val line = lineFor(Seq("q1_filter_agg", "q2_group_agg"))
+    assert(!line.contains("\n"))
+    assert(line.contains("\"q1_filter_agg\":123.457"), line)
+    assert(!line.contains(",".concat("457")), "decimal comma would break JSON parsing")
+    // minimal structural parse without a JSON library: balanced braces,
+    // expected top-level keys present
+    assert(line.startsWith("{") && line.endsWith("}"))
+    for (k <- Seq("\"metric\"", "\"value\"", "\"unit\"", "\"reps\"",
+        "\"queries\"", "\"errors\"", "\"sf\""))
+      assert(line.contains(k), s"missing $k")
+  }
+
+  test("errors map renders with escaped strings and failed queries are excluded from total") {
+    val line = Bench.renderJson(Seq("ok_q" -> 1.0),
+      Seq("bad_q" -> "IllegalStateException"), 3, "/dir")
+    assert(line.contains("\"errors\":{\"bad_q\":\"IllegalStateException\"}"))
+    assert(line.contains("\"value\":1.000"))
+  }
+}
