@@ -459,6 +459,68 @@ object Dedup {
       |  COUNT(*) AS docs
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q74
+  // Content-defined chunking: FRAGMENT-level exact dedup, the modality the
+  // document-level passes can't see (shared headers/footers/boilerplate in
+  // otherwise-distinct documents). A token starts a new chunk when its
+  // content hash lands in 1/16 of the hash space — boundaries depend only on
+  // CONTENT, so the same fragment chunks identically wherever it appears and
+  // at whatever offset (the rsync/LBFS trick; fixed-width windows would
+  // break on a one-word insertion). Chunks seen in ≥2 distinct documents are
+  // the boilerplate report.
+  //
+  // Scale shape: narrow explode → per-doc window cumsum (partitioned by
+  // doc_id — never global) → one doc-keyed aggregate to rebuild chunks →
+  // one chunk-hash-keyed aggregate; the final shuffle carries 8-byte chunk
+  // hashes + counts, not text.
+  private def q74(s: SparkSession, dir: String): DataFrame = {
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val toks = Fixtures.documents(s, dir)
+      .select(col("doc_id"), posexplode(wsTokens(col("text"))).as(Seq("pos", "tok")))
+    val chunks = toks
+      .withColumn("b", when(pmod(hash60(col("tok")), lit(16)) === 0, 1).otherwise(0))
+      .withColumn("chunk", sum(col("b")).over(wb))
+      .groupBy(col("doc_id"), col("chunk"))
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok"))).as("ctext"),
+        count(lit(1)).as("clen"))
+    chunks.groupBy(hash60(col("ctext")).as("chunk_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_total"), min(col("clen")).as("n_toks"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("chunk_hash"))
+  }
+
+  private val q74Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents),
+      |b AS (
+      |  SELECT doc_id, pos, tok,
+      |    CASE WHEN ('0x' || substr(md5(tok), 1, 15))::BIGINT % 16 = 0
+      |         THEN 1 ELSE 0 END AS bd
+      |  FROM toks),
+      |c AS (
+      |  SELECT doc_id, pos, tok,
+      |    SUM(bd) OVER (PARTITION BY doc_id ORDER BY pos
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chunk
+      |  FROM b),
+      |ch AS (
+      |  SELECT doc_id, chunk, string_agg(tok, ' ' ORDER BY pos) AS ctext,
+      |         COUNT(*) AS clen
+      |  FROM c GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT ('0x' || substr(md5(ctext), 1, 15))::BIGINT AS chunk_hash,
+      |         COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_total,
+      |         MIN(clen) AS n_toks
+      |  FROM ch GROUP BY 1)
+      |SELECT chunk_hash, n_docs, n_total, n_toks
+      |FROM agg WHERE n_docs >= 2 ORDER BY n_docs DESC, chunk_hash""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q39_dedup_groups", q39, Some(q39Sql)),
     GraftQuery("q56_dedup_normalized", q56, Some(q56Sql)),
@@ -466,5 +528,6 @@ object Dedup {
     GraftQuery("q17_dedup_minhash_lsh", q17, Some(jaccardSql)),
     GraftQuery("q18_dedup_simhash", q18, Some(q18Sql)),
     GraftQuery("q19_dedup_ngram_jaccard", q19, Some(jaccardSql)),
-    GraftQuery("q20_dedup_embedding", q20, Some(q20Sql)))
+    GraftQuery("q20_dedup_embedding", q20, Some(q20Sql)),
+    GraftQuery("q74_chunk_dedup", q74, Some(q74Sql)))
 }
