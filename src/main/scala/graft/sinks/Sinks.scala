@@ -53,6 +53,55 @@ object Sinks {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** Incremental materialized-view maintenance: merge a micro-batch of
+    * changelog upserts into a key-hash-partitioned parquet snapshot —
+    * the persistent, queryable form of the reference's RocksDB table
+    * (`Tables.persistent`, streams/Tables.scala:110-139), maintained from
+    * `foreachBatch`.
+    *
+    * Each epoch rewrites ONLY the hash buckets the batch touches (dynamic
+    * partition overwrite), so maintenance cost scales with the delta ×
+    * bucket size, not the view size. The touched-bucket list is collected
+    * to the driver for planning-time partition pruning — bounded by
+    * `numBuckets` (a config constant), so this is IN-list pruning, not an
+    * unbounded driver materialization. Re-running a batch after a crash
+    * rewrites the same buckets with the same contents (last-write-wins by
+    * `idCol`), so the merge is idempotent per epoch.
+    */
+  def upsertView(updates: DataFrame, viewPath: String, keyCol: String,
+      idCol: String, numBuckets: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = updates.sparkSession
+    val withB = updates.withColumn("__bucket",
+      pmod(org.apache.spark.sql.functions.xxhash64(col(keyCol)), lit(numBuckets.toLong)))
+    val dir = new java.io.File(viewPath)
+    val hasView = dir.exists() &&
+      Option(dir.list()).exists(_.exists(_.startsWith("__bucket=")))
+    val all = if (hasView) {
+      val touched = withB.select(col("__bucket")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      spark.read.parquet(viewPath)
+        .filter(col("__bucket").isin(touched: _*))
+        .unionByName(withB)
+    } else withB
+    val payload = all.columns.filterNot(_ == keyCol)
+    val merged = all.groupBy(col(keyCol))
+      .agg(max_by(struct(payload.map(col): _*), col(idCol)).as("__p"))
+      .select(col(keyCol) +: payload.map(c => col("__p").getField(c).as(c)): _*)
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try merged.write.mode("overwrite").partitionBy("__bucket").parquet(viewPath)
+    finally { prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }}
+  }
+
+  /** Read a view maintained by [[upsertView]] (drops the internal bucket). */
+  def readView(spark: org.apache.spark.sql.SparkSession, viewPath: String): DataFrame =
+    spark.read.parquet(viewPath).drop("__bucket")
+
   /** Bucketed managed table: co-locates data by key at WRITE time so
     * later joins/aggregations on the bucket key plan with NO exchange —
     * the pre-partitioning strategy for repeatedly-joined 100 TB facts
