@@ -102,6 +102,15 @@ object Dedup {
           .join(s2, col("b") === col("b2") && col("sh") === col("sh2"))
           .groupBy(col("a"), col("b")).agg(count(lit(1)).as("i"))
       case None =>
+        // NOTE on posting-list pruning (measured, rejected here): dropping
+        // shingles held by exactly one document before the self-join is
+        // exactness-preserving (na/nb come from ALL shingles above) and on
+        // real long-tail text — where most shingles are unique — shrinks
+        // the candidate space by orders of magnitude; it's the right move
+        // at 100 TB. On THESE fixtures it measurably loses: 99.9% of
+        // shingles are shared (207/27k unique at sf0.1 — small synthetic
+        // vocabulary), so the extra count-per-shingle pass buys nothing.
+        // Apply it when corpus stats say unique-shingle mass dominates.
         shingles.select(col("doc_id").as("a"), col("sh"))
           .join(shingles.select(col("doc_id").as("b"), col("sh")), Seq("sh"))
           .filter(col("a") < col("b"))
