@@ -83,8 +83,7 @@ object Curation {
   // stable under corpus growth (a document's split never changes) —
   // the property random() splits lack. Pure narrow map + tiny aggregate.
   private def q64(s: SparkSession, dir: String): DataFrame = {
-    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-      .cast("long") % 100
+    val bucket = md5Bucket(col("doc_id"))
     val split = when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
     Fixtures.documents(s, dir)
       .select(col("lang"), split.as("split"))
@@ -163,14 +162,20 @@ object Curation {
     * partitioning), stable under corpus growth, and a pure narrow map — the
     * standard way to rebalance language/source mixes in a training corpus.
     */
+  /** Deterministic 0–99 bucket from an id column. ONE copy of the
+    * cross-engine-sensitive formula (q64 split + q67 sampling both use it):
+    * it must stay bit-identical to the oracle side's
+    * `('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 4))::BIGINT % 100`.
+    */
+  private def md5Bucket(idCol: Column): Column =
+    conv(substring(md5(idCol.cast("string")), 1, 4), 16, 10).cast("long") % 100
+
   def stratumKeep(idCol: Column, stratum: Column, pctByStratum: Map[String, Int],
       defaultPct: Int): Column = {
-    val bucket = conv(substring(md5(idCol.cast("string")), 1, 4), 16, 10)
-      .cast("long") % 100
     val pct = pctByStratum.foldLeft(lit(defaultPct)) {
       case (acc, (k, p)) => when(stratum === k, lit(p)).otherwise(acc)
     }
-    bucket < pct
+    md5Bucket(idCol) < pct
   }
 
   // Downsample dominant-language English to 10%, keep 50% of the rest —

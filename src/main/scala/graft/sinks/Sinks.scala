@@ -71,31 +71,46 @@ object Sinks {
   def upsertView(updates: DataFrame, viewPath: String, keyCol: String,
       idCol: String, numBuckets: Int): Unit = {
     import org.apache.spark.sql.functions._
+    // `__bucket` is reserved for the view's internal hash-partition column —
+    // failing fast beats silently overwriting (and later dropping) user data.
+    require(!updates.columns.contains("__bucket"),
+      "updates must not carry a '__bucket' column (reserved by upsertView)")
     val spark = updates.sparkSession
     val withB = updates.withColumn("__bucket",
       pmod(org.apache.spark.sql.functions.xxhash64(col(keyCol)), lit(numBuckets.toLong)))
-    val dir = new java.io.File(viewPath)
-    val hasView = dir.exists() &&
-      Option(dir.list()).exists(_.exists(_.startsWith("__bucket=")))
-    val all = if (hasView) {
-      val touched = withB.select(col("__bucket")).distinct()
-        .collect().map(_.getLong(0)).toSeq
-      spark.read.parquet(viewPath)
-        .filter(col("__bucket").isin(touched: _*))
-        .unionByName(withB)
-    } else withB
-    val payload = all.columns.filterNot(_ == keyCol)
-    val merged = all.groupBy(col(keyCol))
-      .agg(max_by(struct(payload.map(col): _*), col(idCol)).as("__p"))
-      .select(col(keyCol) +: payload.map(c => col("__p").getField(c).as(c)): _*)
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try merged.write.mode("overwrite").partitionBy("__bucket").parquet(viewPath)
-    finally { prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }}
+    // The batch lineage is consumed twice (touched-bucket collect + merge
+    // write); persist so a transformWithState-derived micro-batch isn't
+    // recomputed per use.
+    withB.persist()
+    try {
+      // existence via the Hadoop FS layer, same as the write/read side — a
+      // java.io.File check silently returns false for s3a://hdfs://file:/
+      // URIs, which would make every epoch overwrite (i.e. DELETE) the
+      // previously stored keys of its touched buckets.
+      val p = new org.apache.hadoop.fs.Path(viewPath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val hasView = fs.exists(p) &&
+        fs.listStatus(p).exists(_.getPath.getName.startsWith("__bucket="))
+      val all = if (hasView) {
+        val touched = withB.select(col("__bucket")).distinct()
+          .collect().map(_.getLong(0)).toSeq
+        spark.read.parquet(viewPath)
+          .filter(col("__bucket").isin(touched: _*))
+          .unionByName(withB)
+      } else withB
+      val payload = all.columns.filterNot(_ == keyCol)
+      val merged = all.groupBy(col(keyCol))
+        .agg(max_by(struct(payload.map(col): _*), col(idCol)).as("__p"))
+        .select(col(keyCol) +: payload.map(c => col("__p").getField(c).as(c)): _*)
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "dynamic")
+      try merged.write.mode("overwrite").partitionBy("__bucket").parquet(viewPath)
+      finally { prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }}
+    } finally withB.unpersist()
   }
 
   /** Read a view maintained by [[upsertView]] (drops the internal bucket). */
