@@ -358,7 +358,66 @@ object TextAnalysis {
        |GROUP BY phrase ORDER BY phrase""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q75
+  // Bigram conditional log-probability scoring — the KenLM-style perplexity
+  // filter (CCNet's quality signal) one order up from q51's unigram LM:
+  // score each document by mean ln P(wᵢ | wᵢ₋₁) with Laplace smoothing,
+  // P(w|prev) = (c(prev,w) + 1) / (c(prev,·) + V), from corpus-derived
+  // counts. Scale shape: bigrams built with array ops (no self-join), two
+  // count shuffles + the scoring equi-join on the bigram; only the 1-row
+  // vocabulary size is pinned broadcast — the LM table is unbounded and
+  // stays AQE-decided (same contract as q40/q51). Per-bigram log-probs are
+  // rounded to 9 dp and summed as DECIMAL — order-free, hash-checked.
+  private def q75(s: SparkSession, dir: String): DataFrame = {
+    val DEC = org.apache.spark.sql.types.DecimalType(28, 12)
+    val toksArr = wsTokens(col("text"))
+    val n = size(toksArr)
+    val bgs = zip_with(slice(toksArr, lit(1), greatest(n - 1, lit(0))),
+      slice(toksArr, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    // materialized once: feeds the bigram LM AND the scoring join
+    val docsB = Fixtures.documents(s, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(bgs).as("bg"))
+      .localCheckpoint()
+    val vocab = Fixtures.documents(s, dir)
+      .select(explode(wsTokens(col("text"))).as("term"))
+      .agg(countDistinct(col("term")).as("v")) // 1 row, safe to pin
+    val bc = docsB.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+      .withColumn("prev", substring_index(col("bg"), " ", 1))
+    val pc = bc.groupBy(col("prev")).agg(sum(col("cb")).as("cp"))
+    val lm = bc.join(pc, "prev").crossJoin(broadcast(vocab))
+      .select(col("bg"),
+        round(log((col("cb") + 1).cast("double") / (col("cp") + col("v"))), 9)
+          .cast(DEC).as("lp"))
+    docsB.join(lm, "bg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        graft.functions.Rounding.stable(
+          sum(col("lp")).cast("double") / count(lit(1)), 4).as("avg_logp"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q75Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents),
+      |v AS (SELECT COUNT(DISTINCT term) AS v FROM toks),
+      |bg AS (SELECT a.doc_id, a.term || ' ' || b.term AS bg
+      |       FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+      |bc AS (SELECT bg, COUNT(*) AS cb FROM bg GROUP BY 1),
+      |pc AS (SELECT split_part(bg, ' ', 1) AS prev, SUM(cb) AS cp FROM bc GROUP BY 1),
+      |lm AS (
+      |  SELECT bc.bg,
+      |    CAST(round(ln(CAST(cb + 1 AS DOUBLE) / (pc.cp + v.v)), 9) AS DECIMAL(28,12)) AS lp
+      |  FROM bc JOIN pc ON split_part(bc.bg, ' ', 1) = pc.prev CROSS JOIN v)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  floor(CAST(SUM(lp) AS DOUBLE) / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS avg_logp
+      |FROM bg JOIN lm USING (bg)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q75_bigram_logprob", q75, Some(q75Sql)),
     GraftQuery("q40_tfidf_topterms", q40, Some(q40Sql)),
     GraftQuery("q41_quality_filter", q41, Some(q41Sql)),
     GraftQuery("q16_text_stats", q16, Some(q16Sql)),
