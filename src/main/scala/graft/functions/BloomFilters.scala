@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+
+/** Bloom-filter join pruning — [EXT]: the engine-facing wrapper around
+  * Spark's own runtime-filter machinery (`BloomFilterAggregate` /
+  * `BloomFilterMightContain`, the codegen'd expressions behind
+  * `spark.sql.optimizer.runtime.bloomFilter.enabled`), exposed as an
+  * explicit operator for when the optimizer can't see the opportunity —
+  * e.g. the filter is built in one job and applied in another, or the
+  * build side is the output of a non-equi pipeline stage.
+  *
+  * The 100-TB shape: a semi-join whose "small" side has millions of keys
+  * is too big to broadcast as rows, but its bloom filter is a few MB —
+  * build it with one distributed aggregate, ship the bytes, and drop
+  * non-matching rows of the big side BEFORE the shuffle the exact join
+  * needs. Bloom filters have no false negatives, so prefilter + exact
+  * confirm-join returns exactly the semi-join answer; the false-positive
+  * rate only costs shuffled bytes (fpp ~ 3% at the default sizing).
+  *
+  * `mightContain` requires the filter as a CONSTANT (Spark's analyzer
+  * rejects a non-foldable bloom side) — the collect-then-literal round
+  * trip here is the same driver hop Spark's `InjectRuntimeFilter` takes
+  * via its scalar subquery.
+  */
+object BloomFilters {
+
+  /** Aggregate Column: serialized bloom filter over `xxhash64(key)`.
+    * `numBits` defaults to Spark's own sizing (`numItems * 8`, capped by
+    * the runtime-filter max) — pass explicitly when the key cardinality
+    * estimate is off.
+    */
+  def bloomAgg(key: Column, numItems: Long, numBits: Long): Column =
+    ColumnBridge.column(new BloomFilterAggregate(
+      ColumnBridge.expression(xxhash64(key)),
+      ColumnBridge.expression(lit(numItems)),
+      ColumnBridge.expression(lit(numBits))).toAggregateExpression())
+
+  /** Build the filter bytes from the build side (one distributed agg +
+    * a single-row collect — the scalar-subquery hop).
+    */
+  def build(buildSide: DataFrame, key: Column, numItems: Long, numBits: Long): Array[Byte] =
+    buildSide.agg(bloomAgg(key, numItems, numBits).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+
+  /** Predicate Column: `might_contain(filterBytes, xxhash64(key))` —
+    * false ⇒ the key is definitely not in the build side.
+    */
+  def mightContain(filterBytes: Array[Byte], key: Column): Column =
+    ColumnBridge.column(BloomFilterMightContain(
+      ColumnBridge.expression(lit(filterBytes)),
+      ColumnBridge.expression(xxhash64(key))))
+
+  /** Bloom-accelerated left-semi join: prefilter `big` with the build
+    * side's bloom filter, then confirm with the exact semi-join (removes
+    * the false positives). Same answer as `big.join(small, cond,
+    * "left_semi")`, shuffling only the prefiltered survivors.
+    */
+  def semiJoin(big: DataFrame, bigKey: Column, small: DataFrame, smallKey: Column,
+      numItems: Long, numBits: Long): DataFrame = {
+    val bytes = build(small, smallKey, numItems, numBits)
+    big.filter(mightContain(bytes, bigKey))
+      .join(small, bigKey === smallKey, "left_semi")
+  }
+}

@@ -210,7 +210,60 @@ object Multimodal {
       |  COUNT(*) AS n_frames
       |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q82
+  // Audio-style windowing — the VAD (voice-activity-detection) shape over
+  // an opaque audio blob: overlapping analysis windows (32 bytes, hop 16),
+  // per-window energy, active/silent classification, per-clip rollup.
+  // STUB decode as everywhere in this module: byte value plays the PCM
+  // sample (a real codec feeds real samples through the SAME plan — the
+  // window/energy/classify plumbing doesn't change).
+  //
+  // Shape: narrow end to end until the final per-doc aggregate, and the
+  // overlap costs nothing extra — energies are computed once per
+  // NON-overlapping 16-byte block, then each window is the sum of two
+  // adjacent blocks (zip_with over slices). Integer sums → exact oracle.
+  private val AudioWindowEnergyThreshold = 2900L // ≈ mean byte 90 × 32
+  private def q82(s: SparkSession, dir: String): DataFrame = {
+    val b = blobs(Fixtures.documents(s, dir)).filter(col("meta.n_bytes") >= 32)
+    // ASCII fixtures: decode(media) is byte-identical to the text (q29
+    // note), and ascii() reads one "sample"
+    val txt = decode(col("media"), "UTF-8")
+    val nBlocks = (length(txt) / 16).cast("int")
+    val blocks = transform(sequence(lit(0), nBlocks - 1), i =>
+      aggregate(sequence(lit(1), lit(16)), lit(0L),
+        (acc, j) => acc + ascii(txt.substr(i * lit(16) + j, lit(1)))))
+    val energies = zip_with(
+      slice(blocks, lit(1), greatest(nBlocks - 1, lit(0))),
+      slice(blocks, lit(2), greatest(nBlocks - 1, lit(0))),
+      (x, y) => x + y)
+    b.select(col("doc_id"), energies.as("en"))
+      .select(col("doc_id"),
+        size(col("en")).cast("long").as("n_windows"),
+        size(filter(col("en"), e => e >= AudioWindowEnergyThreshold))
+          .cast("long").as("n_active"),
+        aggregate(col("en"), lit(0L), (acc, e) => acc + e).as("total_energy"))
+      .filter(col("n_windows") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q82Sql =
+    s"""WITH pos AS (
+       |  SELECT doc_id, unnest(generate_series(1, (len(text) // 16) * 16)) AS p, text
+       |  FROM documents WHERE n_chars >= 32),
+       |blk AS (
+       |  SELECT doc_id, (p - 1) // 16 AS b, SUM(ascii(substr(text, p, 1))) AS s
+       |  FROM pos GROUP BY 1, 2),
+       |win AS (
+       |  SELECT a.doc_id, a.s + c.s AS energy
+       |  FROM blk a JOIN blk c ON a.doc_id = c.doc_id AND c.b = a.b + 1)
+       |SELECT doc_id, COUNT(*) AS n_windows,
+       |  CAST(SUM(CASE WHEN energy >= $AudioWindowEnergyThreshold THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_active,
+       |  CAST(SUM(energy) AS BIGINT) AS total_energy
+       |FROM win GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q82_audio_windows", q82, Some(q82Sql)),
     GraftQuery("q61_video_signature", q61, Some(q61Sql)),
     GraftQuery("q28_media_meta", q28, Some(q28Sql)),
     GraftQuery("q29_frame_sample", q29, Some(q29Sql)),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Fixtures, GraftQuery}
+import graft.functions.BloomFilters
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -58,7 +59,154 @@ object Sketches {
         col("p").getItem(2).as("p99"))
       .orderBy(col("l_returnflag"))
 
+  // ---------------------------------------------------------------- q76
+  // Theta sketches — the set-ALGEBRA sketch (union/intersection/difference;
+  // HLL unions only). One conditional-aggregate scan builds both cohort
+  // sketches; the set ops are scalar expressions over the two binaries.
+  //
+  // Oracle-checkable BY DESIGN, not luck: a theta sketch stays in exact
+  // (unsampled) mode until its nominal 4096 entries fill, and every fixture
+  // cohort is far below that, so estimates ARE the exact distinct counts at
+  // every SF. At 100 TB cohorts exceed 4096 and estimates go ±1.6% — the
+  // SketchesSpec exactness assertion documents the regime boundary.
+  private def q76(s: SparkSession, dir: String): DataFrame = {
+    val e = Fixtures.events(s, dir)
+    e.agg(
+      theta_sketch_agg(when(col("event_type") === "click", col("user_id"))).as("a"),
+      theta_sketch_agg(when(col("event_type") === "view", col("user_id"))).as("b"))
+      .select(
+        theta_sketch_estimate(col("a")).as("n_click"),
+        theta_sketch_estimate(col("b")).as("n_view"),
+        theta_sketch_estimate(call_function("theta_union", col("a"), col("b"))).as("n_union"),
+        theta_sketch_estimate(call_function("theta_intersection", col("a"), col("b"))).as("n_both"),
+        theta_sketch_estimate(call_function("theta_difference", col("a"), col("b"))).as("n_click_only"))
+  }
+
+  private val q76Sql =
+    """SELECT
+      |  (SELECT COUNT(DISTINCT user_id) FROM events WHERE event_type = 'click') AS n_click,
+      |  (SELECT COUNT(DISTINCT user_id) FROM events WHERE event_type = 'view') AS n_view,
+      |  (SELECT COUNT(DISTINCT user_id) FROM events
+      |   WHERE event_type IN ('click', 'view')) AS n_union,
+      |  (SELECT COUNT(*) FROM
+      |    (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+      |     INTERSECT SELECT DISTINCT user_id FROM events WHERE event_type = 'view')) AS n_both,
+      |  (SELECT COUNT(*) FROM
+      |    (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+      |     EXCEPT SELECT DISTINCT user_id FROM events WHERE event_type = 'view')) AS n_click_only""".stripMargin
+
+  // ---------------------------------------------------------------- q77
+  // Bloom-prefiltered semi-join (Spark's runtime-filter machinery as an
+  // explicit operator, cf. BloomFilters scaladoc): orders placed by one
+  // nation's customers. The build side's keys become a KB-scale bloom
+  // filter; the orders scan drops foreign rows BEFORE the exact confirm
+  // semi-join — at 100 TB that prefilter is the difference between
+  // shuffling the full fact table and shuffling ~1/25 of it.
+  // Exact answer (bloom has no false negatives; the confirm join removes
+  // false positives) → full DuckDB oracle. DECIMAL revenue: order-free sum.
+  private def q77(s: SparkSession, dir: String): DataFrame = {
+    val cust = Fixtures.customer(s, dir)
+      .filter(col("c_nationkey") === 7).select(col("c_custkey"))
+    BloomFilters.semiJoin(
+      Fixtures.orders(s, dir), col("o_custkey"),
+      cust, col("c_custkey"),
+      numItems = 10000L, numBits = 8L * 10000L)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val q77Sql =
+    """SELECT o_orderstatus, COUNT(*) AS n_orders,
+      |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+      |FROM orders WHERE o_custkey IN
+      |  (SELECT c_custkey FROM customer WHERE c_nationkey = 7)
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // ---------------------------------------------------------------- q78
+  // Count-min sketch point-frequency estimates. The sketch build is the
+  // distributed part (mergeable cell-wise, order-free, deterministic for a
+  // fixed seed); probing the handful of monitored keys is O(keys) driver
+  // work — the "how many times did THIS value occur" monitoring pattern
+  // where the stream is huge but the watch list is tiny.
+  //
+  // Oracle-checkable: CMS only ever OVER-counts, and with width 2/eps =
+  // 20000 cells against a single-digit key universe a collision in all
+  // depth rows is impossible in practice — estimates equal exact counts at
+  // every SF (validated; the ≥ bound is the spec's property).
+  private def q78(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Fixtures.events(s, dir)
+    val bytes = e.agg(count_min_sketch(col("event_type"),
+      lit(1.0e-4), lit(0.999), lit(42)).as("sk")).head().getAs[Array[Byte]]("sk")
+    val sk = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+    // watch list: the known event types (driver-side constant, like any
+    // monitoring dashboard's key list)
+    val watch = Seq("click", "view", "purchase", "signup", "error")
+    watch.map(t => (t, sk.estimateCount(t))).toDF("event_type", "est_n")
+      .orderBy(col("event_type"))
+  }
+
+  private val q78Sql =
+    """SELECT event_type, COUNT(*) AS est_n FROM events
+      |WHERE event_type IN ('click', 'view', 'purchase', 'signup', 'error')
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q79
+  // Heavy hitters via DataSketches frequent-items — the explicit TWO-PHASE
+  // form (accumulate per language shard → combine → estimate) that a
+  // 100-TB corpus runs: per-shard sketches merge in a tiny reduce instead
+  // of re-shuffling token counts. maxItemsTracked (1024) far exceeds the
+  // fixture vocabulary, so no eviction ever fires and counts are exact
+  // (the regime boundary the spec pins); the top-20 cut is re-ranked
+  // (count DESC, term) for a deterministic, oracle-matchable order.
+  private def q79(s: SparkSession, dir: String): DataFrame = {
+    val words = Fixtures.documents(s, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+    words.groupBy(col("lang"))
+      .agg(call_function("approx_top_k_accumulate", col("term"), lit(1024)).as("st"))
+      .agg(call_function("approx_top_k_combine", col("st"), lit(1024)).as("st"))
+      .select(explode(call_function("approx_top_k_estimate", col("st"), lit(31))).as("e"))
+      .select(col("e.item").as("term"), col("e.count").as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(20)
+  }
+
+  private val q79Sql =
+    """WITH toks AS (
+      |  SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+      |SELECT term, COUNT(*) AS n FROM toks GROUP BY term
+      |ORDER BY n DESC, term LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q80
+  // KLL quantile sketches — mergeable value-distribution summaries (the
+  // DataSketches cousin of q73's Greenwald-Khanna): per-type sketches roll
+  // up to the ALL row by MERGE, not rescan. KLL compaction is randomized,
+  // so estimates carry rank error (~1.65% at the default k) and can vary
+  // run to run → rows-only driver check; SketchesSpec brackets every
+  // estimate between exact percentiles at ±3% rank.
+  private def q80(s: SparkSession, dir: String): DataFrame = {
+    val e = Fixtures.events(s, dir)
+    val perType = e.groupBy(col("event_type"))
+      .agg(call_function("kll_sketch_agg_double", col("value")).as("sk"))
+    val all = perType.agg(call_function("kll_merge_agg_double", col("sk")).as("sk"))
+      .select(lit("ALL").as("event_type"), col("sk"))
+    perType.unionByName(all)
+      .select(col("event_type"),
+        call_function("kll_sketch_get_quantile_double", col("sk"), lit(0.5)).as("p50"),
+        call_function("kll_sketch_get_quantile_double", col("sk"), lit(0.95)).as("p95"),
+        call_function("kll_sketch_get_quantile_double", col("sk"), lit(0.99)).as("p99"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q69_hll_users", q69, None),
-    GraftQuery("q73_approx_percentiles", q73, None))
+    GraftQuery("q73_approx_percentiles", q73, None),
+    GraftQuery("q76_theta_setops", q76, Some(q76Sql)),
+    GraftQuery("q77_bloom_semijoin", q77, Some(q77Sql)),
+    GraftQuery("q78_cms_freq", q78, Some(q78Sql)),
+    GraftQuery("q79_topk_terms", q79, Some(q79Sql)),
+    GraftQuery("q80_kll_quantiles", q80, None))
 }

@@ -416,7 +416,38 @@ object TextAnalysis {
       |FROM bg JOIN lm USING (bg)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q81
+  // Blocklist-term redaction — the PII/sensitive-string scrub stage of a
+  // training-data pipeline (emails, phone numbers, credential-shaped
+  // strings; this corpus has none, so the blocklist is term-based — the
+  // regex machinery is identical). Pure narrow map: regexp_count for the
+  // audit count, regexp_replace + fingerprint for the redacted artifact.
+  // The pattern stays in the RE2 ∩ java.util.regex common dialect
+  // (alternation, \b word boundaries) so both engines match identically.
+  private val redactPattern = "\\b(customer|spark|vector)\\b"
+  private def q81(s: SparkSession, dir: String): DataFrame =
+    Fixtures.documents(s, dir)
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(redactPattern)).cast("long").as("n_redacted"),
+        substring(md5(regexp_replace(col("text"), redactPattern, "<TERM>")), 1, 12)
+          .as("redacted_sig"))
+      .filter(col("n_redacted") > 0)
+      .orderBy(col("doc_id"))
+
+  // NB: DuckDB string literals are standard-conforming (no backslash
+  // escapes), so the Scala-level pattern interpolates verbatim — `\b`
+  // must arrive at RE2 as a single backslash + b.
+  private val q81Sql =
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$redactPattern')) AS BIGINT) AS n_redacted,
+       |  substr(md5(regexp_replace(text, '$redactPattern', '<TERM>', 'g')), 1, 12)
+       |    AS redacted_sig
+       |FROM documents
+       |WHERE len(regexp_extract_all(text, '$redactPattern')) > 0
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q81_redaction", q81, Some(q81Sql)),
     GraftQuery("q75_bigram_logprob", q75, Some(q75Sql)),
     GraftQuery("q40_tfidf_topterms", q40, Some(q40Sql)),
     GraftQuery("q41_quality_filter", q41, Some(q41Sql)),

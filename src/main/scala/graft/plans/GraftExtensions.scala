@@ -22,6 +22,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("binary_record_decode"),
       new ExpressionInfo(classOf[BinaryRecordDecode].getName, "binary_record_decode"),
       (exprs: Seq[Expression]) => BinaryRecordDecode(exprs.head)))
+    // Spark keeps BloomFilterMightContain internal (runtime filters only);
+    // surfacing it lets SQL users apply a pre-built filter:
+    // `might_contain(bf_bytes, xxhash64(key))` (cf. functions.BloomFilters)
+    e.injectFunction((
+      new FunctionIdentifier("might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "might_contain"),
+      (exprs: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs.head, exprs(1))))
     // user-written HOF dot products silently get the codegen'd loop
     e.injectOptimizerRule(_ => VectorDotRewrite)
   }

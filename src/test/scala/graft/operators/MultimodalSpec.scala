@@ -39,6 +39,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(n <= 32)
   }
 
+  test("audio window energies equal direct 32-byte window sums (block-overlap decomposition)") {
+    // q82 computes each overlapping window as the sum of two adjacent
+    // 16-byte block sums — verify against the naive per-window sum on a
+    // locally computed reference for real fixture docs.
+    val docs = Fixtures.documents(spark, TestSpark.sf0001)
+      .filter(col("n_chars") >= 32)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = graft.SparkEntry.queries("q82_audio_windows")(spark, TestSpark.sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(got.keySet === docs.keySet)
+    for ((id, text) <- docs) {
+      val bytes = text.getBytes("UTF-8").map(_ & 0xff)
+      val usable = (bytes.length / 16) * 16
+      val wins = (0 to usable - 32 by 16).map(st => bytes.slice(st, st + 32).map(_.toLong).sum)
+      assert(got(id)._1 === wins.length.toLong, s"doc $id window count")
+      assert(got(id)._2 === wins.sum, s"doc $id total energy")
+    }
+  }
+
   test("batched mapPartitions decode emits one decoded row per blob") {
     import spark.implicits._
     val rows = Multimodal.blobs(Fixtures.documents(spark, TestSpark.sf0001))

@@ -43,6 +43,67 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("theta set-op estimates are EXACT below the sketch's nominal entries (unsampled mode)") {
+    // The q76 oracle depends on this regime: no fixture cohort reaches the
+    // 4096-entry nominal, so estimate == exact distinct for every set op.
+    val r = SparkEntry.queries("q76_theta_setops")(spark, dir).head()
+    val e = Fixtures.events(spark, dir)
+    def exact(cond: org.apache.spark.sql.Column) =
+      e.filter(cond).select(countDistinct(col("user_id"))).head().getLong(0)
+    val click = exact(col("event_type") === "click")
+    val view = exact(col("event_type") === "view")
+    val union = exact(col("event_type").isin("click", "view"))
+    assert(r.getLong(0) === click)
+    assert(r.getLong(1) === view)
+    assert(r.getLong(2) === union)
+    assert(r.getLong(3) === click + view - union, "inclusion-exclusion intersection")
+    assert(r.getLong(4) === union - view, "difference = union minus view side")
+  }
+
+  test("CMS estimates never under-count and hit exactly on a small key universe") {
+    val est = SparkEntry.queries("q78_cms_freq")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Fixtures.events(spark, dir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((k, ex) <- exact) {
+      assert(est(k) >= ex, s"$k: CMS must never under-count (${est(k)} < $ex)")
+      assert(est(k) === ex, s"$k: 20000-cell width over a 5-key universe must be exact")
+    }
+  }
+
+  test("approx_top_k with capacity above the vocabulary returns the exact top-k") {
+    val got = SparkEntry.queries("q79_topk_terms")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val exact = Fixtures.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term")).limit(20)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === exact)
+  }
+
+  test("KLL quantile estimates bracket exact percentiles within rank tolerance") {
+    val approx = SparkEntry.queries("q80_kll_quantiles")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val e = Fixtures.events(spark, dir)
+    // exact values at rank p ± 3% (default k=200 ⇒ ~1.65% rank error)
+    val brackets = e.groupBy(col("event_type"))
+      .agg(expr("percentile(value, array(0.47, 0.53, 0.92, 0.98, 0.96, 1.0))").as("b"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap +
+      ("ALL" -> e.agg(
+        expr("percentile(value, array(0.47, 0.53, 0.92, 0.98, 0.96, 1.0))"))
+        .head().getSeq[Double](0))
+    assert(approx.keySet === brackets.keySet)
+    for ((k, Seq(p50, p95, p99)) <- approx) {
+      val b = brackets(k)
+      assert(p50 >= b(0) && p50 <= b(1), s"$k p50=$p50 not in [${b(0)}, ${b(1)}]")
+      assert(p95 >= b(2) && p95 <= b(3), s"$k p95=$p95 not in [${b(2)}, ${b(3)}]")
+      assert(p99 >= b(4) && p99 <= b(5), s"$k p99=$p99 not in [${b(4)}, ${b(5)}]")
+    }
+  }
+
   test("sketch union is merge-associative: union of per-type sketches == whole-table sketch") {
     val e = Fixtures.events(spark, dir)
     val viaUnion = e.groupBy(col("event_type"))

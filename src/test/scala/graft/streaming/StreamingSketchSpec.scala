@@ -42,4 +42,29 @@ class StreamingSketchSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(streamed === batch)
   }
+
+  test("streaming theta sketch estimates equal the batch run (exact mode)") {
+    val replayDir = Files.createTempDirectory("graft-theta").toString
+    val ev = Fixtures.events(spark, TestSpark.sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    ev.repartition(4).write.mode("append").parquet(replayDir)
+    val schema = spark.read.parquet(replayDir).schema
+
+    val stream = Sources.fileStream(spark, replayDir, schema, maxFilesPerTrigger = 1)
+    val agg = stream.groupBy(col("event_type"))
+      .agg(theta_sketch_agg(col("user_id")).as("sk"))
+      .select(col("event_type"), theta_sketch_estimate(col("sk")).as("est"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("theta_out").start()
+    q.processAllAvailable()
+    val streamed = spark.table("theta_out")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    q.stop()
+
+    val batch = Fixtures.events(spark, TestSpark.sf0001)
+      .groupBy(col("event_type"))
+      .agg(theta_sketch_estimate(theta_sketch_agg(col("user_id"))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed === batch)
+  }
 }
