@@ -156,4 +156,36 @@ class PlanSpec extends AnyFunSuite {
         s"$q should partial-aggregate before the exchange:\n${p.take(1200)}")
     }
   }
+
+  test("q76: both theta cohort sketches build from ONE events scan (conditional agg)") {
+    val p = planOf("q76_theta_setops")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"cohort sketches must share a single scan, not one scan per cohort:\n${p.take(1500)}")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"theta sketches should merge partial+final:\n${p.take(1500)}")
+  }
+
+  test("q77: bloom prefilter is applied to the orders scan before the confirm join") {
+    val p = planOf("q77_bloom_semijoin")
+    assert(p.contains("might_contain"),
+      s"bloom might_contain must appear in the physical plan:\n${p.take(1500)}")
+    val filterIdx = p.indexOf("might_contain")
+    val joinIdx = p.indexOf("Join")
+    assert(joinIdx >= 0 && filterIdx > joinIdx,
+      "prefilter must sit below the join in the plan tree (printed after it)")
+  }
+
+  test("q79: heavy hitters accumulate partially per shard before one combine") {
+    val p = planOf("q79_topk_terms")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"two-phase top-k must not rescan the corpus:\n${p.take(1500)}")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"approx_top_k should run partial+final:\n${p.take(1500)}")
+  }
+
+  test("q80: KLL sketches aggregate partially before the shuffle (mergeable)") {
+    val p = planOf("q80_kll_quantiles")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"KLL agg should run partial+final:\n${p.take(1500)}")
+  }
 }
