@@ -530,7 +530,54 @@ object Dedup {
       |SELECT chunk_hash, n_docs, n_total, n_toks
       |FROM agg WHERE n_docs >= 2 ORDER BY n_docs DESC, chunk_hash""".stripMargin
 
+  // ---------------------------------------------------------------- q83
+  // Asymmetric containment C(a→b) = |A∩B| / |A| over distinct 3-gram
+  // shingle sets: flags documents largely INCLUDED in another (quoted
+  // passages, boilerplate-wrapped copies, excerpt dups) that symmetric
+  // jaccard misses whenever |B| ≫ |A| — jaccard of a 50-gram doc inside a
+  // 5000-gram doc is ≤ 0.01, containment is 1.0. Directed: both (a,b) and
+  // (b,a) can emit. Same posting-list join shape as q19 (the exact
+  // baseline); at 100 TB the candidate set comes from the q17 LSH
+  // machinery instead, with MinHash estimating containment as
+  // jac·(na+nb)/(na·(1+jac)) or via containment-specific banding.
+  private def q83(s: SparkSession, dir: String): DataFrame = {
+    val shingles = docShingles(s, dir).localCheckpoint()
+    val sizes = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = shingles.select(col("doc_id").as("a"), col("sh"))
+      .join(shingles.select(col("doc_id").as("b"), col("sh")), Seq("sh"))
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        (col("i") * lit(1.0) / col("na")).as("c_raw"))
+      .filter(col("c_raw") >= 0.9)
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.Rounding.stable(col("c_raw"), 4).as("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val q83Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS g
+      |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      |              JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+      |sizes AS (SELECT doc_id, COUNT(*) n FROM grams GROUP BY 1),
+      |inter AS (
+      |  SELECT g1.doc_id a, g2.doc_id b, COUNT(*) i
+      |  FROM grams g1 JOIN grams g2 ON g1.g = g2.g AND g1.doc_id <> g2.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT a AS doc_a, b AS doc_b,
+      |  floor((i * 1.0 / sa.n) * 10000.0 + 0.5) / 10000.0 AS containment
+      |FROM inter JOIN sizes sa ON sa.doc_id = a
+      |WHERE i * 1.0 / sa.n >= 0.9
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q83_containment", q83, Some(q83Sql)),
     GraftQuery("q39_dedup_groups", q39, Some(q39Sql)),
     GraftQuery("q56_dedup_normalized", q56, Some(q56Sql)),
     GraftQuery("q14_dedup_exact", q14, Some(q14Sql)),

@@ -27,6 +27,43 @@ class SkewSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (the automatic path saltedJoin backstops)") {
+    // A hot key owning half the left side funnels into one shuffle
+    // partition; with thresholds scaled down to fixture bytes, AQE's
+    // OptimizeSkewedJoin must split it (skew=true on the SMJ node).
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val left = spark.range(100000).select(
+        when(col("id") % 2 === 0, 0L).otherwise(col("id") % 500L).as("k"),
+        concat(lit("p"), lpad(col("id").cast("string"), 64, "x")).as("payload"))
+      val right = spark.range(500).select(col("id").as("k"),
+        concat(lit("dim"), col("id")).as("name"))
+      val joined = left.join(right, "k")
+      // collect() on THIS DataFrame: executedPlan must come from the same
+      // QueryExecution that ran (count() would plan a separate query and
+      // leave this one isFinalPlan=false)
+      assert(joined.collect().length === 100000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE skew split did not engage:\n${plan.take(2000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("saltedJoin equals plain inner join (hot-key spread, right replicated)") {
     val orders = Fixtures.orders(spark, TestSpark.sf0001)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
