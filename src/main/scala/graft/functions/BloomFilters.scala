@@ -30,20 +30,24 @@ import org.apache.spark.sql.graft.ColumnBridge
 object BloomFilters {
 
   /** Aggregate Column: serialized bloom filter over `xxhash64(key)`.
-    * `numBits` defaults to Spark's own sizing (`numItems * 8`, capped by
-    * the runtime-filter max) — pass explicitly when the key cardinality
-    * estimate is off.
+    * `numBits` < 0 (the default) sizes at 8 bits/key (~2% false positives,
+    * the same ratio Spark's runtime-filter default sizing targets); pass
+    * explicitly when the key-cardinality estimate is off or shuffle bytes
+    * are worth trading against filter size.
     */
-  def bloomAgg(key: Column, numItems: Long, numBits: Long): Column =
+  def bloomAgg(key: Column, numItems: Long, numBits: Long = -1L): Column = {
+    val bits = if (numBits > 0) numBits else 8L * numItems
     ColumnBridge.column(new BloomFilterAggregate(
       ColumnBridge.expression(xxhash64(key)),
       ColumnBridge.expression(lit(numItems)),
-      ColumnBridge.expression(lit(numBits))).toAggregateExpression())
+      ColumnBridge.expression(lit(bits))).toAggregateExpression())
+  }
 
   /** Build the filter bytes from the build side (one distributed agg +
     * a single-row collect — the scalar-subquery hop).
     */
-  def build(buildSide: DataFrame, key: Column, numItems: Long, numBits: Long): Array[Byte] =
+  def build(buildSide: DataFrame, key: Column, numItems: Long,
+      numBits: Long = -1L): Array[Byte] =
     buildSide.agg(bloomAgg(key, numItems, numBits).as("bf"))
       .head().getAs[Array[Byte]]("bf")
 
@@ -61,7 +65,7 @@ object BloomFilters {
     * "left_semi")`, shuffling only the prefiltered survivors.
     */
   def semiJoin(big: DataFrame, bigKey: Column, small: DataFrame, smallKey: Column,
-      numItems: Long, numBits: Long): DataFrame = {
+      numItems: Long, numBits: Long = -1L): DataFrame = {
     val bytes = build(small, smallKey, numItems, numBits)
     big.filter(mightContain(bytes, bigKey))
       .join(small, bigKey === smallKey, "left_semi")

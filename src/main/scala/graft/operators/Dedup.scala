@@ -81,6 +81,29 @@ object Dedup {
         explode(graft.functions.WordNGrams.distinctNGrams(col("text"), 3)).as("g"))
       .select(col("doc_id"), xxhash64(col("g")).as("sh"))
 
+  /** All-pairs shingle-intersection counts `(a, b, i)` off the posting-list
+    * self-join — ONE copy of the shape the exact jaccard baseline (q19) and
+    * directed containment (q83) both sit on. `directed = false` emits each
+    * unordered pair once (a < b); `directed = true` both orientations.
+    *
+    * NOTE on posting-list pruning (measured, rejected here): dropping
+    * shingles held by exactly one document before the self-join is
+    * exactness-preserving (set sizes come from ALL shingles) and on real
+    * long-tail text — where most shingles are unique — shrinks the
+    * candidate space by orders of magnitude; it's the right move at
+    * 100 TB. On THESE fixtures it measurably loses: 99.9% of shingles are
+    * shared (207/27k unique at sf0.1 — small synthetic vocabulary), so the
+    * extra count-per-shingle pass buys nothing. Apply it when corpus stats
+    * say unique-shingle mass dominates.
+    */
+  private def shingleIntersections(shingles: DataFrame, directed: Boolean): DataFrame = {
+    val pairFilter = if (directed) col("a") =!= col("b") else col("a") < col("b")
+    shingles.select(col("doc_id").as("a"), col("sh"))
+      .join(shingles.select(col("doc_id").as("b"), col("sh")), Seq("sh"))
+      .filter(pairFilter)
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("i"))
+  }
+
   /** Exact jaccard ≥ threshold. `cands` = Some(pairs) restricts intersection
     * counting to a candidate set (LSH banding — the scale path: candidates
     * are broadcastable, so the verify is one scan of the shingles). None =
@@ -101,20 +124,7 @@ object Dedup {
         pairs.join(s1, "a")
           .join(s2, col("b") === col("b2") && col("sh") === col("sh2"))
           .groupBy(col("a"), col("b")).agg(count(lit(1)).as("i"))
-      case None =>
-        // NOTE on posting-list pruning (measured, rejected here): dropping
-        // shingles held by exactly one document before the self-join is
-        // exactness-preserving (na/nb come from ALL shingles above) and on
-        // real long-tail text — where most shingles are unique — shrinks
-        // the candidate space by orders of magnitude; it's the right move
-        // at 100 TB. On THESE fixtures it measurably loses: 99.9% of
-        // shingles are shared (207/27k unique at sf0.1 — small synthetic
-        // vocabulary), so the extra count-per-shingle pass buys nothing.
-        // Apply it when corpus stats say unique-shingle mass dominates.
-        shingles.select(col("doc_id").as("a"), col("sh"))
-          .join(shingles.select(col("doc_id").as("b"), col("sh")), Seq("sh"))
-          .filter(col("a") < col("b"))
-          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("i"))
+      case None => shingleIntersections(shingles, directed = false)
     }
     val jac = inter
       .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
@@ -543,11 +553,7 @@ object Dedup {
   private def q83(s: SparkSession, dir: String): DataFrame = {
     val shingles = docShingles(s, dir).localCheckpoint()
     val sizes = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = shingles.select(col("doc_id").as("a"), col("sh"))
-      .join(shingles.select(col("doc_id").as("b"), col("sh")), Seq("sh"))
-      .filter(col("a") =!= col("b"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("i"))
-    inter
+    shingleIntersections(shingles, directed = true)
       .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
       .select(col("a").as("doc_a"), col("b").as("doc_b"),
         (col("i") * lit(1.0) / col("na")).as("c_raw"))

@@ -149,10 +149,15 @@ object Sketches {
       .orderBy(col("event_type"))
   }
 
+  // LEFT JOIN from the watch list: the Spark side emits an estimate row for
+  // EVERY watched key (0 for keys absent from the data) — a plain GROUP BY
+  // would silently drop absent keys and break row-set equivalence the day a
+  // fixture regeneration loses a type.
   private val q78Sql =
-    """SELECT event_type, COUNT(*) AS est_n FROM events
-      |WHERE event_type IN ('click', 'view', 'purchase', 'signup', 'error')
-      |GROUP BY event_type ORDER BY event_type""".stripMargin
+    """SELECT w.event_type, CAST(COUNT(e.event_type) AS BIGINT) AS est_n
+      |FROM (SELECT unnest(['click', 'view', 'purchase', 'signup', 'error']) AS event_type) w
+      |LEFT JOIN events e USING (event_type)
+      |GROUP BY w.event_type ORDER BY w.event_type""".stripMargin
 
   // ---------------------------------------------------------------- q79
   // Heavy hitters via DataSketches frequent-items — the explicit TWO-PHASE
@@ -168,7 +173,13 @@ object Sketches {
     words.groupBy(col("lang"))
       .agg(call_function("approx_top_k_accumulate", col("term"), lit(1024)).as("st"))
       .agg(call_function("approx_top_k_combine", col("st"), lit(1024)).as("st"))
-      .select(explode(call_function("approx_top_k_estimate", col("st"), lit(31))).as("e"))
+      // over-fetch well past the final cut (estimate k ≤ maxItemsTracked;
+      // fewer tracked items → all of them): the re-rank below then applies
+      // the deterministic (count DESC, term) order before LIMIT, so a
+      // sketch-order tie at the over-fetch boundary can't perturb the
+      // result as long as the top-20 boundary itself is untied (it is, at
+      // every SF — the spec asserts exact equality with the true top-20)
+      .select(explode(call_function("approx_top_k_estimate", col("st"), lit(100))).as("e"))
       .select(col("e.item").as("term"), col("e.count").as("n"))
       .orderBy(col("n").desc, col("term"))
       .limit(20)

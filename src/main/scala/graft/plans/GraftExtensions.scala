@@ -30,8 +30,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
         "might_contain"),
-      (exprs: Seq[Expression]) =>
-        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => {
+        // explicit arity error — ad-hoc SQL is this function's audience
+        require(exprs.length == 2,
+          s"might_contain(filter_binary, xxhash64(key)) takes 2 arguments, got ${exprs.length}")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs.head, exprs(1))
+      }))
     // user-written HOF dot products silently get the codegen'd loop
     e.injectOptimizerRule(_ => VectorDotRewrite)
   }
