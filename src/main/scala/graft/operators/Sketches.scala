@@ -212,7 +212,44 @@ object Sketches {
       .orderBy(col("event_type"))
   }
 
+  // ---------------------------------------------------------------- q84
+  // Pairwise audience-overlap matrix from ONE sketch build: the "sketches
+  // as reusable artifacts" pattern — per-slice theta sketches are built in
+  // a single scan (KBs of state for a 100-TB fact table), then ANY pair of
+  // slices is intersected without touching the data again. The exact
+  // per-pair equivalent rescans or self-joins the fact table; the sketch
+  // matrix is O(slices²) scalar ops over persisted binaries. Exact mode at
+  // fixture cardinality (cf. q76) → full oracle.
+  private def q84(s: SparkSession, dir: String): DataFrame = {
+    val sk = Fixtures.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(theta_sketch_agg(col("user_id")).as("sk"))
+    val a = sk.select(col("event_type").as("type_a"), col("sk").as("ska"))
+    val b = sk.select(col("event_type").as("type_b"), col("sk").as("skb"))
+    a.crossJoin(b).filter(col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        theta_sketch_estimate(
+          call_function("theta_intersection", col("ska"), col("skb"))).as("n_shared"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  // pair list built independently of the counts (LEFT JOIN + COALESCE):
+  // a zero-overlap pair must still emit its row, like the Spark side does
+  private val q84Sql =
+    """WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+      |t AS (SELECT DISTINCT event_type FROM events),
+      |shared AS (
+      |  SELECT a.event_type AS ta, b.event_type AS tb, COUNT(*) AS n
+      |  FROM d a JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT t1.event_type AS type_a, t2.event_type AS type_b,
+      |  CAST(COALESCE(shared.n, 0) AS BIGINT) AS n_shared
+      |FROM t t1 JOIN t t2 ON t1.event_type < t2.event_type
+      |LEFT JOIN shared ON shared.ta = t1.event_type AND shared.tb = t2.event_type
+      |ORDER BY type_a, type_b""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q84_overlap_matrix", q84, Some(q84Sql)),
     GraftQuery("q69_hll_users", q69, None),
     GraftQuery("q73_approx_percentiles", q73, None),
     GraftQuery("q76_theta_setops", q76, Some(q76Sql)),
