@@ -104,6 +104,28 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted sketches survive a parquet round-trip and still merge exactly") {
+    // the 100-TB contract in miniature: per-slice sketches written today
+    // are re-unioned/intersected tomorrow without rescanning the data
+    val e = Fixtures.events(spark, dir)
+    val skDir = java.nio.file.Files.createTempDirectory("graft-sk").toString
+    e.groupBy(col("event_type"))
+      .agg(theta_sketch_agg(col("user_id")).as("sk"),
+        hll_sketch_agg(col("user_id")).as("hll"))
+      .write.mode("overwrite").parquet(skDir)
+    val back = spark.read.parquet(skDir)
+    val thetaUnion = back.agg(
+      theta_sketch_estimate(theta_union_agg(col("sk"))).as("u"))
+      .head().getLong(0)
+    val hllUnion = back.agg(
+      hll_sketch_estimate(hll_union_agg(col("hll"))).cast("long").as("u"))
+      .head().getLong(0)
+    val exact = e.select(countDistinct(col("user_id"))).head().getLong(0)
+    assert(thetaUnion === exact, "theta union from persisted sketches (exact mode)")
+    assert(math.abs(hllUnion - exact).toDouble / exact <= 0.05,
+      "HLL union from persisted sketches within error bound")
+  }
+
   test("sketch union is merge-associative: union of per-type sketches == whole-table sketch") {
     val e = Fixtures.events(spark, dir)
     val viaUnion = e.groupBy(col("event_type"))
