@@ -220,31 +220,41 @@ object Sketches {
   // per-pair equivalent rescans or self-joins the fact table; the sketch
   // matrix is O(slices²) scalar ops over persisted binaries. Exact mode at
   // fixture cardinality (cf. q76) → full oracle.
+  // Cohort = a type's HIGH-VALUE audience (value ≥ 70): the cohorts only
+  // partially overlap at every SF (e.g. sizes 143/145, overlap 138 at
+  // sf0.01), so the oracle genuinely discriminates intersection from
+  // union — unthresholded per-type audiences are all identical on these
+  // fixtures and would rubber-stamp either.
   private def q84(s: SparkSession, dir: String): DataFrame = {
     val sk = Fixtures.events(s, dir)
+      .filter(col("value") >= 70)
       .groupBy(col("event_type"))
       .agg(theta_sketch_agg(col("user_id")).as("sk"))
     val a = sk.select(col("event_type").as("type_a"), col("sk").as("ska"))
     val b = sk.select(col("event_type").as("type_b"), col("sk").as("skb"))
     a.crossJoin(b).filter(col("type_a") < col("type_b"))
       .select(col("type_a"), col("type_b"),
-        theta_sketch_estimate(
-          call_function("theta_intersection", col("ska"), col("skb"))).as("n_shared"))
+        theta_sketch_estimate(theta_intersection(col("ska"), col("skb"))).as("n_shared"),
+        theta_sketch_estimate(theta_union(col("ska"), col("skb"))).as("n_either"))
       .orderBy(col("type_a"), col("type_b"))
   }
 
   // pair list built independently of the counts (LEFT JOIN + COALESCE):
   // a zero-overlap pair must still emit its row, like the Spark side does
   private val q84Sql =
-    """WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
-      |t AS (SELECT DISTINCT event_type FROM events),
+    """WITH d AS (SELECT DISTINCT event_type, user_id FROM events WHERE value >= 70),
+      |t AS (SELECT DISTINCT event_type FROM d),
       |shared AS (
       |  SELECT a.event_type AS ta, b.event_type AS tb, COUNT(*) AS n
       |  FROM d a JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type
-      |  GROUP BY 1, 2)
+      |  GROUP BY 1, 2),
+      |sizes AS (SELECT event_type, COUNT(*) AS n FROM d GROUP BY 1)
       |SELECT t1.event_type AS type_a, t2.event_type AS type_b,
-      |  CAST(COALESCE(shared.n, 0) AS BIGINT) AS n_shared
+      |  CAST(COALESCE(shared.n, 0) AS BIGINT) AS n_shared,
+      |  CAST(s1.n + s2.n - COALESCE(shared.n, 0) AS BIGINT) AS n_either
       |FROM t t1 JOIN t t2 ON t1.event_type < t2.event_type
+      |JOIN sizes s1 ON s1.event_type = t1.event_type
+      |JOIN sizes s2 ON s2.event_type = t2.event_type
       |LEFT JOIN shared ON shared.ta = t1.event_type AND shared.tb = t2.event_type
       |ORDER BY type_a, type_b""".stripMargin
 
