@@ -69,31 +69,37 @@ object Sketches {
   // cohort is far below that, so estimates ARE the exact distinct counts at
   // every SF. At 100 TB cohorts exceed 4096 and estimates go ±1.6% — the
   // SketchesSpec exactness assertion documents the regime boundary.
+  // High-value cohorts (value ≥ 70): every user hits every event type on
+  // these fixtures, so UNTHRESHOLDED cohorts are identical sets and the
+  // oracle couldn't tell union from intersection; the thresholded cohorts
+  // overlap only partially at every SF, making each set op's answer
+  // distinct and genuinely checked.
   private def q76(s: SparkSession, dir: String): DataFrame = {
-    val e = Fixtures.events(s, dir)
+    val e = Fixtures.events(s, dir).filter(col("value") >= 70)
     e.agg(
       theta_sketch_agg(when(col("event_type") === "click", col("user_id"))).as("a"),
       theta_sketch_agg(when(col("event_type") === "view", col("user_id"))).as("b"))
       .select(
         theta_sketch_estimate(col("a")).as("n_click"),
         theta_sketch_estimate(col("b")).as("n_view"),
-        theta_sketch_estimate(call_function("theta_union", col("a"), col("b"))).as("n_union"),
-        theta_sketch_estimate(call_function("theta_intersection", col("a"), col("b"))).as("n_both"),
-        theta_sketch_estimate(call_function("theta_difference", col("a"), col("b"))).as("n_click_only"))
+        theta_sketch_estimate(theta_union(col("a"), col("b"))).as("n_union"),
+        theta_sketch_estimate(theta_intersection(col("a"), col("b"))).as("n_both"),
+        theta_sketch_estimate(theta_difference(col("a"), col("b"))).as("n_click_only"))
   }
 
   private val q76Sql =
-    """SELECT
-      |  (SELECT COUNT(DISTINCT user_id) FROM events WHERE event_type = 'click') AS n_click,
-      |  (SELECT COUNT(DISTINCT user_id) FROM events WHERE event_type = 'view') AS n_view,
-      |  (SELECT COUNT(DISTINCT user_id) FROM events
+    """WITH hv AS (SELECT event_type, user_id FROM events WHERE value >= 70)
+      |SELECT
+      |  (SELECT COUNT(DISTINCT user_id) FROM hv WHERE event_type = 'click') AS n_click,
+      |  (SELECT COUNT(DISTINCT user_id) FROM hv WHERE event_type = 'view') AS n_view,
+      |  (SELECT COUNT(DISTINCT user_id) FROM hv
       |   WHERE event_type IN ('click', 'view')) AS n_union,
       |  (SELECT COUNT(*) FROM
-      |    (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
-      |     INTERSECT SELECT DISTINCT user_id FROM events WHERE event_type = 'view')) AS n_both,
+      |    (SELECT DISTINCT user_id FROM hv WHERE event_type = 'click'
+      |     INTERSECT SELECT DISTINCT user_id FROM hv WHERE event_type = 'view')) AS n_both,
       |  (SELECT COUNT(*) FROM
-      |    (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
-      |     EXCEPT SELECT DISTINCT user_id FROM events WHERE event_type = 'view')) AS n_click_only""".stripMargin
+      |    (SELECT DISTINCT user_id FROM hv WHERE event_type = 'click'
+      |     EXCEPT SELECT DISTINCT user_id FROM hv WHERE event_type = 'view')) AS n_click_only""".stripMargin
 
   // ---------------------------------------------------------------- q77
   // Bloom-prefiltered semi-join (Spark's runtime-filter machinery as an

@@ -47,7 +47,8 @@ class SketchesSpec extends AnyFunSuite {
     // The q76 oracle depends on this regime: no fixture cohort reaches the
     // 4096-entry nominal, so estimate == exact distinct for every set op.
     val r = SparkEntry.queries("q76_theta_setops")(spark, dir).head()
-    val e = Fixtures.events(spark, dir)
+    // same high-value cohort definition as the query (value ≥ 70)
+    val e = Fixtures.events(spark, dir).filter(col("value") >= 70)
     def exact(cond: org.apache.spark.sql.Column) =
       e.filter(cond).select(countDistinct(col("user_id"))).head().getLong(0)
     val click = exact(col("event_type") === "click")
