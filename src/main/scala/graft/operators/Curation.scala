@@ -240,7 +240,36 @@ object Curation {
       |  MIN(doc_id) AS first_doc
       |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q85
+  // Deterministic EXACT-k per-stratum sample: rank documents inside each
+  // language by md5(doc_id) and keep the first k — the fixed-size eval-set
+  // builder (q67's rate-based sampling can't promise "exactly 20 per
+  // lang"). Hash order is reproducible across runs and engines and
+  // independent of physical row order; ties are impossible (md5 of
+  // distinct ids). Scale shape: one window shuffle partitioned by the
+  // stratum — never a global sort; k rows per stratum survive.
+  private val SamplePerStratum = 20
+  private def q85(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Fixtures.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= SamplePerStratum)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("rk").cast("long").as("rk"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  private val q85Sql =
+    s"""SELECT doc_id, lang, n_chars, CAST(rk AS BIGINT) AS rk FROM (
+       |  SELECT doc_id, lang, n_chars,
+       |    ROW_NUMBER() OVER (PARTITION BY lang
+       |                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+       |  FROM documents)
+       |WHERE rk <= $SamplePerStratum ORDER BY lang, rk""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q85_exact_k_sample", q85, Some(q85Sql)),
     GraftQuery("q63_curation_pipeline", q63, Some(q63Sql)),
     GraftQuery("q64_dataset_split", q64, Some(q64Sql)),
     GraftQuery("q66_repetition", q66, Some(q66Sql)),
