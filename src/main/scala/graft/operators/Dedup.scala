@@ -553,7 +553,14 @@ object Dedup {
   private def q83(s: SparkSession, dir: String): DataFrame = {
     val shingles = docShingles(s, dir).localCheckpoint()
     val sizes = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    shingleIntersections(shingles, directed = true)
+    containmentFromIntersections(shingleIntersections(shingles, directed = true), sizes)
+  }
+
+  /** Shared tail of q83/q86: directed intersection counts `(a, b, i)` →
+    * `(doc_a, doc_b, containment)` rows with C(a→b) = i/|A| ≥ 0.9.
+    */
+  private def containmentFromIntersections(inter: DataFrame, sizes: DataFrame): DataFrame =
+    inter
       .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
       .select(col("a").as("doc_a"), col("b").as("doc_b"),
         (col("i") * lit(1.0) / col("na")).as("c_raw"))
@@ -561,6 +568,53 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         graft.functions.Rounding.stable(col("c_raw"), 4).as("containment"))
       .orderBy(col("doc_a"), col("doc_b"))
+
+  // ---------------------------------------------------------------- q86
+  /** Prefix-filtered containment join — the SCALE path for q83, exact by
+    * construction (same oracle): if C(a→b) = |A∩B|/|A| ≥ t, then A has at
+    * most |A| − ⌈t·|A|⌉ shingles outside B, so ANY |A| − ⌈t·|A|⌉ + 1
+    * shingles of A must include one of A∩B (pigeonhole). Probing only that
+    * PREFIX of each doc's shingle set against the posting lists therefore
+    * finds every qualifying pair — no false negatives — while shrinking the
+    * probe side ~10× at t = 0.9 (prefix-filtering primitive of
+    * Chaudhuri/Ganti/Kaushik SSJoin, ICDE'06; Bayardo et al. all-pairs,
+    * WWW'07). Ordering each doc's shingles by ascending document frequency
+    * puts the RAREST shingles in the prefix, so the posting lists the prefix
+    * probes are the short ones — candidate volume collapses from
+    * Σ df² (q83's posting self-join) to Σ_prefix df. The candidate pairs are
+    * then verified with full exact intersection counts, so false positives
+    * never escape.
+    *
+    * The threshold test is pure integer arithmetic: i ≥ 0.9·n ⟺ 10·i ≥ 9·n,
+    * so the minimum intersection is ⌈9n/10⌉ = (9n+9) div 10 and the prefix
+    * length is n − (9n+9) div 10 + 1 — no float `ceil(0.9·n)`, whose binary
+    * representation error would shrink the prefix (0.9·20 rounds to
+    * 18.000…004 → ceil 19) and break the no-false-negative guarantee.
+    */
+  private def q86(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shingles = docShingles(s, dir).localCheckpoint()
+    val sizes = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // document frequency per shingle (shingles are distinct per doc)
+    val docFreq = shingles.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val prefix = shingles.join(docFreq, "sh")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
+      .join(sizes, "doc_id")
+      .filter(col("rk") <= expr("n - ((9 * n + 9) div 10) + 1"))
+      .select(col("doc_id").as("a"), col("sh"))
+    val cands = prefix
+      .join(shingles.select(col("doc_id").as("b"), col("sh")), Seq("sh"))
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b")).distinct()
+    // exact verify restricted to candidates (no broadcast hint — candidate
+    // volume is corpus-dependent; AQE broadcasts when it measures small)
+    val s1 = shingles.select(col("doc_id").as("a"), col("sh"))
+    val s2 = shingles.select(col("doc_id").as("b2"), col("sh").as("sh2"))
+    val inter = cands.join(s1, "a")
+      .join(s2, col("b") === col("b2") && col("sh") === col("sh2"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("i"))
+    containmentFromIntersections(inter, sizes)
   }
 
   private val q83Sql =
@@ -582,8 +636,109 @@ object Dedup {
       |WHERE i * 1.0 / sa.n >= 0.9
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------- q87
+  /** MinHash-LSH candidates verified by THETA-SKETCH set algebra instead of
+    * posting-list re-scans: per-doc theta sketches of the shingle sets are
+    * built in one aggregation pass, then each candidate pair's jaccard is
+    * |A∩B|/|A∪B| via sketch intersection/union — a SCALAR op over two
+    * bounded (≤4096-entry) binaries, no matter how large the documents are.
+    * Versus q17's verify (which re-joins every candidate against the full
+    * shingle posting lists), the pairwise stage here shuffles O(1)-size
+    * sketches per doc: for giant docs (the common near-dup offenders at
+    * 100 TB — templated pages, concatenated dumps) the verify cost is
+    * decoupled from document length entirely.
+    *
+    * Oracle-checkable BY DESIGN at fixture scale (same trick as q76/q84):
+    * theta sketches stay in exact unsampled mode below their 4096-entry
+    * nominal, and every fixture doc has far fewer distinct shingles, so the
+    * intersection/union estimates ARE the exact set sizes and the jaccard
+    * equals q17's exact value bit-for-bit. At 100 TB big docs overflow
+    * nominal and the verify becomes ±1.6%-approximate — the regime boundary
+    * the DedupSpec exactness assertion documents.
+    */
+  private def q87(s: SparkSession, dir: String): DataFrame = {
+    val shingles = docShingles(s, dir).localCheckpoint()
+    val sketches = shingles.groupBy(col("doc_id"))
+      .agg(theta_sketch_agg(col("sh")).as("sk"))
+    val jac = minhashCandidates(shingles)
+      .join(sketches.select(col("doc_id").as("a"), col("sk").as("ska")), "a")
+      .join(sketches.select(col("doc_id").as("b"), col("sk").as("skb")), "b")
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        (theta_sketch_estimate(theta_intersection(col("ska"), col("skb"))) * lit(1.0) /
+          theta_sketch_estimate(theta_union(col("ska"), col("skb")))).as("jac_raw"))
+    jac.filter(col("jac_raw") >= 0.8)
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.Rounding.stable(col("jac_raw"), 4).as("jac"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ---------------------------------------------------------------- q88
+  /** Duplicate-group representative selection — the decision step a curation
+    * pipeline ships AFTER grouping (q39): keep the highest-QUALITY document
+    * of each near-dup cluster, not an arbitrary one (min-id keeps whatever
+    * crawled first; quality-argmax keeps the cleanest copy — the standard
+    * policy when near-dups differ by boilerplate/truncation). Ties break on
+    * min doc_id. The argmax is one two-phase aggregate over
+    * `struct(quality, −doc_id)` (struct max = lexicographic: max quality,
+    * then min id) — partial-aggregates map-side, no per-group window sort.
+    * Quality is argmaxed on the 4-dp ROUNDED score both engines already
+    * hash-match (q24), so the winner is engine-independent even if the
+    * unrounded doubles differed in the last ulp.
+    */
+  private def q88(s: SparkSession, dir: String): DataFrame = {
+    val pairs = q17(s, dir).select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val quality = Fixtures.documents(s, dir).select(col("doc_id"),
+      graft.functions.Rounding.stable(TextAnalysis.qualityScore, 4).as("quality"))
+    connectedComponents(pairs)
+      .join(quality, col("node") === col("doc_id"))
+      .groupBy(col("lbl").as("grp"))
+      .agg(count(lit(1)).as("group_size"),
+        max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("best"))
+      .select(col("grp"), (-col("best.nid")).as("keep_doc_id"),
+        col("best.quality").as("quality"), col("group_size"))
+      .orderBy(col("grp"))
+  }
+
+  private val q88Sql =
+    s"""WITH RECURSIVE
+      |toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS g
+      |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      |              JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+      |sizes AS (SELECT doc_id, COUNT(*) n FROM grams GROUP BY 1),
+      |inter AS (
+      |  SELECT g1.doc_id a, g2.doc_id b, COUNT(*) i
+      |  FROM grams g1 JOIN grams g2 ON g1.g = g2.g AND g1.doc_id < g2.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT a, b FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+      |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8),
+      |edges AS (SELECT a src, b dst FROM pairs UNION ALL SELECT b, a FROM pairs),
+      |reach(node, r) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.node),
+      |labels AS (SELECT node AS doc_id, MIN(r) AS grp FROM reach GROUP BY node),
+      |q AS (
+      |  SELECT doc_id,
+      |    floor(${TextAnalysis.qualityScoreSql} * 10000.0 + 0.5) / 10000.0 AS quality
+      |  FROM documents),
+      |m AS (
+      |  SELECT l.grp, l.doc_id, q.quality,
+      |    ROW_NUMBER() OVER (PARTITION BY l.grp ORDER BY q.quality DESC, l.doc_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY l.grp) AS group_size
+      |  FROM labels l JOIN q ON q.doc_id = l.doc_id)
+      |SELECT grp, doc_id AS keep_doc_id, quality, group_size
+      |FROM m WHERE rn = 1 ORDER BY grp""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q83_containment", q83, Some(q83Sql)),
+    GraftQuery("q86_containment_prefix", q86, Some(q83Sql)),
+    GraftQuery("q87_theta_jaccard", q87, Some(jaccardSql)),
+    GraftQuery("q88_dedup_keep_best", q88, Some(q88Sql)),
     GraftQuery("q39_dedup_groups", q39, Some(q39Sql)),
     GraftQuery("q56_dedup_normalized", q56, Some(q56Sql)),
     GraftQuery("q14_dedup_exact", q14, Some(q14Sql)),

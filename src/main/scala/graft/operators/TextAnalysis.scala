@@ -95,30 +95,42 @@ object TextAnalysis {
   // ---------------------------------------------------------------- q24
   // Quality score per document: length component + stopword-ratio component
   // + chars-per-token component, identical arithmetic order in both engines.
-  private def q24(s: SparkSession, dir: String): DataFrame = {
+
+  /** The heuristic quality score over `documents` columns (`text`,
+    * `n_chars`), unrounded — shared by q24 and the dedup representative
+    * selection (Dedup q88): every op is a single correctly-rounded IEEE
+    * double op in the same order as [[qualityScoreSql]], so both engines
+    * produce bit-identical values.
+    */
+  private[operators] def qualityScore: Column = {
     val toks = wsTokens(col("text"))
     val enStops = stopwords.toMap.apply("en")
     val nTok = size(toks)
     val stopCnt = size(filter(toks, t => t.isin(enStops: _*)))
-    val score =
-      lit(0.4) * (least(col("n_chars"), lit(500)) / lit(500.0)) +
-        lit(0.3) * (stopCnt / nTok) +
-        lit(0.3) * (least(col("n_chars") / nTok, lit(8.0)) / lit(8.0))
-    Fixtures.documents(s, dir)
-      .select(col("doc_id"), graft.functions.Rounding.stable(score, 4).as("quality"))
-      .orderBy(col("doc_id"))
+    lit(0.4) * (least(col("n_chars"), lit(500)) / lit(500.0)) +
+      lit(0.3) * (stopCnt / nTok) +
+      lit(0.3) * (least(col("n_chars") / nTok, lit(8.0)) / lit(8.0))
   }
 
-  private val q24Sql = {
+  /** DuckDB twin of [[qualityScore]] (unrounded scalar expression). */
+  private[operators] val qualityScoreSql: String = {
     val enList = sqlList(stopwords.toMap.apply("en"))
-    s"""SELECT doc_id,
-       |  floor((
-       |    0.4 * (LEAST(n_chars, 500) / 500.0) +
+    s"""(0.4 * (LEAST(n_chars, 500) / 500.0) +
        |    0.3 * (len(list_filter(string_split(text, ' '), t -> t IN $enList)) /
        |           len(string_split(text, ' '))) +
-       |    0.3 * (LEAST(n_chars / len(string_split(text, ' ')), 8.0) / 8.0)) * 10000.0 + 0.5) / 10000.0 AS quality
-       |FROM documents ORDER BY doc_id""".stripMargin
+       |    0.3 * (LEAST(n_chars / len(string_split(text, ' ')), 8.0) / 8.0))""".stripMargin
   }
+
+  private def q24(s: SparkSession, dir: String): DataFrame =
+    Fixtures.documents(s, dir)
+      .select(col("doc_id"),
+        graft.functions.Rounding.stable(qualityScore, 4).as("quality"))
+      .orderBy(col("doc_id"))
+
+  private val q24Sql =
+    s"""SELECT doc_id,
+       |  floor($qualityScoreSql * 10000.0 + 0.5) / 10000.0 AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q25
   // Token counting per source: whitespace tokens + BPE-ish regex tokens.

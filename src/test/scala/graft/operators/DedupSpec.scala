@@ -44,6 +44,49 @@ class DedupSpec extends AnyFunSuite {
     assert(overlap >= 0.6)
   }
 
+  test("prefix-filtered containment equals the full posting-list containment") {
+    // The pigeonhole argument says the prefix probe has NO false negatives;
+    // this pins it empirically — q86 must be row-identical to q83, not just
+    // row-count-identical.
+    val full = SparkEntry.queries("q83_containment")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val prefix = SparkEntry.queries("q86_containment_prefix")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(prefix == full,
+      s"prefix filter missed ${full -- prefix}, extra ${prefix -- full}")
+  }
+
+  test("theta-sketch jaccard verify equals the exact jaccard (exact regime)") {
+    // Below the 4096-entry nominal every per-doc sketch is in exact mode, so
+    // the sketch intersection/union sizes ARE the set sizes and the jaccard
+    // must match q17 bit-for-bit (values included, not just pairs).
+    val exact = SparkEntry.queries("q17_dedup_minhash_lsh")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val theta = SparkEntry.queries("q87_theta_jaccard")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(theta == exact,
+      s"theta verify missed ${exact -- theta}, extra ${theta -- exact}")
+  }
+
+  test("keep-best representative is the quality argmax of its group") {
+    val kept = SparkEntry.queries("q88_dedup_keep_best")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // groups come from pairs, so every group has >= 2 members
+    assert(kept.nonEmpty && kept.forall(_._4 >= 2))
+    // cross-check against the group labels + per-doc quality: the kept doc
+    // must have the group's max rounded quality, with min-id tiebreak
+    val groups = SparkEntry.queries("q39_dedup_groups")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))) // (doc_id, grp)
+    val quality = SparkEntry.queries("q24_quality_score")(spark, TestSpark.sf0001)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expected = groups.groupBy(_._2).map { case (grp, members) =>
+      val best = members.map(_._1).minBy(id => (-quality(id), id))
+      grp -> (best, quality(best), members.size.toLong)
+    }
+    val got = kept.map(k => k._1 -> (k._2, k._3, k._4)).toMap
+    assert(got == expected)
+  }
+
   test("exactDedupByHash keeps one representative per distinct text") {
     val docs = Fixtures.documents(spark, TestSpark.sf0001)
     val deduped = Dedup.exactDedupByHash(docs)
