@@ -32,5 +32,6 @@ object GraftQuery {
       operators.RangeJoin.queries ++
       operators.Sketches.queries ++
       operators.Layout.queries ++
-      operators.Profile.queries
+      operators.Profile.queries ++
+      operators.TimeSeries.queries
 }

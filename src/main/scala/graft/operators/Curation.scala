@@ -268,7 +268,36 @@ object Curation {
        |  FROM documents)
        |WHERE rk <= $SamplePerStratum ORDER BY lang, rk""".stripMargin
 
+  // ---------------------------------------------------------------- q89
+  // Per-source quota cap (domain balancing): keep at most CapPerSource docs
+  // per source, longest (n_chars, the quality proxy used throughout the
+  // curation queries) first, doc_id as the deterministic tie-break. The
+  // canonical "no single domain dominates the corpus" policy from crawl
+  // curation. Same top-k-per-group shape as q8: ONE shuffle on source,
+  // rank + filter fused in a single WindowExec, no global sort — the cap
+  // holds at any corpus size because per-source state is k rows.
+  private val CapPerSource = 10
+
+  private def q89(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    Fixtures.documents(s, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= CapPerSource)
+      .orderBy(col("source"), col("rn"))
+  }
+
+  private val q89Sql =
+    s"""SELECT source, doc_id, n_chars, CAST(rn AS BIGINT) AS rn FROM (
+       |  SELECT source, doc_id, n_chars,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |                       ORDER BY n_chars DESC, doc_id) AS rn
+       |  FROM documents)
+       |WHERE rn <= $CapPerSource ORDER BY source, rn""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q89_source_cap", q89, Some(q89Sql)),
     GraftQuery("q85_exact_k_sample", q85, Some(q85Sql)),
     GraftQuery("q63_curation_pipeline", q63, Some(q63Sql)),
     GraftQuery("q64_dataset_split", q64, Some(q64Sql)),

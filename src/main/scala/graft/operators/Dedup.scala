@@ -166,13 +166,16 @@ object Dedup {
   private val NumPerm = 64
   private val RowsPerBand = 4
 
-  def minhashCandidates(shingles: DataFrame): DataFrame = {
-    // One aggregation pass with 64 codegen'd min-hash columns — no 64× row
-    // explosion, and the only shuffle groups by doc_id. The shingle column
-    // is already an xxhash64 long (docShingles); each permutation re-hashes
-    // the 8-byte value, ~4× cheaper than re-hashing a string 64 times. The
-    // minhash internals never face the DuckDB oracle (the oracle is the
-    // exact jaccard), so codegen'd xxhash64 replaces md5-string parity.
+  /** Per-doc LSH band signatures `(doc_id, band, sig)` — the persistable
+    * "signature index" of the corpus. One aggregation pass with 64
+    * codegen'd min-hash columns — no 64× row explosion, and the only
+    * shuffle groups by doc_id. The shingle column is already an xxhash64
+    * long (docShingles); each permutation re-hashes the 8-byte value, ~4×
+    * cheaper than re-hashing a string 64 times. The minhash internals
+    * never face the DuckDB oracle (the oracle is the exact jaccard), so
+    * codegen'd xxhash64 replaces md5-string parity.
+    */
+  def bandSignatures(shingles: DataFrame): DataFrame = {
     val hashed = shingles.withColumn("h0", col("sh"))
     val mins = (0 until NumPerm).map(p =>
       min(xxhash64(lit(p), col("h0"))).as(s"mh$p"))
@@ -182,14 +185,18 @@ object Dedup {
       md5(concat_ws(",", (0 until RowsPerBand).map(r =>
         col(s"mh${band * RowsPerBand + r}").cast("string")): _*)).as(s"band$band")
     }
-    // tiny (docs × bands rows); materialized so the self-join below doesn't
-    // recompute the minhash pass once per side
-    val banded = sigs
+    // tiny (docs × bands rows); materialized so a downstream self-join
+    // doesn't recompute the minhash pass once per side
+    sigs
       .select(col("doc_id") +: bandSigs: _*)
       .select(col("doc_id"),
         posexplode(array((0 until nBands).map(b => col(s"band$b")): _*)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "sig"))
       .localCheckpoint()
+  }
+
+  def minhashCandidates(shingles: DataFrame): DataFrame = {
+    val banded = bandSignatures(shingles)
     val x = banded.select(col("doc_id").as("a"), col("band"), col("sig"))
     val y = banded.select(col("doc_id").as("b"), col("band").as("band2"), col("sig").as("sig2"))
     x.join(y, col("band") === col("band2") && col("sig") === col("sig2") && col("a") < col("b"))
@@ -734,7 +741,71 @@ object Dedup {
       |SELECT grp, doc_id AS keep_doc_id, quality, group_size
       |FROM m WHERE rn = 1 ORDER BY grp""".stripMargin
 
+  // ---------------------------------------------------------------- q92
+  // Incremental (delta) near-dup: the newest 20% of docs (doc_id ≥
+  // floor(0.8·max) — the scalar split is computed IN-PLAN, no collect)
+  // checked against the existing 80% corpus. This is the shape a recurring
+  // crawl ingest actually runs: the corpus's band signatures are built once
+  // (in production: loaded from the persisted signature index —
+  // bandSignatures IS that index), only the delta's signatures are computed
+  // per ingest, and the candidate join is bipartite delta×corpus instead of
+  // the full self-join — cost O(delta) per ingest, not O(corpus²). Emits
+  // each new doc's best-matching corpus doc at exact jaccard ≥ 0.8 (argmax
+  // on the 4-dp ROUNDED jaccard, corpus doc_id tie-break, so the winner is
+  // engine-independent).
+  private def q92(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shingles = docShingles(s, dir).localCheckpoint()
+    val split = Fixtures.documents(s, dir)
+      .agg(floor(max(col("doc_id")) * lit(0.8)).cast("long").as("split"))
+    val withSplit = shingles.crossJoin(broadcast(split)) // 1-row scalar
+    val fresh = withSplit.filter(col("doc_id") >= col("split")).drop("split")
+    val corpus = withSplit.filter(col("doc_id") < col("split")).drop("split")
+    val x = bandSignatures(fresh)
+      .select(col("doc_id").as("a"), col("band"), col("sig"))
+    val y = bandSignatures(corpus)
+      .select(col("doc_id").as("b"), col("band").as("band2"), col("sig").as("sig2"))
+    val cands = x.join(y,
+      col("band") === col("band2") && col("sig") === col("sig2"))
+      .select(col("a"), col("b")).distinct()
+    val w = Window.partitionBy(col("doc_a"))
+      .orderBy(col("jac").desc, col("doc_b"))
+    verifyJaccard(shingles, Some(cands), 0.8)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_a").as("new_doc"), col("doc_b").as("corpus_doc"),
+        col("jac"))
+      .orderBy(col("new_doc"))
+  }
+
+  private val q92Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS g
+      |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      |              JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+      |sizes AS (SELECT doc_id, COUNT(*) n FROM grams GROUP BY 1),
+      |split AS (SELECT CAST(FLOOR(MAX(doc_id) * 0.8) AS BIGINT) AS s FROM documents),
+      |inter AS (
+      |  SELECT g1.doc_id a, g2.doc_id b, COUNT(*) i
+      |  FROM grams g1 JOIN grams g2 ON g1.g = g2.g, split
+      |  WHERE g1.doc_id >= split.s AND g2.doc_id < split.s
+      |  GROUP BY 1, 2),
+      |jac AS (
+      |  SELECT a, b,
+      |    floor((i * 1.0 / (sa.n + sb.n - i)) * 10000.0 + 0.5) / 10000.0 AS jac
+      |  FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+      |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8)
+      |SELECT a AS new_doc, b AS corpus_doc, jac FROM (
+      |  SELECT a, b, jac,
+      |    ROW_NUMBER() OVER (PARTITION BY a ORDER BY jac DESC, b) AS rn
+      |  FROM jac) t
+      |WHERE rn = 1 ORDER BY new_doc""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q92_incremental_dedup", q92, Some(q92Sql)),
     GraftQuery("q83_containment", q83, Some(q83Sql)),
     GraftQuery("q86_containment_prefix", q86, Some(q83Sql)),
     GraftQuery("q87_theta_jaccard", q87, Some(jaccardSql)),

@@ -54,6 +54,33 @@ object Profile {
       .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  // ---------------------------------------------------------------- q90
+  // Fixed-width histogram of events.value per event_type (bin width 50).
+  // The distribution-profiling companion to q71's scalar stats. The policy
+  // constant width keeps this ONE narrow map + one (type, bin)-keyed
+  // aggregate — no data-dependent min/max pre-pass — so per-partition
+  // partial counts are mergeable across any number of executors/batches
+  // (the same mergeability contract as the sketches, but exact). Both
+  // engines compute FLOOR(value / 50.0) with identical double semantics;
+  // the per-bin sum is decimal so accumulation order cannot shift it.
+  private val BinWidth = 50.0
+
+  private def q90(s: SparkSession, dir: String): DataFrame =
+    Fixtures.events(s, dir)
+      .groupBy(col("event_type"),
+        floor(col("value") / lit(BinWidth)).as("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast(DecimalType(18, 4))), 2)
+          .cast("double").as("sv"))
+      .orderBy(col("event_type"), col("bin"))
+
+  private val q90Sql =
+    s"""SELECT event_type, CAST(FLOOR(value / $BinWidth) AS BIGINT) AS bin,
+       |  COUNT(*) AS n,
+       |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sv
+       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
-    GraftQuery("q71_profile", q71, Some(q71Sql)))
+    GraftQuery("q71_profile", q71, Some(q71Sql)),
+    GraftQuery("q90_histogram", q90, Some(q90Sql)))
 }

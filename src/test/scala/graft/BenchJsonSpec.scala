@@ -14,15 +14,28 @@ class BenchJsonSpec extends AnyFunSuite {
       "/root/testdata/sf0.1")
 
   test("bench line for the full current inventory stays far below the capture window") {
+    // The harness keeps only the LAST 2 000 chars of output (BENCH_r01–r03
+    // all have a tail field of exactly 2 000 chars), and ~100 chars of sbt
+    // epilogue land after our line. Budget: whole line < 1 600.
     val line = lineFor(SparkEntry.queries.keys.toSeq)
-    assert(line.length < 2500,
-      s"bench line ${line.length} chars — approaching the ~3 kB tail window")
+    assert(line.length < 1600,
+      s"bench line ${line.length} chars — the capture window is 2 000 minus epilogue")
+  }
+
+  test("short keys are unique and collisions keep full names") {
+    val names = SparkEntry.queries.keys.toSeq
+    val short = Bench.shortKeys(names)
+    assert(short.values.toSet.size === names.size, "short keys must stay unique")
+    // the one known prefix collision keeps both full names
+    assert(short("q10_distinct") === "q10_distinct")
+    assert(short("q10_approx_distinct") === "q10_approx_distinct")
+    assert(short("q1_filter_agg") === "q1")
   }
 
   test("bench line is valid single-line JSON with 3-dp values and locale-proof dots") {
     val line = lineFor(Seq("q1_filter_agg", "q2_group_agg"))
     assert(!line.contains("\n"))
-    assert(line.contains("\"q1_filter_agg\":123.457"), line)
+    assert(line.contains("\"q1\":123.457"), line)
     assert(!line.contains(",".concat("457")), "decimal comma would break JSON parsing")
     // minimal structural parse without a JSON library: balanced braces,
     // expected top-level keys present
@@ -35,7 +48,7 @@ class BenchJsonSpec extends AnyFunSuite {
   test("errors map renders with escaped strings and failed queries are excluded from total") {
     val line = Bench.renderJson(Seq("ok_q" -> 1.0),
       Seq("bad_q" -> "IllegalStateException"), 3, "/dir")
-    assert(line.contains("\"errors\":{\"bad_q\":\"IllegalStateException\"}"))
+    assert(line.contains("\"errors\":{\"bad\":\"IllegalStateException\"}"))
     assert(line.contains("\"value\":1.000"))
   }
 }

@@ -93,4 +93,28 @@ class DedupSpec extends AnyFunSuite {
     assert(deduped.count() == docs.select("text").distinct().count())
     assert(deduped.agg(sum("dupes")).collect().head.getLong(0) == docs.count())
   }
+
+  test("incremental dedup equals the cross-split restriction of the exact pairs") {
+    val mx = Fixtures.documents(spark, TestSpark.sf0001)
+      .agg(max(col("doc_id"))).collect().head.getLong(0)
+    val split = math.floor(mx * 0.8).toLong
+    val exact = SparkEntry.queries("q19_dedup_ngram_jaccard")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // orient each cross-split exact pair as (new, corpus); argmax on the
+    // rounded jaccard with corpus-id tie-break — the q92 contract
+    val cross = exact.flatMap { case (a, b, j) =>
+      if (a < split && b >= split) Some((b, a, j))
+      else if (b < split && a >= split) Some((a, b, j))
+      else None
+    }
+    assert(cross.nonEmpty, "fixture must contain cross-split near-dups")
+    val expected = cross.groupBy(_._1).map { case (n, g) =>
+      val w = g.minBy(t => (-t._3, t._2))
+      (n, w._2, w._3)
+    }.toSet
+    val got = SparkEntry.queries("q92_incremental_dedup")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected,
+      s"missing ${expected -- got}, extra ${got -- expected}")
+  }
 }

@@ -1,0 +1,47 @@
+package graft.operators
+
+import java.sql.Timestamp
+import graft.{SparkEntry, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of calendar resampling + forward fill beyond the value oracle:
+  * gap carrying, within-period aggregation, and grid density.
+  */
+class TimeSeriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("forward fill carries the last observation across gaps") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", ts("2026-01-01 05:00:00"), 1L, 10.0),
+      ("a", ts("2026-01-01 09:00:00"), 2L, 11.0), // same day, later seq wins
+      ("a", ts("2026-01-04 00:30:00"), 3L, 40.0), // days 2-3 are silent
+      ("b", ts("2026-01-02 12:00:00"), 4L, 99.0)
+    ).toDF("k", "t", "seq", "v")
+    val got = TimeSeries.resampleFill(df, "k", "t", "day",
+        max_by(col("v"), col("seq")))
+      .orderBy(col("k"), col("period"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString, r.getDouble(2)))
+    assert(got.toSeq === Seq(
+      ("a", "2026-01-01 00:00:00.0", 11.0),
+      ("a", "2026-01-02 00:00:00.0", 11.0),
+      ("a", "2026-01-03 00:00:00.0", 11.0),
+      ("a", "2026-01-04 00:00:00.0", 40.0),
+      ("b", "2026-01-02 00:00:00.0", 99.0)))
+  }
+
+  test("q91 grid is dense and fully filled: one row per day per user, no nulls") {
+    val out = SparkEntry.queries("q91_resample_ffill")(spark, TestSpark.sf0001)
+    assert(out.filter(col("v_fill").isNull).count() === 0,
+      "every period at/after a key's first observation must be filled")
+    val bad = out.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("rows"),
+        (datediff(max(col("period")), min(col("period"))) + 1).as("days"))
+      .filter(col("rows") =!= col("days"))
+    assert(bad.count() === 0, "per-user row count must equal the day span")
+  }
+}
