@@ -74,12 +74,18 @@ object Dedup {
     * onto one core. On a real many-file 100 TB table the scan is already
     * wide and AQE coalesces the extra exchange away.
     */
-  private def docShingles(s: SparkSession, dir: String): DataFrame =
-    Fixtures.documents(s, dir)
+  /** Hashed word-3-gram shingle set of an arbitrary `(doc_id, text)` frame
+    * (shared by the batch queries and the streaming dedup gate).
+    */
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame =
+    docs
       .repartition(col("doc_id"))
       .select(col("doc_id"),
         explode(graft.functions.WordNGrams.distinctNGrams(col("text"), 3)).as("g"))
       .select(col("doc_id"), xxhash64(col("g")).as("sh"))
+
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    shinglesOf(Fixtures.documents(s, dir))
 
   /** All-pairs shingle-intersection counts `(a, b, i)` off the posting-list
     * self-join — ONE copy of the shape the exact jaccard baseline (q19) and
@@ -110,7 +116,7 @@ object Dedup {
     * all pairs sharing ≥1 shingle, counted directly off the shingle
     * self-join (exact baseline; quadratic on hot shingles).
     */
-  private def verifyJaccard(shingles: DataFrame, cands: Option[DataFrame],
+  private[graft] def verifyJaccard(shingles: DataFrame, cands: Option[DataFrame],
       threshold: Double): DataFrame = {
     val sizes = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val s1 = shingles.select(col("doc_id").as("a"), col("sh"))
@@ -804,7 +810,67 @@ object Dedup {
       |  FROM jac) t
       |WHERE rn = 1 ORDER BY new_doc""".stripMargin
 
+  // ---------------------------------------------------------------- q94
+  // Leakage-proof train/val/test split: hash-split by near-dup GROUP, not
+  // by document. A per-doc hash split (q64) puts two near-identical docs
+  // on opposite sides of the train/eval boundary — the classic
+  // contamination leak a dedup pipeline exists to prevent. Here every doc
+  // inherits its connected-component label (singletons label themselves),
+  // and the md5 bucket is computed on the GROUP label, so a whole dup
+  // cluster moves between splits atomically. Same bucket formula as q64
+  // (bit-identical on both engines, stable under corpus growth).
+  private def q94(s: SparkSession, dir: String): DataFrame = {
+    val pairs = q17(s, dir).select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val labels = connectedComponents(pairs) // (node, lbl=min id in component)
+    val docs = Fixtures.documents(s, dir).select(col("doc_id"))
+    val grouped = docs.join(labels, docs("doc_id") === labels("node"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("grp"))
+    val bucket =
+      conv(substring(md5(col("grp").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100
+    grouped
+      .withColumn("split",
+        when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q94Sql =
+    """WITH RECURSIVE
+      |toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS g
+      |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      |              JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+      |sizes AS (SELECT doc_id, COUNT(*) n FROM grams GROUP BY 1),
+      |inter AS (
+      |  SELECT g1.doc_id a, g2.doc_id b, COUNT(*) i
+      |  FROM grams g1 JOIN grams g2 ON g1.g = g2.g AND g1.doc_id < g2.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT a, b FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+      |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8),
+      |edges AS (SELECT a src, b dst FROM pairs UNION ALL SELECT b, a FROM pairs),
+      |reach(node, r) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.node),
+      |labels AS (SELECT node, MIN(r) AS lbl FROM reach GROUP BY node),
+      |g AS (
+      |  SELECT d.doc_id, COALESCE(l.lbl, d.doc_id) AS grp
+      |  FROM documents d LEFT JOIN labels l ON l.node = d.doc_id),
+      |b AS (
+      |  SELECT doc_id, grp,
+      |    ('0x' || substr(md5(CAST(grp AS VARCHAR)), 1, 4))::BIGINT % 100 AS bucket
+      |  FROM g)
+      |SELECT doc_id, grp,
+      |  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM b ORDER BY doc_id""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q94_leakage_split", q94, Some(q94Sql)),
     GraftQuery("q92_incremental_dedup", q92, Some(q92Sql)),
     GraftQuery("q83_containment", q83, Some(q83Sql)),
     GraftQuery("q86_containment_prefix", q86, Some(q83Sql)),

@@ -126,6 +126,34 @@ object Relational {
       |  FROM orders) t
       |WHERE rnk <= 3 ORDER BY o_custkey, rnk, o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q93
+  // q8's answer via a bounded-heap PARTIAL AGGREGATE (TopKByScore) instead
+  // of a window sort. Spark 4 already group-limits q8 map-side
+  // (WindowGroupLimit Partial) but only after SORTING every map partition
+  // in full; the aggregator replaces that O(n log n) sort + spill risk
+  // with an O(n log k) bounded hash-agg buffer — the 100 TB formulation
+  // of top-k-per-group (see TopKByScore scaladoc). Strict (price DESC,
+  // orderkey) order = ROW_NUMBER semantics (deterministic), hence its own
+  // oracle rather than q8's RANK one.
+  private def q93(s: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopKByScore(3),
+      org.apache.spark.sql.Encoders.product[graft.functions.ScoredId])
+    Fixtures.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(topk(col("o_totalprice"), col("o_orderkey")).as("t"))
+      .select(col("o_custkey"), posexplode(col("t.ids")))
+      .select(col("o_custkey"), col("col").as("o_orderkey"),
+        (col("pos") + 1).cast("long").as("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  private val q93Sql =
+    """SELECT o_custkey, o_orderkey, CAST(rn AS BIGINT) AS rn FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
   // ---------------------------------------------------------------- Q9
   // Global top-k: orderBy+limit plans as TakeOrderedAndProject — each task
   // keeps a k-heap, driver merges k×partitions rows; no full sort, no full
@@ -502,6 +530,7 @@ object Relational {
     GraftQuery("q3_join_agg", q3, Some(q3Sql)),
     GraftQuery("q7_time_window", q7, Some(q7Sql)),
     GraftQuery("q8_rank_window", q8, Some(q8Sql)),
+    GraftQuery("q93_topk_aggregate", q93, Some(q93Sql)),
     GraftQuery("q9_topk", q9, Some(q9Sql)),
     GraftQuery("q10_distinct", q10, Some(q10Sql)),
     GraftQuery("q10_approx_distinct", q10Approx, None),

@@ -74,6 +74,34 @@ object TimeSeries {
       |   ORDER BY o.period DESC LIMIT 1) AS v_fill
       |FROM grid g ORDER BY user_id, period""".stripMargin
 
+  // ---------------------------------------------------------------- q95
+  // Rolling 1-hour sum per user over EVENT TIME (RANGE frame on epoch
+  // seconds, 3599 preceding → current row incl. peers) — the trailing-
+  // window feature every behavioral / fraud / rate-limit pipeline derives.
+  // A RANGE frame is bounded by the key's events inside one hour, so frame
+  // state is O(events-per-key-per-hour) regardless of history length; the
+  // one shuffle partitions by user. Decimal sum keeps the frame total
+  // order-free; both engines floor the same epoch value.
+  private def q95(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_sec"))
+      .rangeBetween(-3599L, 0L)
+    Fixtures.events(s, dir)
+      .withColumn("ts_sec", col("ts").cast("long"))
+      .select(col("event_id"), col("user_id"),
+        round(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .over(w), 2).cast("double").as("roll_1h"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q95Sql =
+    """SELECT event_id, user_id,
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+      |    PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+      |    RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS roll_1h
+      |FROM events ORDER BY event_id""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
-    GraftQuery("q91_resample_ffill", q91, Some(q91Sql)))
+    GraftQuery("q91_resample_ffill", q91, Some(q91Sql)),
+    GraftQuery("q95_rolling_window", q95, Some(q95Sql)))
 }

@@ -188,4 +188,31 @@ class PlanSpec extends AnyFunSuite {
     assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
       s"KLL agg should run partial+final:\n${p.take(1500)}")
   }
+
+  test("q89: per-source cap is one window over one shuffle, no global sort") {
+    val p = planOf("q89_source_cap")
+    assert("Window".r.findAllIn(p).size >= 1, p.take(1200))
+    assert(!p.contains("TakeOrderedAndProject") || p.contains("Window"),
+      "cap must rank per source, not sort globally")
+    // exactly one width-changing exchange for the window partition key
+    assert("hashpartitioning\\(source".r.findAllIn(p).nonEmpty,
+      s"window must partition by source:\n${p.take(1200)}")
+  }
+
+  test("q92: bipartite candidate join is an equi hash join; only the 1-row split broadcasts") {
+    val p = planOf("q92_incremental_dedup")
+    assert(!p.contains("CartesianProduct"),
+      s"band join must never be a cartesian:\n${p.take(1500)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") ||
+      "BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2,
+      "only the scalar split value may cross-join")
+  }
+
+  test("q91: resample grid explodes in-plan (no driver-side generation)") {
+    val p = planOf("q91_resample_ffill")
+    assert(p.contains("Generate") && p.toLowerCase.contains("explode"),
+      s"grid must come from sequence+explode inside the plan:\n${p.take(1200)}")
+    assert(!p.contains("LocalTableScan") || !p.contains("Union"),
+      "grid rows must not be a driver-materialized local table")
+  }
 }

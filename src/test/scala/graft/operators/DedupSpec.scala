@@ -117,4 +117,16 @@ class DedupSpec extends AnyFunSuite {
     assert(got == expected,
       s"missing ${expected -- got}, extra ${got -- expected}")
   }
+
+  test("leakage split never separates a near-dup pair across splits") {
+    val split = SparkEntry.queries("q94_leakage_split")(spark, TestSpark.sf0001)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val pairs = SparkEntry.queries("q19_dedup_ngram_jaccard")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    for ((a, b) <- pairs)
+      assert(split(a) == split(b), s"pair ($a,$b) straddles ${split(a)}/${split(b)}")
+    // and it is a real split, not one bucket
+    assert(split.values.toSet.size > 1)
+  }
 }
