@@ -89,6 +89,30 @@ object Sources {
   def jsonBatch(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** CSV scan with an in-stream error channel (reference A3 semantics for
+    * file sources): malformed rows survive as NULL-field rows carrying the
+    * raw line in `_corrupt_record` instead of killing the job or being
+    * silently dropped — at 100 TB a format error thousands of files in
+    * must be quarantined, not fatal. PERMISSIVE is Spark-native (no
+    * per-row UDF); downstream routes on `_corrupt_record IS NULL`.
+    */
+  def csvBatchWithErrors(spark: SparkSession, path: String,
+      schema: StructType, header: Boolean = true): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", org.apache.spark.sql.types.StringType))
+      .option("header", header.toString)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+
+  /** ORC batch scan — the other columnar format Spark ships natively.
+    * Like parquet it carries its own schema, supports predicate pushdown
+    * and column pruning, and splits by stripe, so every plan-shape
+    * property PlanSpec pins for parquet holds for ORC sources too.
+    */
+  def orcBatch(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** CSV replay stream. */
   def csvStream(spark: SparkSession, dir: String, schema: StructType,
       header: Boolean = true, maxFilesPerTrigger: Int = 1): DataFrame =

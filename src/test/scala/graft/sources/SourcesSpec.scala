@@ -35,6 +35,37 @@ class SourcesSpec extends AnyFunSuite {
     assert(latest(back) == latest(base))
   }
 
+  test("csv error channel quarantines malformed rows without dropping good ones") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-csv-err").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part.csv"),
+      java.util.Arrays.asList(
+        "event_id,user_id,value",
+        "1,10,3.5",
+        "2,eleven,oops,extra", // malformed: non-numeric key + arity
+        "3,12,7.25"))
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("user_id", LongType), StructField("value", DoubleType)))
+    val rows = Sources.csvBatchWithErrors(spark, dir, schema)
+      .collect().map(r => (Option(r.get(0)), Option(r.get(3)))).toSeq
+    assert(rows.count(_._2.isEmpty) == 2, "both well-formed rows parse clean")
+    val bad = rows.filter(_._2.isDefined)
+    assert(bad.size == 1 && bad.head._2.get.toString.contains("eleven"),
+      "the malformed raw line must be preserved in the error channel")
+  }
+
+  test("orc scan materializes the same table as parquet, with pushdown intact") {
+    val dir = Files.createTempDirectory("graft-orc").toString
+    base.write.mode("overwrite").orc(dir)
+    val back = Sources.orcBatch(spark, dir)
+    assert(latest(back) == latest(base))
+    // same pushdown contract as the parquet scans PlanSpec pins
+    val plan = back.filter(col("user_id") === 7L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") && plan.contains("user_id"),
+      s"ORC scan must push the key filter:\n${plan.take(600)}")
+  }
+
   test("kafka source builders construct without a broker (plan-time only)") {
     // No connector jar in this image: building the reader must not throw
     // until .load() resolves the format. Subscription variants compile and
