@@ -53,6 +53,35 @@ object Sinks {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** Small-file compaction: rewrite a parquet directory into
+    * ceil(bytes / targetBytes) right-sized files. Streaming sinks emit one
+    * file per partition per micro-batch, so a week of 1-minute triggers
+    * turns a table into 10⁵ tiny files — footer/open overhead then
+    * dominates every scan and the NameNode/listing cost grows unbounded.
+    * Compaction is the standing maintenance job every 100 TB table runs.
+    *
+    * The rewrite goes to `path + ".compact.tmp"` first and swaps in with
+    * two renames (atomic on a posix/HDFS filesystem) so concurrent readers
+    * never observe a half-written table; the pre-compaction data is
+    * deleted only after the swap succeeds.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetBytes: Long): Int = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val bytes = fs.getContentSummary(dir).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compact.tmp")
+    val old = new org.apache.hadoop.fs.Path(path + ".compact.old")
+    spark.read.parquet(path).repartition(nFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    require(fs.rename(dir, old), s"compact: could not stage $dir aside")
+    require(fs.rename(tmp, dir), s"compact: could not swap $tmp into place")
+    fs.delete(old, true)
+    nFiles
+  }
+
   /** Incremental materialized-view maintenance: merge a micro-batch of
     * changelog upserts into a key-hash-partitioned parquet snapshot —
     * the persistent, queryable form of the reference's RocksDB table

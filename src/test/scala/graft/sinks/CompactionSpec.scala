@@ -1,0 +1,35 @@
+package graft.sinks
+
+import java.nio.file.Files
+import graft.{Fixtures, TestSpark}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Compaction must shrink the file count to the byte-target plan while
+  * leaving the table's contents bit-identical for readers.
+  */
+class CompactionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def parquetFiles(dir: String): Seq[java.io.File] =
+    new java.io.File(dir).listFiles.toSeq
+      .filter(f => f.getName.endsWith(".parquet"))
+
+  test("compaction reduces files to the byte target and preserves contents") {
+    val dir = Files.createTempDirectory("graft-compact").toString + "/t"
+    val events = Fixtures.events(spark, TestSpark.sf0001)
+      .select("event_id", "user_id", "event_type", "value")
+    events.repartition(16).write.parquet(dir)
+    assert(parquetFiles(dir).size == 16)
+    val before = events.orderBy("event_id").collect().toSeq
+
+    val totalBytes = parquetFiles(dir).map(_.length).sum
+    val n = Sinks.compact(spark, dir, targetBytes = totalBytes / 3)
+    assert(n >= 3 && n <= 4, s"expected ~3 target files, planned $n")
+    assert(parquetFiles(dir).size == n)
+    assert(!new java.io.File(dir + ".compact.tmp").exists())
+    assert(!new java.io.File(dir + ".compact.old").exists())
+
+    val after = spark.read.parquet(dir).orderBy("event_id").collect().toSeq
+    assert(after == before, "compaction must not change a single row")
+  }
+}
