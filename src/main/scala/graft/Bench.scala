@@ -53,6 +53,20 @@ object Bench {
       }
     }
     println(renderJson(results.toSeq, errors.toSeq, reps, sfDir))
+    // Full-name per-query detail as a repo artifact: the stdout line must
+    // fit the harness's 2 kB tail window (short keys), so the readable
+    // mapping is persisted here for humans and later rounds.
+    try {
+      val detail = results.toSeq.sortBy(-_._2)
+        .map { case (k, v) =>
+          "  \"" + k + "\": " + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+        }
+        .mkString("{\n\"sf\": \"" + sfDir + "\", \"reps\": " + reps + ",\n\"queries\": {\n",
+          ",\n", "\n}}\n")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_DETAIL.json"),
+        detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () } // artifact is best-effort
     spark.stop()
   }
 

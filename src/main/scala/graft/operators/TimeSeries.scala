@@ -101,7 +101,70 @@ object TimeSeries {
       |    RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS roll_1h
       |FROM events ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q96
+  // Time-series similarity search via a PAA sketch (cf. PAPERS.md, "Time
+  // Series Similarity Search for Streaming Data in Distributed Systems",
+  // EDBT 2019): each user's activity series is compressed to 5-day
+  // Piecewise-Aggregate segments, and the 10 users closest to user 1 by
+  // squared euclidean distance over the sketch are returned. Distance on
+  // the O(span/5)-dim sketch instead of the raw series is what makes
+  // similarity search over billions of keys tractable — the sketch build
+  // is one shuffle keyed by (user, segment), the query vector broadcasts
+  // (segments of ONE user), and top-10 is a TakeOrdered, never a global
+  // sort. All arithmetic is integer cents, so both engines agree exactly.
+  private def q96(s: SparkSession, dir: String): DataFrame = {
+    val daily = Fixtures.events(s, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("d"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("cents"))
+      .groupBy(col("user_id"), col("d")).agg(sum(col("cents")).as("dc"))
+    val dmin = daily.agg(min(col("d")).as("dmin"))
+    val segs = daily.crossJoin(broadcast(dmin))
+      .select(col("user_id"),
+        floor(datediff(col("d"), col("dmin")) / lit(5.0)).cast("int").as("seg"),
+        col("dc"))
+      .groupBy(col("user_id"), col("seg")).agg(sum(col("dc")).as("v"))
+    val smax = segs.agg(max(col("seg")).as("m"))
+    val dense = segs.select(col("user_id")).distinct()
+      .crossJoin(broadcast(smax))
+      .select(col("user_id"), explode(sequence(lit(0), col("m"))).as("seg"))
+      .join(segs, Seq("user_id", "seg"), "left")
+      .select(col("user_id"), col("seg"), coalesce(col("v"), lit(0L)).as("v"))
+    val qv = dense.filter(col("user_id") === 1)
+      .select(col("seg").as("qseg"), col("v").as("qv"))
+    dense.filter(col("user_id") =!= 1)
+      .join(broadcast(qv), col("seg") === col("qseg"))
+      .groupBy(col("user_id"))
+      .agg(sum((col("v") - col("qv")) * (col("v") - col("qv"))).as("dist"))
+      .orderBy(col("dist"), col("user_id"))
+      .limit(10)
+  }
+
+  private val q96Sql =
+    """WITH daily AS (
+      |  SELECT user_id, DATE_TRUNC('day', ts) AS d,
+      |         CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS dc
+      |  FROM events GROUP BY 1, 2),
+      |dmin AS (SELECT MIN(d) AS dmin FROM daily),
+      |segs AS (
+      |  SELECT user_id,
+      |         CAST(FLOOR(DATEDIFF('day', dmin.dmin, d) / 5.0) AS INT) AS seg,
+      |         CAST(SUM(dc) AS BIGINT) AS v
+      |  FROM daily, dmin GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT u.user_id, s.seg
+      |  FROM (SELECT DISTINCT user_id FROM segs) u,
+      |       (SELECT UNNEST(generate_series(0, (SELECT MAX(seg) FROM segs))) AS seg) s),
+      |dense AS (
+      |  SELECT g.user_id, g.seg, COALESCE(segs.v, 0) AS v
+      |  FROM grid g LEFT JOIN segs ON segs.user_id = g.user_id AND segs.seg = g.seg),
+      |q AS (SELECT seg, v AS qv FROM dense WHERE user_id = 1)
+      |SELECT d.user_id, CAST(SUM((d.v - q.qv) * (d.v - q.qv)) AS BIGINT) AS dist
+      |FROM dense d JOIN q ON q.seg = d.seg
+      |WHERE d.user_id <> 1
+      |GROUP BY 1 ORDER BY dist, user_id LIMIT 10""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q91_resample_ffill", q91, Some(q91Sql)),
-    GraftQuery("q95_rolling_window", q95, Some(q95Sql)))
+    GraftQuery("q95_rolling_window", q95, Some(q95Sql)),
+    GraftQuery("q96_series_paa_knn", q96, Some(q96Sql)))
 }
