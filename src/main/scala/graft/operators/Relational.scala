@@ -126,6 +126,21 @@ object Relational {
       |  FROM orders) t
       |WHERE rnk <= 3 ORDER BY o_custkey, rnk, o_orderkey""".stripMargin
 
+  /** Join with an explicit physical strategy on the RIGHT side —
+    * "broadcast", "merge" (sort-merge), "shuffle_hash", or
+    * "shuffle_replicate_nl". The 100 TB escape hatches when the planner's
+    * default is wrong for a known workload: SMJ's per-partition sort is
+    * wasted work when one side is pre-bucketed or wildly skewed
+    * (shuffle_hash skips it); a dim table just over the auto-broadcast
+    * threshold that the operator KNOWS fits in executor memory can be
+    * forced broadcast. Hints survive Catalyst (they attach to the logical
+    * subtree), so this composes with every other operator here.
+    * PlanSpec pins that each hint actually selects its physical join.
+    */
+  def hintedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      strategy: String): DataFrame =
+    left.join(right.hint(strategy), keys)
+
   // ---------------------------------------------------------------- q93
   // q8's answer via a bounded-heap PARTIAL AGGREGATE (TopKByScore) instead
   // of a window sort. Spark 4 already group-limits q8 map-side

@@ -49,6 +49,34 @@ class LatestValueProcessor extends StatefulProcessor[Long, Event, LatestRow] {
   }
 }
 
+/** TTL variant of [[LatestValueProcessor]]: the state value expires
+  * `ttlMillis` after its last write (processing time), so a key's memory
+  * is bounded by its activity recency — the standard retention contract
+  * for unbounded key spaces. After expiry `latest.get()` returns null and
+  * the fold restarts from the incoming record (observable: a smaller
+  * event_id wins again — TtlStateSpec).
+  */
+class LatestValueWithTtlProcessor(ttlMillis: Long)
+    extends StatefulProcessor[Long, Event, LatestRow] {
+  @transient private var latest: ValueState[LatestRow] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    latest = getHandle.getValueState[LatestRow]("latest",
+      Encoders.product[LatestRow],
+      TTLConfig(java.time.Duration.ofMillis(ttlMillis)))
+
+  override def handleInputRows(key: Long, rows: Iterator[Event],
+      timerValues: TimerValues): Iterator[LatestRow] = {
+    var cur = if (latest.exists()) latest.get() else null
+    rows.foreach { e =>
+      if (cur == null || e.event_id > cur.last_event_id)
+        cur = LatestRow(key, e.event_type, e.value, e.event_id)
+    }
+    if (cur == null) Iterator.empty
+    else { latest.update(cur); Iterator.single(cur) }
+  }
+}
+
 /** Tombstone-aware variant: a configurable event_type deletes the key —
   * the reference's `Table.delete` (A21, streams/Table.scala:70-71) driven
   * by null-value/tombstone records.
@@ -166,6 +194,24 @@ object LatestByKeyStream {
     implicit val keyEnc = Encoders.scalaLong
     events.groupByKey(_.user_id)
       .transformWithState(new LatestValueProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Latest-table variant with per-value state TTL — the retention bound
+    * that keeps streaming state finite at 100 TB: a key silent for longer
+    * than `ttl` is evicted by the state store itself (RocksDB TTL
+    * compaction, no per-key timers, no full-state sweeps), after which a
+    * late-arriving record is folded as if the key were new. This is the
+    * engine-native form of the reference's externally-managed store
+    * lifecycle (PolyKVStore close/cleanup); TtlStateSpec pins the
+    * behavioral contract both ways (expired → refold, NONE → ignore).
+    */
+  def latestTableWithTtl(events: Dataset[Event],
+      ttl: java.time.Duration): Dataset[LatestRow] = {
+    implicit val enc = Encoders.product[LatestRow]
+    implicit val keyEnc = Encoders.scalaLong
+    events.groupByKey(_.user_id)
+      .transformWithState(new LatestValueWithTtlProcessor(ttl.toMillis),
+        TimeMode.ProcessingTime(), OutputMode.Update())
   }
 
   /** Fold a typed changelog into the two-column-family profile table. */

@@ -208,6 +208,19 @@ class PlanSpec extends AnyFunSuite {
       "only the scalar split value may cross-join")
   }
 
+  test("join strategy hints select their physical join operators") {
+    val orders = Fixtures.orders(spark, TestSpark.sf0001)
+    val customer = Fixtures.customer(spark, TestSpark.sf0001)
+      .withColumnRenamed("c_custkey", "o_custkey")
+    def planWith(strategy: String): String =
+      operators.Relational.hintedJoin(orders, customer, Seq("o_custkey"), strategy)
+        .queryExecution.executedPlan.toString
+    assert(planWith("shuffle_hash").contains("ShuffledHashJoin"),
+      "shuffle_hash must skip the sort-merge sort")
+    assert(planWith("merge").contains("SortMergeJoin"))
+    assert(planWith("broadcast").contains("BroadcastHashJoin"))
+  }
+
   test("q91: resample grid explodes in-plan (no driver-side generation)") {
     val p = planOf("q91_resample_ffill")
     assert(p.contains("Generate") && p.toLowerCase.contains("explode"),
