@@ -57,11 +57,12 @@ object Bench {
     // fit the harness's 2 kB tail window (short keys), so the readable
     // mapping is persisted here for humans and later rounds.
     try {
+      def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
       val detail = results.toSeq.sortBy(-_._2)
         .map { case (k, v) =>
-          "  \"" + k + "\": " + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+          "  " + jstr(k) + ": " + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
         }
-        .mkString("{\n\"sf\": \"" + sfDir + "\", \"reps\": " + reps + ",\n\"queries\": {\n",
+        .mkString("{\n\"sf\": " + jstr(sfDir) + ", \"reps\": " + reps + ",\n\"queries\": {\n",
           ",\n", "\n}}\n")
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_DETAIL.json"),

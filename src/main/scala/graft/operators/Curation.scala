@@ -167,7 +167,7 @@ object Curation {
     * it must stay bit-identical to the oracle side's
     * `('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 4))::BIGINT % 100`.
     */
-  private def md5Bucket(idCol: Column): Column =
+  private[graft] def md5Bucket(idCol: Column): Column =
     conv(substring(md5(idCol.cast("string")), 1, 4), 16, 10).cast("long") % 100
 
   def stratumKeep(idCol: Column, stratum: Column, pctByStratum: Map[String, Int],

@@ -825,9 +825,7 @@ object Dedup {
     val docs = Fixtures.documents(s, dir).select(col("doc_id"))
     val grouped = docs.join(labels, docs("doc_id") === labels("node"), "left")
       .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("grp"))
-    val bucket =
-      conv(substring(md5(col("grp").cast("string")), 1, 4), 16, 10)
-        .cast("long") % 100
+    val bucket = Curation.md5Bucket(col("grp")) // the ONE shared formula
     grouped
       .withColumn("split",
         when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))

@@ -60,26 +60,49 @@ object Sinks {
     * dominates every scan and the NameNode/listing cost grows unbounded.
     * Compaction is the standing maintenance job every 100 TB table runs.
     *
-    * The rewrite goes to `path + ".compact.tmp"` first and swaps in with
-    * two renames (atomic on a posix/HDFS filesystem) so concurrent readers
-    * never observe a half-written table; the pre-compaction data is
-    * deleted only after the swap succeeds.
+    * A Hive-partitioned layout (`col=value/` subdirectories) is compacted
+    * PER LEAF PARTITION, so directory structure — and the planning-time
+    * pruning that rides on it — is preserved; a flat rewrite would demote
+    * the partition columns to data columns and break every path-addressed
+    * reader (e.g. the bucket-pruned materialized-view upsert above).
+    *
+    * Swap protocol per leaf: write to `<dir>.compact.tmp`, rename the live
+    * dir to `<dir>.compact.old`, rename tmp into place, delete old. Each
+    * rename is atomic (posix/HDFS), but between the two renames the path
+    * briefly resolves to nothing — readers racing that window fail fast
+    * and retry rather than seeing mixed data. Stale `.tmp`/`.old` dirs
+    * from a crashed prior run are cleaned up on entry (the live dir is
+    * authoritative: `.old` only exists alongside a live dir if the crash
+    * happened before the swap completed... in which case the live dir was
+    * never moved, so dropping leftovers is always safe), making the
+    * operation self-recovering and re-runnable.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
       targetBytes: Long): Int = {
     val hconf = spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
-    val dir = new org.apache.hadoop.fs.Path(path)
-    val bytes = fs.getContentSummary(dir).getLength
-    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    val tmp = new org.apache.hadoop.fs.Path(path + ".compact.tmp")
-    val old = new org.apache.hadoop.fs.Path(path + ".compact.old")
-    spark.read.parquet(path).repartition(nFiles)
-      .write.mode("overwrite").parquet(tmp.toString)
-    require(fs.rename(dir, old), s"compact: could not stage $dir aside")
-    require(fs.rename(tmp, dir), s"compact: could not swap $tmp into place")
-    fs.delete(old, true)
-    nFiles
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(hconf)
+    // descend into Hive partition subdirs (name contains '='), compacting
+    // each leaf directory that actually holds files
+    def leaves(dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+      val parts = fs.listStatus(dir)
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      if (parts.isEmpty) Seq(dir) else parts.flatMap(s => leaves(s.getPath)).toSeq
+    }
+    leaves(root).map { dir =>
+      val tmp = new org.apache.hadoop.fs.Path(dir.toString + ".compact.tmp")
+      val old = new org.apache.hadoop.fs.Path(dir.toString + ".compact.old")
+      fs.delete(tmp, true) // self-recovery from a crashed prior run
+      fs.delete(old, true)
+      val bytes = fs.getContentSummary(dir).getLength
+      val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+      spark.read.parquet(dir.toString).repartition(nFiles)
+        .write.mode("overwrite").parquet(tmp.toString)
+      require(fs.rename(dir, old), s"compact: could not stage $dir aside")
+      require(fs.rename(tmp, dir), s"compact: could not swap $tmp into place")
+      fs.delete(old, true)
+      nFiles
+    }.sum
   }
 
   /** Incremental materialized-view maintenance: merge a micro-batch of

@@ -41,12 +41,18 @@ import org.apache.spark.sql.functions._
 object DedupStream {
 
   private def readBefore(spark: SparkSession, path: String,
-      batchId: Long, cols: Seq[String]): Option[DataFrame] =
-    if (new java.io.File(path).exists())
+      batchId: Long, cols: Seq[String]): Option[DataFrame] = {
+    // Hadoop FileSystem, not java.io.File: the index lives wherever the
+    // pipeline puts it (HDFS/S3 at scale) — a local-only existence probe
+    // would silently disable cross-batch dedup off-box.
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
       Some(spark.read.parquet(path)
         .filter(col("batch") < lit(batchId))
         .select(cols.map(col): _*))
     else None
+  }
 
   /** Process one micro-batch: flag dups vs the index + smaller in-batch
     * ids, append survivors to the index. Returns the flagged frame.
@@ -63,12 +69,19 @@ object DedupStream {
       Seq("doc_id", "sh"))
 
     // candidates: batch-vs-index (bipartite) ∪ in-batch (smaller id is the
-    // keeper) — both equi joins on (band, sig), never all-pairs
-    val candIn = Dedup.minhashCandidates(shB)
-      .select(col("b").as("a"), col("a").as("b")) // dup candidate = larger id
+    // keeper) — both equi joins on (band, sig), never all-pairs. Both
+    // sides reuse the ONE materialized sigsB (bandSignatures ends in a
+    // localCheckpoint; calling minhashCandidates here would re-run the
+    // 64-hash min-aggregation on the hot per-batch path).
+    val x = sigsB.select(col("doc_id").as("a"), col("band"), col("sig"))
+    val candIn = x.join(
+      sigsB.select(col("doc_id").as("b"),
+        col("band").as("band2"), col("sig").as("sig2")),
+      col("band") === col("band2") && col("sig") === col("sig2") &&
+        col("a") > col("b")) // dup candidate = larger id
+      .select(col("a"), col("b"))
     val cands = idxSigs match {
       case Some(ix) =>
-        val x = sigsB.select(col("doc_id").as("a"), col("band"), col("sig"))
         val y = ix.select(col("doc_id").as("b"),
           col("band").as("band2"), col("sig").as("sig2"))
         x.join(y, col("band") === col("band2") && col("sig") === col("sig2"))
@@ -78,9 +91,14 @@ object DedupStream {
     }
     val allSh = idxSh.map(shB.union).getOrElse(shB)
 
+    // per flagged doc: the SMALLEST matching cause, with that pair's OWN
+    // jaccard (min-struct argmin — min(doc_b) and max(jac) taken
+    // separately would stitch one match's jac onto another's doc id)
     val flagged = Dedup.verifyJaccard(allSh, Some(cands), threshold)
       .groupBy(col("doc_a").as("doc_id"))
-      .agg(min(col("doc_b")).as("matched_doc"), max(col("jac")).as("jac"))
+      .agg(min(struct(col("doc_b"), col("jac"))).as("m"))
+      .select(col("doc_id"), col("m.doc_b").as("matched_doc"),
+        col("m.jac").as("jac"))
       .localCheckpoint() // consumed 3× below; also decouples from the index
                          // dirs this batch is about to rewrite
 

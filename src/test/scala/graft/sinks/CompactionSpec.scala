@@ -32,4 +32,27 @@ class CompactionSpec extends AnyFunSuite {
     val after = spark.read.parquet(dir).orderBy("event_id").collect().toSeq
     assert(after == before, "compaction must not change a single row")
   }
+
+  test("partitioned layouts compact per leaf, preserving directories and pruning") {
+    val dir = Files.createTempDirectory("graft-compact-part").toString + "/t"
+    val events = Fixtures.events(spark, TestSpark.sf0001)
+      .select("event_id", "user_id", "event_type", "value")
+    events.repartition(8).write.partitionBy("event_type").parquet(dir)
+    val partDirs = new java.io.File(dir).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("event_type=")).map(_.getName).sorted
+    assert(partDirs.nonEmpty)
+    val before = spark.read.parquet(dir)
+      .orderBy("event_id").collect().toSeq
+
+    Sinks.compact(spark, dir, targetBytes = Long.MaxValue) // 1 file per leaf
+    val partDirsAfter = new java.io.File(dir).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("event_type=")).map(_.getName).sorted
+    assert(partDirsAfter.toSeq == partDirs.toSeq,
+      "partition directories must survive compaction")
+    for (p <- partDirsAfter)
+      assert(parquetFiles(s"$dir/$p").size == 1, s"leaf $p should be one file")
+    val after = spark.read.parquet(dir).orderBy("event_id").collect().toSeq
+    assert(after == before,
+      "rows incl. the partition column must be unchanged")
+  }
 }

@@ -47,26 +47,31 @@ class StreamingDedupSpec extends AnyFunSuite {
     q.processAllAvailable()
     q.stop()
 
-    // reference simulation off the exact pairs
-    val pairSet = SparkEntry.queries("q19_dedup_ngram_jaccard")(spark, TestSpark.sf0001)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // reference simulation off the exact pairs (with each pair's jaccard,
+    // to pin that the emitted jac belongs to the emitted matched_doc)
+    val pairJac = SparkEntry.queries("q19_dedup_ngram_jaccard")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     def related(x: Long, y: Long) =
-      pairSet.contains((math.min(x, y), math.max(x, y)))
+      pairJac.contains((math.min(x, y), math.max(x, y)))
     var accepted = Set.empty[Long]
-    val expected = scala.collection.mutable.Map.empty[Long, Long] // dup -> matched
+    val expected = scala.collection.mutable.Map.empty[Long, (Long, Double)]
     for ((lo, hi) <- ranges) {
       val ids = (lo.toLong until hi.toLong).toSeq
       val flagged = ids.flatMap { d =>
         val causes = accepted.filter(a => related(a, d)) ++
           ids.filter(e => e < d && related(e, d))
-        if (causes.nonEmpty) Some(d -> causes.min) else None
+        if (causes.nonEmpty) {
+          val c = causes.min
+          Some(d -> (c, pairJac((math.min(c, d), math.max(c, d)))))
+        } else None
       }
       expected ++= flagged
       accepted ++= ids.filterNot(flagged.map(_._1).toSet)
     }
 
     val got = spark.read.parquet(s"$indexDir/dups")
-      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("matched_doc")).toMap
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("matched_doc"), r.getAs[Double]("jac")))).toMap
     assert(got == expected.toMap,
       s"missing ${expected.toMap.toSet -- got.toSet}, extra ${got.toSet -- expected.toMap.toSet}")
 
