@@ -169,6 +169,36 @@ object Relational {
       |  FROM orders) t
       |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
 
+  // ---------------------------------------------------------------- q97
+  // Distribution-rank window breadth: NTILE quartiles, PERCENT_RANK and
+  // CUME_DIST per customer — the remaining rank-family functions (q8/q50
+  // cover rank and offset frames). Deterministic: the window order is a
+  // total order (price, then unique orderkey), the rational rank ratios
+  // round through the engine-identical floor formula, and the customer
+  // filter is applied BEFORE the window in both engines (it filters whole
+  // partitions, so in-partition ranks are unchanged — but spelling it
+  // identically keeps the plans honest).
+  private def q97(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Fixtures.orders(s, dir)
+      .filter(col("o_custkey") < 100)
+      .select(col("o_custkey"), col("o_orderkey"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        graft.functions.Rounding.stable(percent_rank().over(w), 4).as("pr"),
+        graft.functions.Rounding.stable(cume_dist().over(w), 4).as("cd"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  private val q97Sql =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+      |  floor(PERCENT_RANK() OVER w * 10000.0 + 0.5) / 10000.0 AS pr,
+      |  floor(CUME_DIST() OVER w * 10000.0 + 0.5) / 10000.0 AS cd
+      |FROM (SELECT * FROM orders WHERE o_custkey < 100) t
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   // ---------------------------------------------------------------- Q9
   // Global top-k: orderBy+limit plans as TakeOrderedAndProject — each task
   // keeps a k-heap, driver merges k×partitions rows; no full sort, no full
@@ -546,6 +576,7 @@ object Relational {
     GraftQuery("q7_time_window", q7, Some(q7Sql)),
     GraftQuery("q8_rank_window", q8, Some(q8Sql)),
     GraftQuery("q93_topk_aggregate", q93, Some(q93Sql)),
+    GraftQuery("q97_rank_stats", q97, Some(q97Sql)),
     GraftQuery("q9_topk", q9, Some(q9Sql)),
     GraftQuery("q10_distinct", q10, Some(q10Sql)),
     GraftQuery("q10_approx_distinct", q10Approx, None),
