@@ -66,8 +66,10 @@ object Sinks {
     * the partition columns to data columns and break every path-addressed
     * reader (e.g. the bucket-pruned materialized-view upsert above).
     *
-    * Swap protocol per leaf: write to `<dir>.compact.tmp`, rename the live
-    * dir to `<dir>.compact.old`, rename tmp into place, delete old. Each
+    * Swap protocol per leaf: write to a DOT-prefixed sibling staging dir
+    * (hidden from Hadoop/Spark listings, so discovery never sees phantom
+    * partitions), rename the live dir aside, rename staging into place,
+    * delete the old data. Each
     * rename is atomic (posix/HDFS), but between the two renames the path
     * briefly resolves to nothing — readers racing that window fail fast
     * and retry rather than seeing mixed data. Stale `.tmp`/`.old` dirs
@@ -90,8 +92,13 @@ object Sinks {
       if (parts.isEmpty) Seq(dir) else parts.flatMap(s => leaves(s.getPath)).toSeq
     }
     leaves(root).map { dir =>
-      val tmp = new org.apache.hadoop.fs.Path(dir.toString + ".compact.tmp")
-      val old = new org.apache.hadoop.fs.Path(dir.toString + ".compact.old")
+      // DOT-prefixed siblings: Hadoop/Spark listings skip paths starting
+      // with '.' or '_', so a reader racing the swap (or a crash leftover)
+      // never sees the staging dirs as phantom partitions.
+      def hidden(suffix: String) = new org.apache.hadoop.fs.Path(
+        dir.getParent, "." + dir.getName + suffix)
+      val tmp = hidden(".compact.tmp")
+      val old = hidden(".compact.old")
       fs.delete(tmp, true) // self-recovery from a crashed prior run
       fs.delete(old, true)
       val bytes = fs.getContentSummary(dir).getLength

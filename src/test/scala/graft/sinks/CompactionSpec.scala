@@ -26,8 +26,9 @@ class CompactionSpec extends AnyFunSuite {
     val n = Sinks.compact(spark, dir, targetBytes = totalBytes / 3)
     assert(n >= 3 && n <= 4, s"expected ~3 target files, planned $n")
     assert(parquetFiles(dir).size == n)
-    assert(!new java.io.File(dir + ".compact.tmp").exists())
-    assert(!new java.io.File(dir + ".compact.old").exists())
+    val parent = new java.io.File(dir).getParentFile
+    assert(!parent.listFiles.exists(_.getName.contains(".compact.")),
+      "staging dirs must be cleaned up after the swap")
 
     val after = spark.read.parquet(dir).orderBy("event_id").collect().toSeq
     assert(after == before, "compaction must not change a single row")
@@ -54,5 +55,24 @@ class CompactionSpec extends AnyFunSuite {
     val after = spark.read.parquet(dir).orderBy("event_id").collect().toSeq
     assert(after == before,
       "rows incl. the partition column must be unchanged")
+  }
+
+  test("a compacted streaming-dedup index keeps gating correctly") {
+    import spark.implicits._
+    val indexDir = Files.createTempDirectory("graft-compact-idx").toString + "/idx"
+    val batch0 = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    graft.streaming.DedupStream.dedupBatch(batch0, indexDir, 0.8, batchId = 0L)
+    // the long-lived index is exactly the table a compaction job maintains
+    Sinks.compact(spark, s"$indexDir/sigs", targetBytes = Long.MaxValue)
+    Sinks.compact(spark, s"$indexDir/shingles", targetBytes = Long.MaxValue)
+    // near-identical doc in a later batch must still be flagged against
+    // the compacted index (batch= partitions and their column survive)
+    val batch1 = Seq((2L, "alpha beta gamma delta epsilon zeta eta iota"))
+      .toDF("doc_id", "text")
+    val flagged = graft.streaming.DedupStream.dedupBatch(batch1, indexDir, 0.5, batchId = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(flagged.toSeq == Seq((2L, 1L)),
+      "doc 2 must match corpus doc 1 through the compacted index")
   }
 }
