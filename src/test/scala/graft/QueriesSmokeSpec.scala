@@ -18,6 +18,17 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(unknown.isEmpty, s"oracle entries without a query: $unknown")
   }
 
+  test("every multi-row oracle query declares a deterministic ORDER BY") {
+    // the driver hash-compares rows in emitted order — a multi-row result
+    // without a total ORDER BY would hash-mismatch nondeterministically
+    for ((name, sql) <- SparkEntry.oracleSql.toSeq.sortBy(_._1)
+        if !sql.toUpperCase.contains("ORDER BY")) {
+      val rows = SparkEntry.queries(name)(spark, TestSpark.sf0001).count()
+      assert(rows <= 1,
+        s"$name returns $rows rows but its oracle has no ORDER BY")
+    }
+  }
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs at sf0.001") {
       val df = fn(spark, TestSpark.sf0001)
