@@ -10,6 +10,14 @@ import org.apache.spark.sql.SparkSession
   * official number (r1 recorded a 21 s q13 that re-ran at 2 s). A query that
   * throws is reported in an `"errors"` map and excluded from the total
   * instead of being silently recorded as its time-to-failure.
+  *
+  * The record is SELF-DIAGNOSING: the line carries the 1-minute system load
+  * average sampled before and after the run (`"load":[pre,post]`), and
+  * BENCH_DETAIL.json carries each query's per-rep MIN next to its median.
+  * Rationale: BENCH_r04's 401 s total was a contended-machine artifact (the
+  * same queries re-ran at 66 s on an idle box) and nothing in the artifact
+  * said so — with load + min, a contended run is evident on its face
+  * (load ≫ core count; min ≪ median).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -34,7 +42,10 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    val loadPre = systemLoad()
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // name -> (median, min): the median is the official number; the min is
+    // the contention tell (an idle machine has min ≈ median).
     val results = SparkEntry.queries.flatMap { case (name, fn) =>
       try {
         val times = (1 to reps).map(_ => timeOnce(fn)).sorted
@@ -44,32 +55,43 @@ object Bench {
         val median =
           if (times.size % 2 == 1) times(times.size / 2)
           else (times(times.size / 2 - 1) + times(times.size / 2)) / 2.0
-        Some(name -> median)
+        Some(name -> (median, times.head))
       } catch {
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
           errors += name -> e.getClass.getSimpleName
           None
       }
     }
-    println(renderJson(results.toSeq, errors.toSeq, reps, sfDir))
+    val loadPost = systemLoad()
+    println(renderJson(results.toSeq.map { case (k, (med, _)) => k -> med },
+      errors.toSeq, reps, sfDir, loadPre, loadPost))
     // Full-name per-query detail as a repo artifact: the stdout line must
     // fit the harness's 2 kB tail window (short keys), so the readable
     // mapping is persisted here for humans and later rounds.
     try {
       def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-      val detail = results.toSeq.sortBy(-_._2)
-        .map { case (k, v) =>
-          "  " + jstr(k) + ": " + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      def f3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      val detail = results.toSeq.sortBy(-_._2._1)
+        .map { case (k, (med, mn)) =>
+          "  " + jstr(k) + ": {\"median\": " + f3(med) + ", \"min\": " + f3(mn) + "}"
         }
-        .mkString("{\n\"sf\": " + jstr(sfDir) + ", \"reps\": " + reps + ",\n\"queries\": {\n",
+        .mkString("{\n\"sf\": " + jstr(sfDir) + ", \"reps\": " + reps +
+          ", \"load\": [" + f3(loadPre) + ", " + f3(loadPost) + "],\n\"queries\": {\n",
           ",\n", "\n}}\n")
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_DETAIL.json"),
         detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case _: Throwable => () } // artifact is best-effort
+    } catch { case scala.util.control.NonFatal(_) => () } // artifact is best-effort
     spark.stop()
   }
+
+  /** 1-minute system load average (−1.0 where the platform can't report
+    * it). On a 32-core box an idle run sits well under 32; a load far above
+    * core count marks the record as contended.
+    */
+  private def systemLoad(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
 
   /** The single JSON result line. Line LENGTH is load-bearing: the harness
     * captures only the last 2 000 chars of output (measured from
@@ -91,7 +113,8 @@ object Bench {
   }
 
   private[graft] def renderJson(results: Seq[(String, Double)],
-      errors: Seq[(String, String)], reps: Int, sfDir: String): String = {
+      errors: Seq[(String, String)], reps: Int, sfDir: String,
+      loadPre: Double = -1.0, loadPost: Double = -1.0): String = {
     val short = shortKeys(results.map(_._1) ++ errors.map(_._1))
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -100,6 +123,6 @@ object Bench {
     val errJson = errors.map { case (k, v) => jstr(short(k)) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"load":[${fmt(loadPre)},${fmt(loadPost)}],"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
   }
 }

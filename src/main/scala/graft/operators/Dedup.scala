@@ -299,7 +299,10 @@ object Dedup {
     val withNorm = e.select(col("vec_id"), col("embedding"),
       norm2Dec(col("embedding")).as("n2"),
       graft.functions.VectorDot.dot(col("embedding"), col("embedding")).as("n2d"))
-    val a = withNorm.repartition(32) // widen single-file scan for the pairwise loop
+    // widen single-file scan for the pairwise loop — sized from the session's
+    // shuffle parallelism, never a literal (cluster submits with higher
+    // parallelism must not bottleneck at a hard-coded 32 tasks)
+    val a = withNorm.repartition(withNorm.sparkSession.sessionState.conf.numShufflePartitions)
       .select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
         col("n2").as("n2a"), col("n2d").as("n2da"))
     val b = withNorm.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),

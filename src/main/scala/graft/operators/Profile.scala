@@ -16,8 +16,11 @@ import org.apache.spark.sql.types.DecimalType
   * between profiling at 100 TB in one pass and in N.
   *
   * Determinism: numeric metrics are cast to DECIMAL before aggregation
-  * (order-free sums) and emitted as DECIMAL, matching the oracle digit for
-  * digit.
+  * (order-free sums) and emitted as DOUBLE (the decimal is rounded to 2 dp
+  * first, exactly representable at these magnitudes). Raw DECIMAL output
+  * columns are never exposed — decimal stringification differs between
+  * engines even when values are identical (same lesson as the HUGEINT
+  * case documented in Multimodal.scala).
   */
 object Profile {
 
@@ -39,6 +42,10 @@ object Profile {
         |  'l_extendedprice', e_nulls, e_min, e_max, e_sum,
         |  'l_quantity',      q_nulls, q_min, q_max, q_sum
         |) as (col_name, n_nulls, vmin, vmax, vsum)""".stripMargin)
+      .select(col("col_name"), col("n_nulls"),
+        round(col("vmin"), 2).cast("double").as("vmin"),
+        round(col("vmax"), 2).cast("double").as("vmax"),
+        round(col("vsum"), 2).cast("double").as("vsum"))
       .orderBy(col("col_name"))
   }
 
@@ -46,9 +53,9 @@ object Profile {
     def row(c: String) =
       s"""SELECT '$c' AS col_name,
          |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_nulls,
-         |  CAST(MIN(CAST($c AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS vmin,
-         |  CAST(MAX(CAST($c AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS vmax,
-         |  CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS vsum
+         |  CAST(ROUND(MIN(CAST($c AS DECIMAL(18,2))), 2) AS DOUBLE) AS vmin,
+         |  CAST(ROUND(MAX(CAST($c AS DECIMAL(18,2))), 2) AS DOUBLE) AS vmax,
+         |  CAST(ROUND(SUM(CAST($c AS DECIMAL(18,2))), 2) AS DOUBLE) AS vsum
          |FROM lineitem""".stripMargin
     Seq("l_discount", "l_extendedprice", "l_quantity").map(row)
       .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")

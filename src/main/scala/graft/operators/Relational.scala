@@ -391,6 +391,48 @@ object Relational {
       |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) FROM orders)
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q98
+  // Correlated per-group subquery (TPC-H Q17 shape): lineitems whose
+  // quantity is below 0.2 × the average quantity FOR THAT PART — the
+  // small-order revenue question. Declared as a correlated scalar subquery
+  // and left to Catalyst's decorrelation: the optimizer rewrites it to ONE
+  // per-part aggregate joined back to the probe side, so the inner table is
+  // scanned once, not once per outer row. (PlanSpec pins that shape — a
+  // per-row re-scan would be quadratic and never survive 100 TB.)
+  //
+  // Determinism at the threshold: the comparison is done entirely in IEEE
+  // double — the per-part SUM accumulates in exact decimal (order-free),
+  // then one cast and one division in double, spelled identically in the
+  // oracle. Avg-of-decimal is NOT used: Spark's AVG(DECIMAL) widens scale
+  // while DuckDB's returns double, and a boundary row would flip.
+  private def q98(s: SparkSession, dir: String): DataFrame = {
+    Fixtures.lineitem(s, dir).createOrReplaceTempView("graft_q98_lineitem")
+    Fixtures.part(s, dir).createOrReplaceTempView("graft_q98_part")
+    s.sql("""
+      SELECT p.p_brand,
+             COUNT(*) AS n_small,
+             CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS small_revenue
+      FROM graft_q98_lineitem l
+      JOIN graft_q98_part p ON p.p_partkey = l.l_partkey
+      WHERE CAST(l.l_quantity AS DOUBLE) < (
+        SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) / (5.0 * COUNT(*))
+        FROM graft_q98_lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+      GROUP BY p.p_brand
+      ORDER BY p.p_brand""")
+  }
+
+  private val q98Sql =
+    """SELECT p.p_brand,
+      |       COUNT(*) AS n_small,
+      |       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS small_revenue
+      |FROM lineitem l
+      |JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE CAST(l.l_quantity AS DOUBLE) < (
+      |  SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) / (5.0 * COUNT(*))
+      |  FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+      |GROUP BY p.p_brand
+      |ORDER BY p.p_brand""".stripMargin
+
   // ---------------------------------------------------------------- q44
   // Date scalar functions: year/month/quarter/day-of-week breakdown.
   private def q44(s: SparkSession, dir: String): DataFrame =
@@ -564,6 +606,7 @@ object Relational {
     GraftQuery("q50_lag_lead", q50, Some(q50Sql)),
     GraftQuery("q42_anti_join", q42, Some(q42Sql)),
     GraftQuery("q43_scalar_subquery", q43, Some(q43Sql)),
+    GraftQuery("q98_correlated_subquery", q98, Some(q98Sql)),
     GraftQuery("q44_date_funcs", q44, Some(q44Sql)),
     GraftQuery("q45_string_funcs", q45, Some(q45Sql)),
     GraftQuery("q33_except", q33, Some(q33Sql)),

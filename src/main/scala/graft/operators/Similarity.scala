@@ -56,7 +56,10 @@ object Similarity {
   // (vec_id < 10), self excluded. Rank by exact-decimal cosine.
   private def q21(s: SparkSession, dir: String): DataFrame = {
     val e = Fixtures.embeddings(s, dir)
-    val withNorm = e.repartition(32) // widen single-file scan for the scoring loop
+    // widen single-file scan for the scoring loop — sized from the session's
+    // shuffle parallelism, never a literal (a 2000-partition cluster submit
+    // must not bottleneck at a hard-coded 32 tasks)
+    val withNorm = e.repartition(e.sparkSession.sessionState.conf.numShufflePartitions)
       .select(col("vec_id"), col("embedding"), norm2Dec(col("embedding")).as("n2"))
     val qs = withNorm.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("n2").as("qn2"))
@@ -151,8 +154,14 @@ object Similarity {
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"), col("n2").as("cn2"))
     var index = assignCells(withNorm, cents)
     for (_ <- 1 to refineIters) {
-      cents = refineCentroids(index)
-      index = assignCells(withNorm, cents)
+      // truncate lineage each iteration: without this, every downstream
+      // consumer (probe side AND scoring side of ivfTopK both read `index`)
+      // re-derives the whole assignCells chain per iteration — O(iters²)
+      // recompute that doubles query time at refineIters=1 and would be
+      // ruinous at corpus scale. localCheckpoint materializes the ~nlist-row
+      // cents and the per-vector index once.
+      cents = refineCentroids(index).localCheckpoint()
+      index = assignCells(withNorm, cents).localCheckpoint()
     }
     (index, cents)
   }
@@ -352,9 +361,12 @@ object Similarity {
   // ---------------------------------------------------------------- q72
   // Per-label embedding centroid components (first 8 dims): the class-mean
   // step behind centroid classifiers, cluster drift monitoring, and IVF
-  // seeding. Emitted as exact decimal (sum, count) pairs rather than means —
-  // order-free, hash-checkable, and the consumer can divide. One narrow
-  // posexplode + one map-side-combinable aggregate.
+  // seeding. The sum accumulates in exact decimal (order-free) and is then
+  // CAST to DOUBLE for output — both engines cast the identical decimal, so
+  // the doubles (and their stringification) match; raw DECIMAL columns are
+  // never emitted (driver-hash stringification divergence, same class as
+  // the HUGEINT lesson in Multimodal.scala). One narrow posexplode + one
+  // map-side-combinable aggregate.
   private def q72(s: SparkSession, dir: String): DataFrame = {
     // slice BEFORE the explode: generating all 64 (pos, x) rows and
     // filtering to 8 would blow the scan output up 8× for nothing
@@ -364,7 +376,7 @@ object Similarity {
     el.groupBy(col("label"), col("pos"))
       .agg(sum(round(col("x").cast("double"), 9)
           .cast(org.apache.spark.sql.types.DecimalType(28, 12)))
-          .cast(org.apache.spark.sql.types.DecimalType(28, 12)).as("s"),
+          .cast("double").as("s"),
         count(lit(1)).as("n"))
       .orderBy(col("label"), col("pos"))
   }
@@ -376,7 +388,7 @@ object Similarity {
       |         CAST(unnest(embedding) AS DOUBLE) AS x
       |  FROM embeddings)
       |SELECT label, pos,
-      |  CAST(SUM(CAST(round(x, 9) AS DECIMAL(28,12))) AS DECIMAL(28,12)) AS s,
+      |  CAST(SUM(CAST(round(x, 9) AS DECIMAL(28,12))) AS DOUBLE) AS s,
       |  COUNT(*) AS n
       |FROM el WHERE pos < 8 GROUP BY label, pos ORDER BY label, pos""".stripMargin
 

@@ -109,7 +109,9 @@ object Sketches {
   // semi-join — at 100 TB that prefilter is the difference between
   // shuffling the full fact table and shuffling ~1/25 of it.
   // Exact answer (bloom has no false negatives; the confirm join removes
-  // false positives) → full DuckDB oracle. DECIMAL revenue: order-free sum.
+  // false positives) → full DuckDB oracle. Revenue sums in DECIMAL
+  // (order-free) then emits as 2-dp DOUBLE — never raw DECIMAL (the
+  // driver-hash stringification hazard the smoke guard pins).
   private def q77(s: SparkSession, dir: String): DataFrame = {
     val cust = Fixtures.customer(s, dir)
       .filter(col("c_nationkey") === 7).select(col("c_custkey"))
@@ -119,13 +121,14 @@ object Sketches {
       numItems = 10000L, numBits = 8L * 10000L)
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"))
+        round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
+          .cast("double").as("revenue"))
       .orderBy(col("o_orderstatus"))
   }
 
   private val q77Sql =
     """SELECT o_orderstatus, COUNT(*) AS n_orders,
-      |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+      |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
       |FROM orders WHERE o_custkey IN
       |  (SELECT c_custkey FROM customer WHERE c_nationkey = 7)
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin

@@ -72,23 +72,52 @@ object Sinks {
     * delete the old data. Each
     * rename is atomic (posix/HDFS), but between the two renames the path
     * briefly resolves to nothing — readers racing that window fail fast
-    * and retry rather than seeing mixed data. Stale `.tmp`/`.old` dirs
-    * from a crashed prior run are cleaned up on entry (the live dir is
-    * authoritative: `.old` only exists alongside a live dir if the crash
-    * happened before the swap completed... in which case the live dir was
-    * never moved, so dropping leftovers is always safe), making the
-    * operation self-recovering and re-runnable.
+    * and retry rather than seeing mixed data. Crash recovery on entry, at
+    * every directory level: a run that died INSIDE that window leaves the
+    * live dir absent and its data in the hidden `.old` — that `.old` is
+    * RESTORED (renamed back into place), never deleted; only then are
+    * stale `.tmp` staging dirs dropped. A `.old` found NEXT TO a live dir
+    * means the swap completed and the crash hit before cleanup, so
+    * dropping it is safe. Partition discovery itself skips `.`/`_`
+    * prefixed names, so staging leftovers are never compacted as phantom
+    * leaves. This makes the operation self-recovering and re-runnable
+    * after a crash at any point in the protocol.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
       targetBytes: Long): Int = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(hconf)
+    // Crash recovery: a prior run that died between rename(dir, old) and
+    // rename(tmp, dir) left the live dir ABSENT and its data in the hidden
+    // `.old`. Restoring (not deleting) that `.old` is what makes a re-run
+    // safe — deleting it would strand the partition's data forever.
+    def restoreIfCrashed(dir: org.apache.hadoop.fs.Path): Unit = {
+      val old = new org.apache.hadoop.fs.Path(
+        dir.getParent, "." + dir.getName + ".compact.old")
+      if (!fs.exists(dir) && fs.exists(old))
+        require(fs.rename(old, dir), s"compact: could not restore $old to $dir")
+    }
+    restoreIfCrashed(root) // non-partitioned root swapped aside by a crash
     // descend into Hive partition subdirs (name contains '='), compacting
-    // each leaf directory that actually holds files
+    // each leaf directory that actually holds files. Dot/underscore names
+    // are NEVER leaves — they are staging leftovers (`.x=1.compact.old`)
+    // or metadata (`_SUCCESS`); compacting one as a phantom partition would
+    // shadow the real partition it staged. Orphaned `.old` dirs whose live
+    // partition is missing are restored before the level is listed.
     def leaves(dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
-      val parts = fs.listStatus(dir)
-        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      val suffix = ".compact.old"
+      fs.listStatus(dir).foreach { s =>
+        val n = s.getPath.getName
+        if (s.isDirectory && n.startsWith(".") && n.endsWith(suffix))
+          restoreIfCrashed(new org.apache.hadoop.fs.Path(
+            dir, n.substring(1, n.length - suffix.length)))
+      }
+      val parts = fs.listStatus(dir).filter { s =>
+        val n = s.getPath.getName
+        s.isDirectory && n.contains("=") &&
+          !n.startsWith(".") && !n.startsWith("_")
+      }
       if (parts.isEmpty) Seq(dir) else parts.flatMap(s => leaves(s.getPath)).toSeq
     }
     leaves(root).map { dir =>
@@ -99,7 +128,9 @@ object Sinks {
         dir.getParent, "." + dir.getName + suffix)
       val tmp = hidden(".compact.tmp")
       val old = hidden(".compact.old")
-      fs.delete(tmp, true) // self-recovery from a crashed prior run
+      fs.delete(tmp, true) // stale staging from a crashed prior run
+      // here the live dir exists (leaves() restored any orphaned .old), so
+      // a surviving .old is post-swap leftover — dropping it is safe
       fs.delete(old, true)
       val bytes = fs.getContentSummary(dir).getLength
       val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)

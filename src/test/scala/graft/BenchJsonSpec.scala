@@ -41,8 +41,14 @@ class BenchJsonSpec extends AnyFunSuite {
     // expected top-level keys present
     assert(line.startsWith("{") && line.endsWith("}"))
     for (k <- Seq("\"metric\"", "\"value\"", "\"unit\"", "\"reps\"",
-        "\"queries\"", "\"errors\"", "\"sf\""))
+        "\"load\"", "\"queries\"", "\"errors\"", "\"sf\""))
       assert(line.contains(k), s"missing $k")
+  }
+
+  test("load averages render in the line so a contended run is self-evident") {
+    val line = Bench.renderJson(Seq("q1_filter_agg" -> 1.0), Seq.empty, 3,
+      "/dir", 2.5, 31.75)
+    assert(line.contains("\"load\":[2.500,31.750]"), line)
   }
 
   test("errors map renders with escaped strings and failed queries are excluded from total") {

@@ -228,4 +228,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("LocalTableScan"),
       "grid rows must not be a driver-materialized local table")
   }
+
+  test("q98: correlated subquery decorrelates to one aggregate + join, not a per-row re-scan") {
+    val df = SparkEntry.queries("q98_correlated_subquery")(spark, TestSpark.sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    // decorrelation failed if the scalar subquery survives to execution
+    // (one inner re-scan per outer row) or degenerates to a nested loop
+    assert(!p.contains("ScalarSubquery") && !p.contains("Subquery subquery"),
+      s"correlated subquery must be decorrelated:\n${p.take(1200)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "decorrelated plan must use equi joins only")
+    // exactly one aggregate pair over the inner lineitem (partial+final) —
+    // the per-part threshold is computed ONCE and joined back
+    val optimized = df.queryExecution.optimizedPlan.toString
+    val innerAggs = "Aggregate \\[l_partkey".r.findAllIn(optimized).size
+    assert(innerAggs == 1,
+      s"expected exactly one per-part aggregate, got $innerAggs:\n${optimized.take(1200)}")
+  }
 }

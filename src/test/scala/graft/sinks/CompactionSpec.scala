@@ -57,6 +57,48 @@ class CompactionSpec extends AnyFunSuite {
       "rows incl. the partition column must be unchanged")
   }
 
+  test("re-run after a crash between the two swap renames restores the table") {
+    // the crash window: rename(dir, old) succeeded, rename(tmp, dir) never
+    // ran — the live dir is ABSENT and all data sits in the hidden .old
+    val base = Files.createTempDirectory("graft-compact-crash").toString
+    val dir = base + "/t"
+    val events = Fixtures.events(spark, TestSpark.sf0001)
+      .select("event_id", "user_id", "event_type", "value")
+    events.repartition(4).write.parquet(dir)
+    val before = events.orderBy("event_id").collect().toSeq
+    assert(new java.io.File(dir).renameTo(new java.io.File(base + "/.t.compact.old")))
+    new java.io.File(base + "/.t.compact.tmp").mkdirs() // stale staging too
+    val n = Sinks.compact(spark, dir, targetBytes = Long.MaxValue)
+    assert(n == 1)
+    val after = spark.read.parquet(dir).orderBy("event_id").collect().toSeq
+    assert(after == before, "recovered table must carry every pre-crash row")
+    assert(!new java.io.File(base).listFiles.exists(_.getName.contains(".compact.")),
+      "recovery must leave no staging dirs behind")
+  }
+
+  test("a partition stranded in .old by a crash is restored, not compacted as a phantom leaf") {
+    val dir = Files.createTempDirectory("graft-compact-crashp").toString + "/t"
+    val events = Fixtures.events(spark, TestSpark.sf0001)
+      .select("event_id", "user_id", "event_type", "value")
+    events.repartition(4).write.partitionBy("event_type").parquet(dir)
+    val before = spark.read.parquet(dir).orderBy("event_id").collect().toSeq
+    val parts = new java.io.File(dir).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("event_type=")).map(_.getName).sorted
+    val victim = parts.head
+    // crash window for one leaf: live partition dir gone, data in .old
+    assert(new java.io.File(s"$dir/$victim")
+      .renameTo(new java.io.File(s"$dir/.$victim.compact.old")))
+    Sinks.compact(spark, dir, targetBytes = Long.MaxValue)
+    val partsAfter = new java.io.File(dir).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("event_type=")).map(_.getName).sorted
+    assert(partsAfter.toSeq == parts.toSeq,
+      s"stranded partition $victim must be restored into place")
+    assert(!new java.io.File(dir).listFiles.exists(_.getName.contains(".compact.")),
+      "no hidden staging dirs may survive — phantom-leaf hazard")
+    val after = spark.read.parquet(dir).orderBy("event_id").collect().toSeq
+    assert(after == before, "no partition's rows may be lost across crash + re-run")
+  }
+
   test("a compacted streaming-dedup index keeps gating correctly") {
     import spark.implicits._
     val indexDir = Files.createTempDirectory("graft-compact-idx").toString + "/idx"

@@ -81,6 +81,65 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(indexed == accepted)
   }
 
+  test("compacting the signature index mid-stream leaves gating identical") {
+    // the index grows one file set per epoch — the standing maintenance job
+    // is Sinks.compact between triggers. Run the stream over the first
+    // batches, stop at the checkpoint, compact sigs+shingles, resume with
+    // more batches: flagged results must equal the uncompacted single-run
+    // reference (cross-batch gate sees the same corpus through the swap).
+    val replayDir = Files.createTempDirectory("graft-dedup-creplay").toString
+    val indexDir = Files.createTempDirectory("graft-dedup-cindex").toString + "/idx"
+    val ckpt = Files.createTempDirectory("graft-dedup-cckpt").toString
+    val ranges = Seq((0, 100), (100, 200), (200, 300), (300, 400), (400, 500))
+    val schema = Fixtures.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("text")).schema
+
+    writeOrderedReplay(replayDir, ranges.take(3))
+    val s1 = Sources.fileStream(spark, replayDir, schema, maxFilesPerTrigger = 1)
+    val q1 = DedupStream.start(s1, indexDir, ckpt, 0.8)
+    q1.processAllAvailable(); q1.stop()
+
+    def parquetCount(d: java.io.File): Int =
+      d.listFiles.map(f => if (f.isDirectory) parquetCount(f)
+        else if (f.getName.endsWith(".parquet")) 1 else 0).sum
+    val sigFilesBefore = parquetCount(new java.io.File(s"$indexDir/sigs"))
+    graft.sinks.Sinks.compact(spark, s"$indexDir/sigs", targetBytes = Long.MaxValue)
+    graft.sinks.Sinks.compact(spark, s"$indexDir/shingles", targetBytes = Long.MaxValue)
+
+    writeOrderedReplay(replayDir, ranges) // adds the last two batch files
+    val s2 = Sources.fileStream(spark, replayDir, schema, maxFilesPerTrigger = 1)
+    val q2 = DedupStream.start(s2, indexDir, ckpt, 0.8)
+    q2.processAllAvailable(); q2.stop()
+
+    // reference: the gate replayed sequentially with no compaction
+    val pairJac = SparkEntry.queries("q19_dedup_ngram_jaccard")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    def related(x: Long, y: Long) =
+      pairJac.contains((math.min(x, y), math.max(x, y)))
+    var accepted = Set.empty[Long]
+    val expected = scala.collection.mutable.Map.empty[Long, (Long, Double)]
+    for ((lo, hi) <- ranges) {
+      val ids = (lo.toLong until hi.toLong).toSeq
+      val flagged = ids.flatMap { d =>
+        val causes = accepted.filter(a => related(a, d)) ++
+          ids.filter(e => e < d && related(e, d))
+        if (causes.nonEmpty) {
+          val c = causes.min
+          Some(d -> (c, pairJac((math.min(c, d), math.max(c, d)))))
+        } else None
+      }
+      expected ++= flagged
+      accepted ++= ids.filterNot(flagged.map(_._1).toSet)
+    }
+    val got = spark.read.parquet(s"$indexDir/dups")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("matched_doc"), r.getAs[Double]("jac")))).toMap
+    assert(got == expected.toMap,
+      s"gating diverged across compaction: missing ${expected.toMap.toSet -- got.toSet}, " +
+        s"extra ${got.toSet -- expected.toMap.toSet}")
+    assert(sigFilesBefore > 1, "fixture must exercise a real multi-file compaction")
+  }
+
   test("re-running a batch id overwrites its partition instead of double-appending") {
     import spark.implicits._
     val indexDir = Files.createTempDirectory("graft-dedup-idem").toString + "/idx"
