@@ -118,20 +118,19 @@ object Similarity {
       .select(col("cell"), col("vec_id"), col("embedding"), col("n2"))
 
   /** One Lloyd iteration: each cell's new centroid is the element-wise mean
-    * of its members. The mean accumulates in DECIMAL (exact, order-free) so
-    * refined centroids — and hence cell assignments — are deterministic
-    * regardless of partitioning, then narrows back to float for the
-    * codegen'd scoring path. Cost: one posexplode + two bounded aggregates
-    * (nlist × dims rows after the first), all map-side combinable.
+    * of its members, computed by the [[graft.functions.VectorMean]] partial
+    * aggregate — one dims-long buffer per (cell × task), merged across the
+    * wire, NOT a corpus × dims posexplode shuffle (the explode formulation
+    * ships every vector component as its own row; at corpus scale that
+    * shuffle is the whole job). Scaled-long accumulation keeps the refined
+    * centroids — and hence cell assignments — deterministic regardless of
+    * partitioning and merge order.
     */
   private def refineCentroids(index: DataFrame): DataFrame = {
-    val el = index.select(col("cell"),
-      posexplode(col("embedding")).as(Seq("pos", "x")))
-    el.groupBy(col("cell"), col("pos"))
-      .agg(avg(col("x").cast(org.apache.spark.sql.types.DecimalType(28, 12))).as("m"))
-      .groupBy(col("cell"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-        s => s.getField("m").cast("float")).as("ce"))
+    val vmean = udaf(new graft.functions.VectorMean(9),
+      org.apache.spark.sql.Encoders.product[graft.functions.VecIn])
+    index.groupBy(col("cell"))
+      .agg(vmean(col("embedding")).as("ce"))
       .select(col("cell").as("cent_id"), col("ce"),
         graft.functions.VectorDot.dot(col("ce"), col("ce")).as("cn2"))
   }
@@ -154,14 +153,15 @@ object Similarity {
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"), col("n2").as("cn2"))
     var index = assignCells(withNorm, cents)
     for (_ <- 1 to refineIters) {
-      // truncate lineage each iteration: without this, every downstream
+      // cache each iteration's output: without this, every downstream
       // consumer (probe side AND scoring side of ivfTopK both read `index`)
       // re-derives the whole assignCells chain per iteration — O(iters²)
       // recompute that doubles query time at refineIters=1 and would be
-      // ruinous at corpus scale. localCheckpoint materializes the ~nlist-row
-      // cents and the per-vector index once.
-      cents = refineCentroids(index).localCheckpoint()
-      index = assignCells(withNorm, cents).localCheckpoint()
+      // ruinous at corpus scale. Lazy persist (not an eager checkpoint):
+      // the first consumer materializes while computing, later consumers
+      // read the cache, and no dedicated materialization job runs.
+      cents = refineCentroids(index).persist()
+      index = assignCells(withNorm, cents).persist()
     }
     (index, cents)
   }
