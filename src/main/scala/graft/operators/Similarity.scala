@@ -272,6 +272,146 @@ object Similarity {
     e.select(col("vec_id"), planes.reduce(_ + _).cast("long").as("bucket"))
   }
 
+  // ------------------------------------------------------------------ PQ
+  // Product quantization (Jégou et al., "Product Quantization for Nearest
+  // Neighbor Search", IEEE TPAMI 2011 — the compression layer of FAISS-style
+  // IVF-PQ): split each vector into `m` subvectors, learn a k-entry
+  // codebook per subspace (k-means), store each vector as m small codes.
+  // 64 float dims (256 B) compress to m=8 bytes — at corpus scale the
+  // compressed index fits in memory where raw vectors never would, and
+  // scoring never touches the raw vector column.
+  //
+  // Every stage is a broadcast join or a map-side-combinable aggregate:
+  //  - training: corpus × m narrow subvector rows, argmin against a
+  //    BROADCAST codebook (k × m rows), centroid update via the VectorMean
+  //    partial aggregate (no explode; wire = k × m × tasks buffers);
+  //  - encoding: one more broadcast-argmin pass → (vec_id, sub, code);
+  //  - ADC query: the query builds a (query × sub × code) lookup table of
+  //    partial dots — tiny, broadcast — and scoring is ONE equi join from
+  //    the compressed codes to the LUT plus a (query, vec) sum. The raw
+  //    corpus vectors are never read at query time.
+  //
+  // Determinism: subvector distances are per-row double folds (VectorDot —
+  // no cross-row reduction), argmin is min_by over the total order
+  // (dist, code), and centroid updates are VectorMean's exact scaled-long
+  // sums — codes and centroids are bit-identical for every partitioning.
+
+  /** Long-format (sub, sv) subvector rows: dims must divide evenly. */
+  private def subvectors(e: DataFrame, m: Int, dims: Int): DataFrame = {
+    val d = dims / m
+    require(m * d == dims, s"m=$m must divide dims=$dims")
+    val subs = array((0 until m).map(i =>
+      struct(lit(i).as("sub"), slice(col("embedding"), i * d + 1, d).as("sv"))): _*)
+    e.select(col("vec_id"), inline(subs))
+  }
+
+  /** Nearest codebook entry per (vec_id, sub): one broadcast join + one
+    * min_by aggregate. Squared L2 = |sv|² − 2·dot + |c|²; |sv|² is constant
+    * within the argmin group, so ranking uses (|c|² − 2·dot) only.
+    */
+  private def assignCodes(sv: DataFrame, codebook: DataFrame): DataFrame =
+    sv.join(broadcast(codebook), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("code"),
+        (col("cn2") - lit(2.0) * graft.functions.VectorDot.dot(col("sv"), col("cent")))
+          .as("dist"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(col("code"), struct(col("dist"), col("code"))).as("code"))
+
+  /** Train per-subspace codebooks: deterministic seeds (vec_id < k) +
+    * `iters` Lloyd refinements. Returns (sub, code, cent, cn2).
+    */
+  def pqTrain(e: DataFrame, m: Int, k: Int, iters: Int, dims: Int = 64): DataFrame = {
+    val sv = subvectors(e, m, dims).persist()
+    var cb = sv.filter(col("vec_id") < k)
+      .select(col("sub"), col("vec_id").cast("int").as("code"), col("sv").as("cent"),
+        graft.functions.VectorDot.dot(col("sv"), col("sv")).as("cn2"))
+      .persist()
+    for (_ <- 1 to iters) {
+      val vmean = udaf(new graft.functions.VectorMean(9),
+        org.apache.spark.sql.Encoders.product[graft.functions.VecIn])
+      cb = assignCodes(sv, cb)
+        .join(sv, Seq("vec_id", "sub"))
+        .groupBy(col("sub"), col("code"))
+        .agg(vmean(col("sv")).as("cent"))
+        .select(col("sub"), col("code"), col("cent"),
+          graft.functions.VectorDot.dot(col("cent"), col("cent")).as("cn2"))
+        .persist()
+    }
+    cb
+  }
+
+  /** Compress the corpus: (vec_id, sub, code) — m codes per vector. */
+  def pqEncode(e: DataFrame, codebook: DataFrame, m: Int, dims: Int = 64): DataFrame =
+    assignCodes(subvectors(e, m, dims), codebook)
+
+  /** ADC (asymmetric distance computation) top-k by approximate cosine:
+    * queries stay exact float vectors; the corpus is scored from its codes
+    * alone via the broadcast lookup table. Approximate |x|² is the
+    * reconstruction norm Σₘ|cₘ|² (exact when codes reconstruct exactly).
+    *
+    * `rerank > 0` enables the production two-stage shape: ADC selects a
+    * `rerank`-deep shortlist from codes alone, then ONLY the shortlisted
+    * (query, neighbor) pairs read their raw vectors for an exact-cosine
+    * re-rank to `topK`. The raw-vector read is shortlist-bounded
+    * (queries × rerank rows), not corpus-bounded — on a 100 TB corpus the
+    * full scan stays on the 32×-smaller code table.
+    */
+  def pqTopK(e: DataFrame, queryPred: org.apache.spark.sql.Column,
+      m: Int, k: Int, iters: Int, topK: Int, dims: Int = 64,
+      rerank: Int = 0): DataFrame = {
+    val cb = pqTrain(e, m, k, iters, dims)
+    val codes = pqEncode(e, cb, m, dims).persist()
+    val qs = e.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding"),
+        graft.functions.VectorDot.dot(col("embedding"), col("embedding")).as("qn2"))
+    // LUT: queries × m × k partial dots — |queries|·m·k rows, broadcast
+    val lut = subvectors(qs.withColumnRenamed("query_id", "vec_id"), m, dims)
+      .join(qs.select(col("query_id").as("vec_id"), col("qn2")), Seq("vec_id"))
+      .withColumnRenamed("vec_id", "query_id")
+      .join(cb, Seq("sub"))
+      .select(col("query_id"), col("qn2"), col("sub"), col("code"), col("cn2"),
+        graft.functions.VectorDot.dot(col("sv"), col("cent")).as("dlut"))
+    val shortlistK = if (rerank > 0) rerank else topK
+    val w = Window.partitionBy(col("query_id")).orderBy(col("c").desc, col("neighbor_id"))
+    val adc = codes.join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("dlut")).as("adot"), sum(col("cn2")).as("an2"),
+        first(col("qn2")).as("qn2"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (col("adot") / (sqrt(col("an2")) * sqrt(col("qn2")))).as("c"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= shortlistK)
+    val ranked =
+      if (rerank == 0) adc
+      else {
+        // exact re-rank: raw vectors touched only for the shortlist pairs
+        val corpus = e.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("ne"),
+          graft.functions.VectorDot.dot(col("embedding"), col("embedding")).as("nn2"))
+        adc.select(col("query_id"), col("neighbor_id"))
+          .join(corpus, Seq("neighbor_id"))
+          .join(broadcast(qs), Seq("query_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            cosineFast(graft.functions.VectorDot.dot(col("ne"), col("embedding")),
+              col("nn2"), col("qn2")).as("c"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= topK)
+      }
+    ranked.select(col("query_id"), col("rnk"), col("neighbor_id"),
+      round(col("c"), 4).as("cos_sim"))
+  }
+
+  // PQ ANN: 8 subspaces × 16 codes, one Lloyd iteration — 32× compression
+  // (256 B vector → 8 B codes) — with a 50-deep exact re-rank (the
+  // production IVF-PQ query shape: compressed scan, shortlist-bounded raw
+  // reads). Approximate ⇒ no value oracle; PqSpec pins exact-reconstruction
+  // equivalence, recall@5 vs q21, determinism, and code-range compression.
+  private def q99(s: SparkSession, dir: String): DataFrame =
+    pqTopK(Fixtures.embeddings(s, dir), col("vec_id") < 10,
+      m = 8, k = 16, iters = 1, topK = 5, rerank = 50)
+      .orderBy(col("query_id"), col("rnk"))
+
   // One deterministic Lloyd iteration over the seed centroids: better cell
   // balance → better recall at the same nprobe, still fully reproducible.
   private def q22(s: SparkSession, dir: String): DataFrame =
@@ -398,6 +538,7 @@ object Similarity {
     GraftQuery("q15_cosine_topk", q15, Some(q15Sql)),
     GraftQuery("q21_ann_brute", q21, Some(q21Sql)),
     GraftQuery("q22_ann_ivf", q22, None),
+    GraftQuery("q99_pq_topk", q99, None),
     GraftQuery("q46_ann_ivf_exhaustive", q46, Some(q21Sql)),
     GraftQuery("q47_lsh_buckets", q47, Some(q47Sql)))
 }
