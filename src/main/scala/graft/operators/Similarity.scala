@@ -382,25 +382,119 @@ object Similarity {
         (col("adot") / (sqrt(col("an2")) * sqrt(col("qn2")))).as("c"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= shortlistK)
-    val ranked =
-      if (rerank == 0) adc
-      else {
-        // exact re-rank: raw vectors touched only for the shortlist pairs
-        val corpus = e.select(col("vec_id").as("neighbor_id"),
-          col("embedding").as("ne"),
-          graft.functions.VectorDot.dot(col("embedding"), col("embedding")).as("nn2"))
-        adc.select(col("query_id"), col("neighbor_id"))
-          .join(corpus, Seq("neighbor_id"))
-          .join(broadcast(qs), Seq("query_id"))
-          .select(col("query_id"), col("neighbor_id"),
-            cosineFast(graft.functions.VectorDot.dot(col("ne"), col("embedding")),
-              col("nn2"), col("qn2")).as("c"))
-          .withColumn("rnk", row_number().over(w))
-          .filter(col("rnk") <= topK)
-      }
+    val ranked = if (rerank == 0) adc else exactRerank(adc, e, qs, topK)
     ranked.select(col("query_id"), col("rnk"), col("neighbor_id"),
       round(col("c"), 4).as("cos_sim"))
   }
+
+  /** Exact-cosine re-rank of an ADC shortlist: raw vectors are read ONLY
+    * for the shortlisted (query, neighbor) pairs — queries × shortlist
+    * rows, not corpus rows. `qs` must carry (query_id, embedding, qn2).
+    */
+  private def exactRerank(shortlist: DataFrame, e: DataFrame,
+      qs: DataFrame, topK: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("c").desc, col("neighbor_id"))
+    val corpus = e.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ne"),
+      graft.functions.VectorDot.dot(col("embedding"), col("embedding")).as("nn2"))
+    shortlist.select(col("query_id"), col("neighbor_id"))
+      .join(corpus, Seq("neighbor_id"))
+      .join(broadcast(qs), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineFast(graft.functions.VectorDot.dot(col("ne"), col("embedding")),
+          col("nn2"), col("qn2")).as("c"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+  }
+
+  /** IVF-PQ: the two scale layers composed — the canonical billion-vector
+    * architecture (FAISS IVFADC; Jégou et al. 2011 §IV). The coarse IVF
+    * quantizer restricts scoring to `nprobe` of `nlist` cells; within
+    * probed cells, vectors are scored from m-byte PQ codes of their
+    * RESIDUAL (x − cell centroid) — residuals are far smaller than raw
+    * vectors, so the same codebook budget quantizes them much more
+    * accurately.
+    *
+    * dot(q, x̂) decomposes as dot(q, c_cell) + Σₘ dot(qₘ, r̂ₘ): the first
+    * term falls out of cell probing, the second is the same broadcast
+    * query-LUT as [[pqTopK]] — residual codebooks are GLOBAL, so the LUT is
+    * cell-independent. The reconstruction norm |x̂|² = |c|² + 2·Σₘ
+    * dot(cₘ, r̂ₘ) + Σₘ|r̂ₘ|² needs one more broadcast table keyed
+    * (cell, sub, code) — nlist × m × k rows, corpus-independent. Scoring
+    * is therefore: compressed codes ⋈ three broadcast tables → one
+    * map-side-combinable (query, vec) sum. Raw vectors are touched only by
+    * the optional shortlist re-rank.
+    */
+  def ivfpqTopK(e: DataFrame, queryPred: org.apache.spark.sql.Column,
+      nlist: Int, nprobe: Int, m: Int, k: Int, iters: Int, topK: Int,
+      dims: Int = 64, rerank: Int = 0): DataFrame = {
+    val (index, cents) = ivfBuild(e, nlist)
+    val resid = index.join(broadcast(cents), col("cell") === col("cent_id"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("embedding"), col("ce"), (x, y) => x - y).as("embedding"))
+      .persist()
+    val cb = pqTrain(resid.select(col("vec_id"), col("embedding")),
+      m, k, iters, dims).persist()
+    val codes = pqEncode(resid.select(col("vec_id"), col("embedding")), cb, m, dims)
+      .join(resid.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .persist()
+    // (cell, sub, code) → dot(cell-centroid subvector, residual centroid)
+    // and |r̂|² — the norm-correction table, nlist × m × k rows
+    val cellLut = subvectors(
+        cents.select(col("cent_id").as("vec_id"), col("ce").as("embedding")), m, dims)
+      .select(col("vec_id").as("cell"), col("sub"), col("sv").as("csv"))
+      .join(cb, Seq("sub"))
+      .select(col("cell"), col("sub"), col("code"),
+        graft.functions.VectorDot.dot(col("csv"), col("cent")).as("cdot"),
+        col("cn2").as("rn2"))
+    val qs = e.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding"),
+        graft.functions.VectorDot.dot(col("embedding"), col("embedding")).as("qn2"))
+    // top-nprobe cells per query, carrying dot(q, c_cell) for the scorer
+    val wp = Window.partitionBy(col("query_id")).orderBy(col("qc").desc, col("cell"))
+    val probes = qs.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qn2"), col("cent_id").as("cell"), col("cn2"),
+        graft.functions.VectorDot.dot(col("embedding"), col("ce")).as("qdotc"))
+      .withColumn("qc", cosineFast(col("qdotc"), col("qn2"), col("cn2")))
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qn2"), col("cell"), col("cn2"), col("qdotc"))
+    // (query, sub, code) → dot(q subvector, residual centroid)
+    val qlut = subvectors(
+        qs.select(col("query_id").as("vec_id"), col("embedding")), m, dims)
+      .select(col("vec_id").as("query_id"), col("sub"), col("sv").as("qsv"))
+      .join(cb, Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        graft.functions.VectorDot.dot(col("qsv"), col("cent")).as("dlut"))
+    val shortlistK = if (rerank > 0) rerank else topK
+    val w = Window.partitionBy(col("query_id")).orderBy(col("c").desc, col("neighbor_id"))
+    val adc = codes.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(qlut), Seq("query_id", "sub", "code"))
+      .join(broadcast(cellLut), Seq("cell", "sub", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(first(col("qdotc")).as("qdotc"), first(col("cn2")).as("cn2"),
+        first(col("qn2")).as("qn2"), sum(col("dlut")).as("rdot"),
+        sum(col("cdot")).as("crdot"), sum(col("rn2")).as("rn2s"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        ((col("qdotc") + col("rdot")) /
+          (sqrt(greatest(col("cn2") + lit(2.0) * col("crdot") + col("rn2s"),
+            lit(1e-12))) * sqrt(col("qn2")))).as("c"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= shortlistK)
+    val ranked = if (rerank == 0) adc else exactRerank(adc, e, qs, topK)
+    ranked.select(col("query_id"), col("rnk"), col("neighbor_id"),
+      round(col("c"), 4).as("cos_sim"))
+  }
+
+  // IVF-PQ ANN: 8 coarse cells × (8 subspaces × 16 residual codes), probe
+  // half the cells, 30-deep exact re-rank. Approximate ⇒ no value oracle;
+  // IvfPqSpec pins all-cells + exact-residual-reconstruction ≡ brute, and
+  // recall vs q21 on fixtures.
+  private def q100(s: SparkSession, dir: String): DataFrame =
+    ivfpqTopK(Fixtures.embeddings(s, dir), col("vec_id") < 10,
+      nlist = 8, nprobe = 4, m = 8, k = 16, iters = 1, topK = 5, rerank = 30)
+      .orderBy(col("query_id"), col("rnk"))
 
   // PQ ANN: 8 subspaces × 16 codes, one Lloyd iteration — 32× compression
   // (256 B vector → 8 B codes) — with a 50-deep exact re-rank (the
@@ -539,6 +633,7 @@ object Similarity {
     GraftQuery("q21_ann_brute", q21, Some(q21Sql)),
     GraftQuery("q22_ann_ivf", q22, None),
     GraftQuery("q99_pq_topk", q99, None),
+    GraftQuery("q100_ann_ivfpq", q100, None),
     GraftQuery("q46_ann_ivf_exhaustive", q46, Some(q21Sql)),
     GraftQuery("q47_lsh_buckets", q47, Some(q47Sql)))
 }
