@@ -240,6 +240,43 @@ object Curation {
       |  MIN(doc_id) AS first_doc
       |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q101
+  // Sliding-window chunking with overlap: split each document into
+  // fixed-width token windows advanced by a smaller stride (25% overlap
+  // here) — the context-window preparation step between curation and
+  // packing (q68 packs whole short docs; long docs must be chunked first
+  // so no span is lost at a hard boundary). Emits a per-chunk 60-bit
+  // content fingerprint, so chunk-level dedup can run directly on the
+  // output. One narrow map + explode per document — embarrassingly
+  // parallel, no shuffle except the final presentation sort.
+  private val ChunkWidth = 32
+  private val ChunkStride = 24
+  private def q101(s: SparkSession, dir: String): DataFrame =
+    Fixtures.documents(s, dir)
+      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - 1, lit(ChunkStride))).as("start"))
+      .select(col("doc_id"),
+        (col("start") / ChunkStride).cast("long").as("chunk_idx"),
+        slice(col("toks"), col("start") + 1, lit(ChunkWidth)).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_tok"),
+        graft.functions.TextFunctions.hash60(concat_ws(" ", col("chunk"))).as("fp"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  private val q101Sql =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |s AS (
+       |  SELECT doc_id, toks,
+       |    unnest(generate_series(0, len(toks) - 1, $ChunkStride)) AS start
+       |  FROM t)
+       |SELECT doc_id,
+       |  CAST(start // $ChunkStride AS BIGINT) AS chunk_idx,
+       |  CAST(len(list_slice(toks, start + 1, start + $ChunkWidth)) AS BIGINT) AS n_tok,
+       |  ('0x' || substr(md5(array_to_string(list_slice(toks, start + 1, start + $ChunkWidth), ' ')), 1, 15))::BIGINT AS fp
+       |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
+
   // ---------------------------------------------------------------- q85
   // Deterministic EXACT-k per-stratum sample: rank documents inside each
   // language by md5(doc_id) and keep the first k — the fixed-size eval-set
@@ -303,5 +340,6 @@ object Curation {
     GraftQuery("q64_dataset_split", q64, Some(q64Sql)),
     GraftQuery("q66_repetition", q66, Some(q66Sql)),
     GraftQuery("q67_stratified_sample", q67, Some(q67Sql)),
-    GraftQuery("q68_seq_packing", q68, Some(q68Sql)))
+    GraftQuery("q68_seq_packing", q68, Some(q68Sql)),
+    GraftQuery("q101_chunking", q101, Some(q101Sql)))
 }
