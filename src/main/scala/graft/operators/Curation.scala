@@ -277,6 +277,98 @@ object Curation {
        |  ('0x' || substr(md5(array_to_string(list_slice(toks, start + 1, start + $ChunkWidth), ' ')), 1, 15))::BIGINT AS fp
        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // ---------------------------------------------------------------- q102
+  // Exact substring-window dedup (the cross-document "exact substring"
+  // detector of Lee et al. 2022, re-expressed relationally): every
+  // SubWidth-token window at EVERY offset is fingerprinted; a window shared
+  // by ≥2 documents marks both as containing duplicated spans. Output is
+  // the per-document duplicated-window fraction — the signal used to strip
+  // boilerplate/licenses that near-dup (whole-doc) passes miss.
+  //
+  // Scale shape: windows ≈ one row per corpus TOKEN, but each row is a
+  // 60-bit fp + doc_id — the shuffle moves ~20 B/token, not documents.
+  // One groupBy(fp) counts distinct docs per window, one join back + one
+  // groupBy(doc_id) folds the verdict. No self-join, no all-pairs; this is
+  // the linear-shuffle alternative to a suffix array at cluster scale.
+  private val SubWidth = 16
+  private def q102(s: SparkSession, dir: String): DataFrame = {
+    val wins = Fixtures.documents(s, dir)
+      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= SubWidth)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - SubWidth)).as("start"))
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.hash60(
+          concat_ws(" ", slice(col("toks"), col("start") + 1, lit(SubWidth)))).as("fp"))
+      .distinct() // within-doc repeats count once; nd below = distinct docs
+    val perFp = wins.groupBy(col("fp")).agg(count(lit(1)).as("nd"))
+    wins.join(perFp, Seq("fp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_win"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .filter(col("n_dup") > 0)
+      .select(col("doc_id"), col("n_win"), col("n_dup"),
+        round(col("n_dup") / col("n_win"), 4).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q102Sql =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |w AS (
+       |  SELECT DISTINCT doc_id,
+       |    ('0x' || substr(md5(array_to_string(list_slice(toks, start + 1, start + $SubWidth), ' ')), 1, 15))::BIGINT AS fp
+       |  FROM (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - $SubWidth)) AS start
+       |        FROM t WHERE len(toks) >= $SubWidth)),
+       |s AS (SELECT fp, COUNT(*) AS nd FROM w GROUP BY 1)
+       |SELECT w.doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_win,
+       |  CAST(SUM(CASE WHEN s.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       |  ROUND(SUM(CASE WHEN s.nd >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) AS dup_frac
+       |FROM w JOIN s USING (fp)
+       |GROUP BY 1 HAVING CAST(SUM(CASE WHEN s.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) > 0
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q103
+  // Temperature-smoothed source mixture table (the "data mixture" step of
+  // every LLM pretraining recipe): per-source token counts → natural share
+  // → alpha-smoothed share (share^alpha, renormalized; alpha=0.5 here) →
+  // repeat factor (epochs over that source needed to realize the smoothed
+  // mix). Pure aggregate output — the artifact a run reviews/commits before
+  // sampling; q67/q85/q89 consume rates like these.
+  //
+  // Scale shape: one narrow map (token count per doc) + one tiny groupBy
+  // (|sources| rows) + a broadcast of the 1-row global total. Nothing
+  // corpus-sized ever shuffles twice.
+  private val MixAlpha = 0.5
+  private def q103(s: SparkSession, dir: String): DataFrame = {
+    val per = Fixtures.documents(s, dir)
+      .select(col("source"), size(wsTokens(col("text"))).cast("long").as("nt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("tot"),
+      sum(pow(col("n_tokens"), lit(MixAlpha))).as("wsum"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens") / col("tot"), 6).as("nat_share"),
+        round(pow(col("n_tokens"), lit(MixAlpha)) / col("wsum"), 6).as("mix_share"),
+        round((pow(col("n_tokens"), lit(MixAlpha)) / col("wsum")) /
+          (col("n_tokens") / col("tot")), 4).as("repeat_factor"))
+      .orderBy(col("source"))
+  }
+
+  private val q103Sql =
+    s"""WITH per AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY 1),
+       |tot AS (SELECT SUM(n_tokens) * 1.0 AS tot, SUM(POW(n_tokens, $MixAlpha)) AS wsum FROM per)
+       |SELECT source, n_docs, n_tokens,
+       |  ROUND(n_tokens / tot, 6) AS nat_share,
+       |  ROUND(POW(n_tokens, $MixAlpha) / wsum, 6) AS mix_share,
+       |  ROUND((POW(n_tokens, $MixAlpha) / wsum) / (n_tokens / tot), 4) AS repeat_factor
+       |FROM per, tot ORDER BY source""".stripMargin
+
   // ---------------------------------------------------------------- q85
   // Deterministic EXACT-k per-stratum sample: rank documents inside each
   // language by md5(doc_id) and keep the first k — the fixed-size eval-set
@@ -341,5 +433,7 @@ object Curation {
     GraftQuery("q66_repetition", q66, Some(q66Sql)),
     GraftQuery("q67_stratified_sample", q67, Some(q67Sql)),
     GraftQuery("q68_seq_packing", q68, Some(q68Sql)),
-    GraftQuery("q101_chunking", q101, Some(q101Sql)))
+    GraftQuery("q101_chunking", q101, Some(q101Sql)),
+    GraftQuery("q102_substring_dedup", q102, Some(q102Sql)),
+    GraftQuery("q103_mixture_weights", q103, Some(q103Sql)))
 }

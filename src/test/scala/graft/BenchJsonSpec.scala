@@ -32,11 +32,15 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(short("q1_filter_agg") === "q1")
   }
 
-  test("bench line is valid single-line JSON with 3-dp values and locale-proof dots") {
+  test("bench line is valid single-line JSON with bounded-precision values and locale-proof dots") {
+    // per-query values are 2 dp (line-length budget: 100+ queries must fit
+    // the tail window; 3-dp detail lives in BENCH_DETAIL.json), the total
+    // stays 3 dp.
     val line = lineFor(Seq("q1_filter_agg", "q2_group_agg"))
     assert(!line.contains("\n"))
-    assert(line.contains("\"q1\":123.457"), line)
-    assert(!line.contains(",".concat("457")), "decimal comma would break JSON parsing")
+    assert(line.contains("\"q1\":123.46"), line)
+    assert(line.contains("\"value\":246.914"), line)
+    assert(!line.contains("123".concat(",46")), "decimal comma would break JSON parsing")
     // minimal structural parse without a JSON library: balanced braces,
     // expected top-level keys present
     assert(line.startsWith("{") && line.endsWith("}"))
