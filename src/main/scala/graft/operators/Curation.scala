@@ -329,6 +329,65 @@ object Curation {
        |GROUP BY 1 HAVING CAST(SUM(CASE WHEN s.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) > 0
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q104
+  // Benchmark decontamination (the GPT-3 appendix-C n-gram scrub): for each
+  // document in the held-out test split (q64's md5 bucket ≥ 95), the
+  // fraction of its 8-token windows that appear ANYWHERE in the train split
+  // (bucket < 90). Docs over the threshold get dropped from the benchmark —
+  // this is the asymmetric eval→train direction q59's phrase check and
+  // q102's symmetric span detector don't cover.
+  //
+  // Scale shape: train fingerprints are one distinct 60-bit-key set (~one
+  // row per train token); the verdict is a single left join on fp + a
+  // per-eval-doc fold — linear, no self-join. At 100 TB the train-fp set
+  // would ride a bloom filter (q77's plumbing) so the eval side never
+  // shuffles against the full set; the exact join here is the oracle shape.
+  private val DecontamWidth = 8
+  private def q104(s: SparkSession, dir: String): DataFrame = {
+    val docs = Fixtures.documents(s, dir)
+      .select(col("doc_id"), md5Bucket(col("doc_id")).as("bucket"),
+        wsTokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= DecontamWidth)
+    def wins(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - DecontamWidth)).as("start"))
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.hash60(
+          concat_ws(" ", slice(col("toks"), col("start") + 1, lit(DecontamWidth)))).as("fp"))
+      .distinct()
+    val trainFp = wins(docs.filter(col("bucket") < 90))
+      .select(col("fp")).distinct().withColumn("hit", lit(1L))
+    wins(docs.filter(col("bucket") >= 95))
+      .join(trainFp, Seq("fp"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_win"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .filter(col("n_hit") > 0)
+      .select(col("doc_id"), col("n_win"), col("n_hit"),
+        round(col("n_hit") / col("n_win"), 4).as("contam_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q104Sql =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS bucket,
+       |    string_split(text, ' ') AS toks
+       |  FROM documents WHERE len(string_split(text, ' ')) >= $DecontamWidth),
+       |w AS (
+       |  SELECT DISTINCT doc_id, bucket,
+       |    ('0x' || substr(md5(array_to_string(list_slice(toks, start + 1, start + $DecontamWidth), ' ')), 1, 15))::BIGINT AS fp
+       |  FROM (SELECT doc_id, bucket, toks, unnest(generate_series(0, len(toks) - $DecontamWidth)) AS start
+       |        FROM d)),
+       |t AS (SELECT DISTINCT fp FROM w WHERE bucket < 90),
+       |e AS (SELECT doc_id, fp FROM w WHERE bucket >= 95)
+       |SELECT e.doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_win,
+       |  CAST(SUM(CASE WHEN t.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  ROUND(SUM(CASE WHEN t.fp IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) AS contam_frac
+       |FROM e LEFT JOIN t ON e.fp = t.fp
+       |GROUP BY 1 HAVING CAST(SUM(CASE WHEN t.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) > 0
+       |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q103
   // Temperature-smoothed source mixture table (the "data mixture" step of
   // every LLM pretraining recipe): per-source token counts → natural share
@@ -435,5 +494,6 @@ object Curation {
     GraftQuery("q68_seq_packing", q68, Some(q68Sql)),
     GraftQuery("q101_chunking", q101, Some(q101Sql)),
     GraftQuery("q102_substring_dedup", q102, Some(q102Sql)),
-    GraftQuery("q103_mixture_weights", q103, Some(q103Sql)))
+    GraftQuery("q103_mixture_weights", q103, Some(q103Sql)),
+    GraftQuery("q104_decontamination", q104, Some(q104Sql)))
 }

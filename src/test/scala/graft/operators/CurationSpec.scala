@@ -46,4 +46,65 @@ class CurationSpec extends AnyFunSuite {
       col("dup_word_frac") < 0 || col("dup_word_frac") >= 1 ||
       col("top_bigram_frac") <= 0 || col("top_bigram_frac") > 1).isEmpty)
   }
+
+  test("chunking covers every token with no gaps: contiguous indices, stride-exact count, exact reconstruction") {
+    // width 32 / stride 24: chunk k spans tokens [24k, 24k+32); the last
+    // token covered is 24·max_idx + len(last chunk). Both must equal the
+    // doc's token count, and indices must be 0..k contiguous — together
+    // these prove no token span is lost at any boundary.
+    val chunks = SparkEntry.queries("q101_chunking")(spark, dir)
+    val perDoc = chunks.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_chunks"),
+      min(col("chunk_idx")).as("mn"),
+      max(col("chunk_idx")).as("mx"),
+      max(col("chunk_idx") * 24 + col("n_tok")).as("covered"))
+    val toks = Fixtures.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("nt"))
+    val joined = perDoc.join(toks, "doc_id")
+    assert(joined.filter(col("mn") =!= 0 || col("mx") =!= col("n_chunks") - 1).isEmpty,
+      "chunk indices must be contiguous from 0")
+    assert(joined.filter(col("n_chunks") =!= floor((col("nt") - 1) / 24) + 1).isEmpty,
+      "chunk count must match the stride formula")
+    assert(joined.filter(col("covered") =!= col("nt")).isEmpty,
+      "max covered token must equal the doc's token count")
+  }
+
+  test("substring dedup flags identical-text documents at dup_frac 1.0") {
+    // identical docs share EVERY window, so any text owned by ≥2 doc_ids
+    // (and long enough to have a window) must surface with dup_frac = 1.
+    val docs = Fixtures.documents(spark, dir)
+    val dupDocs = docs.groupBy(col("text")).agg(
+        count(lit(1)).as("n"), collect_list(col("doc_id")).as("ids"))
+      .filter(col("n") >= 2 && size(split(col("text"), " ")) >= 16)
+      .select(explode(col("ids")).as("doc_id"))
+    val out = SparkEntry.queries("q102_substring_dedup")(spark, dir)
+    val missing = dupDocs.join(out.filter(col("dup_frac") === 1.0), Seq("doc_id"), "left_anti")
+    assert(missing.isEmpty, "every identical-pair member must be fully duplicated")
+    // and fractions are sane everywhere
+    assert(out.filter(col("dup_frac") <= 0 || col("dup_frac") > 1 ||
+      col("n_dup") > col("n_win")).isEmpty)
+  }
+
+  test("mixture shares each sum to 1 and repeat_factor is mix/nat") {
+    val m = SparkEntry.queries("q103_mixture_weights")(spark, dir).collect()
+    assert(math.abs(m.map(_.getAs[Double]("nat_share")).sum - 1.0) < 1e-4)
+    assert(math.abs(m.map(_.getAs[Double]("mix_share")).sum - 1.0) < 1e-4)
+    for (r <- m) {
+      val (nat, mix, rf) = (r.getAs[Double]("nat_share"),
+        r.getAs[Double]("mix_share"), r.getAs[Double]("repeat_factor"))
+      assert(math.abs(rf - mix / nat) < 1e-2, s"repeat_factor $rf != $mix/$nat")
+    }
+  }
+
+  test("decontamination fractions are in (0,1] and only test-split docs are flagged") {
+    val out = SparkEntry.queries("q104_decontamination")(spark, dir)
+    assert(out.filter(col("contam_frac") <= 0 || col("contam_frac") > 1 ||
+      col("n_hit") > col("n_win")).isEmpty)
+    val testIds = Fixtures.documents(spark, dir)
+      .select(col("doc_id"))
+      .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100 >= 95)
+    assert(out.join(testIds, Seq("doc_id"), "left_anti").isEmpty,
+      "flagged docs must all be in the test split")
+  }
 }
