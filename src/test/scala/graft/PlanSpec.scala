@@ -245,4 +245,36 @@ class PlanSpec extends AnyFunSuite {
     assert(innerAggs == 1,
       s"expected exactly one per-part aggregate, got $innerAggs:\n${optimized.take(1200)}")
   }
+
+  test("no query plans a cartesian product, and nested-loop joins appear only as 1-row scalar broadcasts") {
+    // The whole-inventory scale guard: a CartesianProduct is corpus² work at
+    // any size, and a BroadcastNestedLoopJoin is only acceptable when the
+    // broadcast side is a single-row scalar aggregate (the documented
+    // "broadcast the 1-row global total" pattern). Every legitimate such
+    // query is allowlisted HERE so a new accidental nested loop fails loud.
+    val scalarBroadcastOk = Set(
+      "q103_mixture_weights",    // 1-row (tot, wsum) global total
+      "q40_tfidf_topterms",      // 1-row corpus doc count
+      "q43_scalar_subquery",     // 1-row uncorrelated scalar
+      "q51_unigram_logprob",     // 1-row corpus token total
+      "q59_contamination",       // tiny fixed probe-phrase list
+      "q75_bigram_logprob",      // 1-row vocab/total scalars
+      "q84_overlap_matrix",      // |slices|² sketch pairs (sketches, not rows)
+      "q96_series_paa_knn",      // 1-row broadcast query sketch
+      "q15_cosine_topk",         // constant-size query-vector set × corpus scoring
+      "q20_dedup_embedding",     // same query-set pattern
+      "q21_ann_brute",           // same (brute baseline is by definition q×corpus)
+      "q22_ann_ivf",             // queries × nlist centroid table (nlist rows)
+      "q46_ann_ivf_exhaustive",  // same centroid table
+      "q100_ann_ivfpq")          // same centroid table + 1-row LUT scalars
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val p = fn(spark, TestSpark.sf0001).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct:\n${p.take(1200)}")
+      if (!scalarBroadcastOk(name))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a BroadcastNestedLoopJoin (allowlist it only if the " +
+            s"broadcast side is a 1-row scalar):\n${p.take(1200)}")
+    }
+  }
 }
