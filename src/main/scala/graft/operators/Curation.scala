@@ -329,6 +329,85 @@ object Curation {
        |GROUP BY 1 HAVING CAST(SUM(CASE WHEN s.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) > 0
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q105
+  // Duplicated-span SCRUB — the removal counterpart to q102's detector
+  // (Lee et al. 2022 remove repeated substrings rather than whole docs):
+  // token positions covered by ANY cross-doc-duplicated window are deleted;
+  // the output is the per-doc removal accounting plus a fingerprint of the
+  // scrubbed text (the corpus rewrite artifact, hashed so the driver output
+  // stays narrow).
+  //
+  // Scale shape: all stages are token-scale rows keyed by fp, (doc,pos), or
+  // doc — linear shuffles, no self-join. Coverage expansion is bounded at
+  // SubWidth rows per duplicated window. This is the heavyweight corpus
+  // rewrite; it runs once per snapshot, after q102 says how much it'll cut.
+  private def q105(s: SparkSession, dir: String): DataFrame = {
+    val docs = Fixtures.documents(s, dir)
+      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= SubWidth)
+    val wins = docs
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - SubWidth)).as("start"))
+      .select(col("doc_id"), col("start"),
+        graft.functions.TextFunctions.hash60(
+          concat_ws(" ", slice(col("toks"), col("start") + 1, lit(SubWidth)))).as("fp"))
+    val dupFps = wins.select(col("doc_id"), col("fp")).distinct()
+      .groupBy(col("fp")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("fp"))
+    val covered = wins.join(dupFps, Seq("fp"))
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + SubWidth - 1)).as("pos"))
+      .distinct()
+    val tokens = docs
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+    val keptAgg = tokens.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_after"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("cleaned"))
+    docs.select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"))
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        (col("n_tok") - coalesce(col("n_after"), lit(0L))).as("n_removed"),
+        graft.functions.TextFunctions.hash60(coalesce(col("cleaned"), lit("")))
+          .as("scrubbed_fp"))
+      .filter(col("n_removed") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q105Sql =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $SubWidth),
+       |w AS (
+       |  SELECT doc_id, start,
+       |    ('0x' || substr(md5(array_to_string(list_slice(toks, start + 1, start + $SubWidth), ' ')), 1, 15))::BIGINT AS fp
+       |  FROM (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - $SubWidth)) AS start
+       |        FROM d)),
+       |dup AS (
+       |  SELECT fp FROM (SELECT fp, COUNT(DISTINCT doc_id) AS nd FROM w GROUP BY 1)
+       |  WHERE nd >= 2),
+       |cov AS (
+       |  SELECT DISTINCT doc_id, unnest(generate_series(start, start + ${SubWidth - 1})) AS pos
+       |  FROM w JOIN dup USING (fp)),
+       |tok AS (
+       |  SELECT doc_id, pos, toks[pos + 1] AS tok
+       |  FROM (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 1)) AS pos FROM d)),
+       |kept AS (
+       |  SELECT t.doc_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_after,
+       |    array_to_string(list(t.tok ORDER BY t.pos), ' ') AS cleaned
+       |  FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+       |  WHERE c.pos IS NULL GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(len(d.toks) AS BIGINT) AS n_tok,
+       |  CAST(len(d.toks) - COALESCE(k.n_after, 0) AS BIGINT) AS n_removed,
+       |  ('0x' || substr(md5(COALESCE(k.cleaned, '')), 1, 15))::BIGINT AS scrubbed_fp
+       |FROM d LEFT JOIN kept k ON d.doc_id = k.doc_id
+       |WHERE len(d.toks) - COALESCE(k.n_after, 0) > 0
+       |ORDER BY d.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q104
   // Benchmark decontamination (the GPT-3 appendix-C n-gram scrub): for each
   // document in the held-out test split (q64's md5 bucket ≥ 95), the
@@ -495,5 +574,6 @@ object Curation {
     GraftQuery("q101_chunking", q101, Some(q101Sql)),
     GraftQuery("q102_substring_dedup", q102, Some(q102Sql)),
     GraftQuery("q103_mixture_weights", q103, Some(q103Sql)),
-    GraftQuery("q104_decontamination", q104, Some(q104Sql)))
+    GraftQuery("q104_decontamination", q104, Some(q104Sql)),
+    GraftQuery("q105_span_scrub", q105, Some(q105Sql)))
 }

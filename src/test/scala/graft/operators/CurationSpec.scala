@@ -96,6 +96,18 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("span scrub flags exactly the substring-dedup doc set and removes at least one full window") {
+    // q105 deletes positions covered by duplicated windows; a doc appears
+    // in its output iff it has ≥1 duplicated window — exactly q102's doc
+    // set — and any duplicated window covers SubWidth consecutive tokens,
+    // so n_removed ≥ 16 always.
+    val scrub = SparkEntry.queries("q105_span_scrub")(spark, dir)
+    val detect = SparkEntry.queries("q102_substring_dedup")(spark, dir)
+    assert(scrub.select("doc_id").join(detect.select("doc_id"), Seq("doc_id"), "left_anti").isEmpty)
+    assert(detect.select("doc_id").join(scrub.select("doc_id"), Seq("doc_id"), "left_anti").isEmpty)
+    assert(scrub.filter(col("n_removed") < 16 || col("n_removed") > col("n_tok")).isEmpty)
+  }
+
   test("decontamination fractions are in (0,1] and only test-split docs are flagged") {
     val out = SparkEntry.queries("q104_decontamination")(spark, dir)
     assert(out.filter(col("contam_frac") <= 0 || col("contam_frac") > 1 ||
