@@ -626,6 +626,93 @@ object Similarity {
       |  COUNT(*) AS n
       |FROM el WHERE pos < 8 GROUP BY label, pos ORDER BY label, pos""".stripMargin
 
+  // ---------------------------------------------------------------- q106
+  // LSH-bucketed embedding near-dup — the SCALE path for q20's brute
+  // pairwise baseline (same τ=0.45, same exact-decimal rescore). OR-amplified
+  // hyperplane LSH: 16 tables × 6 planes; a pair is a candidate iff it
+  // shares a bucket in ANY table (per-table collision (1−θ/π)^6, miss
+  // probability across 16 independent tables ≈ 0.29^… — ~0.75 recall at
+  // τ=0.45's wide angle; raise tables for more). Fully value-oracled: the
+  // DuckDB side re-derives the md5 plane signs arithmetically, so candidate
+  // sets — and therefore outputs — are bit-identical.
+  //
+  // Scale shape: candidate generation joins SLIM (vec_id, tbl, bucket) rows
+  // (16 × 12-byte rows per vector — embeddings never ride the explode);
+  // raw vectors are fetched by id ONLY for distinct candidate pairs, and
+  // the interpreted exact-decimal cosine runs solely on that bounded set.
+  // Bucket occupancy stays constant as corpus and table count grow, so
+  // candidates stay linear — never all-pairs. q20 is the correctness
+  // oracle; SimilaritySpec pins q106 ⊆ q20 with identical scores.
+  private val LshTables = 16
+  private val LshPlanesPerTable = 6
+  private def q106(s: SparkSession, dir: String): DataFrame = {
+    val e = Fixtures.embeddings(s, dir)
+    val tableStructs = array((0 until LshTables).map { t =>
+      val bits = (0 until LshPlanesPerTable).map { j =>
+        val p = t * LshPlanesPerTable + j
+        val signs = array((0 until 64).map(d => lit(planeSign(p, d))): _*)
+        when(dotDec(col("embedding"), signs) >= 0, lit(1 << j)).otherwise(lit(0))
+      }
+      struct(lit(t).as("tbl"), bits.reduce(_ + _).cast("long").as("bucket"))
+    }: _*)
+    val tb = e.select(col("vec_id"), inline(tableStructs))
+    val cand = tb.select(col("tbl"), col("bucket"), col("vec_id").as("vec_a"))
+      .join(tb.select(col("tbl"), col("bucket"), col("vec_id").as("vec_b")),
+        Seq("tbl", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b")).distinct()
+    val withNorm = e.select(col("vec_id"), col("embedding"),
+      norm2Dec(col("embedding")).as("n2"))
+    cand
+      .join(withNorm.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        col("n2").as("n2a")), Seq("vec_a"))
+      .join(withNorm.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+        col("n2").as("n2b")), Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        cosineWithNorms(dotDec(col("ea"), col("eb")), col("n2a"), col("n2b")).as("c"))
+      .filter(col("c") >= 0.45)
+      .select(col("vec_a"), col("vec_b"),
+        graft.functions.Rounding.stable(col("c"), 4).as("cos_sim"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  // plane sign p,d = (md5("plane:p:d") byte 0 & 1) ? +1 : −1, re-derived
+  // arithmetically (first hex byte parity) instead of shipping 96×64 literals.
+  private val q106Sql =
+    s"""WITH el AS (
+       |  SELECT vec_id, unnest(embedding) x, generate_subscripts(embedding, 1) i FROM embeddings),
+       |planes AS (
+       |  SELECT pp.p, dd.i,
+       |    CASE WHEN ('0x' || substr(md5('plane:' || pp.p || ':' || (dd.i - 1)), 1, 2))::INT % 2 = 1
+       |      THEN 1.0 ELSE -1.0 END AS sgn
+       |  FROM (SELECT unnest(generate_series(0, ${LshTables * LshPlanesPerTable - 1})) AS p) pp,
+       |       (SELECT unnest(generate_series(1, 64)) AS i) dd),
+       |proj AS (
+       |  SELECT e.vec_id, pl.p,
+       |    SUM(CAST(round(CAST(e.x AS DOUBLE) * pl.sgn, 9) AS DECIMAL(28,12))) pr
+       |  FROM el e JOIN planes pl USING (i) GROUP BY 1, 2),
+       |tb AS (
+       |  SELECT vec_id, p // $LshPlanesPerTable AS tbl,
+       |    CAST(SUM(CASE WHEN pr >= 0 THEN 1 << (p % $LshPlanesPerTable) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM proj GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id va, b.vec_id vb
+       |  FROM tb a JOIN tb b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |norms AS (
+       |  SELECT vec_id, SUM(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 9) AS DECIMAL(28,12))) n2
+       |  FROM el GROUP BY 1),
+       |dots AS (
+       |  SELECT c.va, c.vb,
+       |    SUM(CAST(round(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE), 9) AS DECIMAL(28,12))) dot
+       |  FROM cand c JOIN el a ON a.vec_id = c.va JOIN el b ON b.vec_id = c.vb AND b.i = a.i
+       |  GROUP BY 1, 2),
+       |cos AS (
+       |  SELECT va, vb,
+       |    CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) c
+       |  FROM dots JOIN norms na ON na.vec_id = va JOIN norms nb ON nb.vec_id = vb)
+       |SELECT va AS vec_a, vb AS vec_b, floor(c * 10000.0 + 0.5) / 10000.0 AS cos_sim
+       |FROM cos WHERE c >= 0.45 ORDER BY vec_a, vec_b""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q72_label_centroids", q72, Some(q72Sql)),
     GraftQuery("q62_embed_quantize", q62, Some(q62Sql)),
@@ -635,5 +722,6 @@ object Similarity {
     GraftQuery("q99_pq_topk", q99, None),
     GraftQuery("q100_ann_ivfpq", q100, None),
     GraftQuery("q46_ann_ivf_exhaustive", q46, Some(q21Sql)),
-    GraftQuery("q47_lsh_buckets", q47, Some(q47Sql)))
+    GraftQuery("q47_lsh_buckets", q47, Some(q47Sql)),
+    GraftQuery("q106_embed_dedup_lsh", q106, Some(q106Sql)))
 }

@@ -49,6 +49,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(v == 11.0)
   }
 
+  test("LSH-bucketed near-dup is a subset of brute force with identical scores") {
+    // q106 applies q20's exact threshold + rescore to LSH candidates, so
+    // every emitted pair MUST appear in q20 with the same cos_sim (false
+    // positives are impossible by construction; misses are the LSH recall
+    // tradeoff, observed ~13/14 at sf0.01 with 16 tables × 6 planes).
+    val brute = SparkEntry.queries("q20_dedup_embedding")(spark, TestSpark.sf001)
+    val lsh = SparkEntry.queries("q106_embed_dedup_lsh")(spark, TestSpark.sf001)
+    val extras = lsh.join(brute, Seq("vec_a", "vec_b", "cos_sim"), "left_anti")
+    assert(extras.isEmpty, "q106 emitted a pair q20 does not have (or a different score)")
+    val (nb, nl) = (brute.count(), lsh.count())
+    assert(nl <= nb)
+    if (nb > 0) assert(nl > 0, "LSH found none of the brute-force pairs")
+  }
+
   test("approx_count_distinct within 10% of exact") {
     val exact = SparkEntry.queries("q10_distinct")(spark, TestSpark.sf001)
       .collect().head
