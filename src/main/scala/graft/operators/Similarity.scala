@@ -655,21 +655,34 @@ object Similarity {
       }
       struct(lit(t).as("tbl"), bits.reduce(_ + _).cast("long").as("bucket"))
     }: _*)
-    val tb = e.select(col("vec_id"), inline(tableStructs))
+    // persist: the candidate self-join reads tb twice, and the 96 exact-
+    // decimal projections per vector are interpreted — recomputing them on
+    // both join sides doubles the most expensive narrow stage.
+    val tb = e.select(col("vec_id"), inline(tableStructs)).persist()
     val cand = tb.select(col("tbl"), col("bucket"), col("vec_id").as("vec_a"))
       .join(tb.select(col("tbl"), col("bucket"), col("vec_id").as("vec_b")),
         Seq("tbl", "bucket"))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b")).distinct()
     val withNorm = e.select(col("vec_id"), col("embedding"),
-      norm2Dec(col("embedding")).as("n2"))
+      norm2Dec(col("embedding")).as("n2"),
+      graft.functions.VectorDot.dot(col("embedding"), col("embedding")).as("n2d"))
+    // q20's two-phase discipline: the interpreted exact-decimal cosine must
+    // only ever see fast-double survivors (candidates are linear but still
+    // thousands-per-bucket × tables; decimal-folding all of them measured
+    // ~35 s at sf0.1 vs ~1 s with the prefilter). τ−1e-6 guarantees the
+    // double phase cannot drop a qualifying pair.
+    val fastc = cosineFast(graft.functions.VectorDot.dot(col("ea"), col("eb")),
+      col("n2da"), col("n2db"))
+    val exact = cosineWithNorms(dotDec(col("ea"), col("eb")), col("n2a"), col("n2b"))
     cand
       .join(withNorm.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
-        col("n2").as("n2a")), Seq("vec_a"))
+        col("n2").as("n2a"), col("n2d").as("n2da")), Seq("vec_a"))
       .join(withNorm.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
-        col("n2").as("n2b")), Seq("vec_b"))
+        col("n2").as("n2b"), col("n2d").as("n2db")), Seq("vec_b"))
+      .filter(fastc >= 0.45 - 1e-6)
       .select(col("vec_a"), col("vec_b"),
-        cosineWithNorms(dotDec(col("ea"), col("eb")), col("n2a"), col("n2b")).as("c"))
+        when(fastc >= 0.45 - 1e-6, exact).as("c"))
       .filter(col("c") >= 0.45)
       .select(col("vec_a"), col("vec_b"),
         graft.functions.Rounding.stable(col("c"), 4).as("cos_sim"))
