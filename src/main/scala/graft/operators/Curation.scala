@@ -301,6 +301,8 @@ object Curation {
         graft.functions.TextFunctions.hash60(
           concat_ws(" ", slice(col("toks"), col("start") + 1, lit(SubWidth)))).as("fp"))
       .distinct() // within-doc repeats count once; nd below = distinct docs
+      .persist() // read twice (per-fp counts + join back): the md5-per-window
+                 // fingerprint pass is the expensive narrow stage — never twice
     val perFp = wins.groupBy(col("fp")).agg(count(lit(1)).as("nd"))
     wins.join(perFp, Seq("fp"))
       .groupBy(col("doc_id"))
@@ -351,6 +353,7 @@ object Curation {
       .select(col("doc_id"), col("start"),
         graft.functions.TextFunctions.hash60(
           concat_ws(" ", slice(col("toks"), col("start") + 1, lit(SubWidth)))).as("fp"))
+      .persist() // read twice (dup-fp derivation + coverage expansion)
     val dupFps = wins.select(col("doc_id"), col("fp")).distinct()
       .groupBy(col("fp")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2).select(col("fp"))
