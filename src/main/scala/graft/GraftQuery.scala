@@ -33,5 +33,6 @@ object GraftQuery {
       operators.Sketches.queries ++
       operators.Layout.queries ++
       operators.Profile.queries ++
-      operators.TimeSeries.queries
+      operators.TimeSeries.queries ++
+      operators.Bpe.queries
 }

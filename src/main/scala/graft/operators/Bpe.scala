@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.{Fixtures, GraftQuery}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE merge training (Sennrich/Haddow/Birch, "Neural Machine
+  * Translation of Rare Words with Subword Units", ACL 2016) — tokenizer
+  * vocabulary induction, the step every LLM pretraining pipeline runs
+  * before packing ([EXT]; cf. the reference's decode typeclasses
+  * `/root/reference/src/main/scala/com/iravid/fs2/kafka/codecs/KafkaDecoder.scala:11-22`
+  * for the codec-surface analogy — here the codec itself is LEARNED from
+  * the corpus).
+  *
+  * Scale shape — why BPE training is cluster-friendly at 100 TB: the corpus
+  * is touched ONCE, by the word-frequency aggregate (one shuffle keyed on
+  * the word). Every merge iteration after that runs on the WEIGHTED VOCAB
+  * table (distinct words × frequency — millions of rows where the corpus
+  * has trillions of tokens): one vocab-bounded pair-count aggregate, one
+  * 1-row argmax collect (the same bounded driver action as the
+  * connected-components convergence probe), one narrow greedy-merge map.
+  * Iteration state is `localCheckpoint`ed so lineage stays flat (the
+  * ivfBuild precedent) — on a production cluster a reliable checkpoint dir
+  * substitutes (see connectedComponents' scaladoc).
+  *
+  * Determinism: the argmax tiebreak is total ((count desc, left asc,
+  * right asc)), the merge application is greedy left-to-right (exactly the
+  * reference algorithm), and pair counts are integer sums — the merge table
+  * is bit-identical at any parallelism. BpeSpec pins the distributed result
+  * against an independent sequential reference implementation.
+  */
+object Bpe {
+
+  /** Greedy left-to-right single-merge application on a symbol array:
+    * occurrences of (a, b) become a+b; "aaa" + merge (a,a) → ["aa", "a"].
+    * HOF aggregate with a (out, skip) accumulator — no UDF, stays in
+    * codegen-adjacent expression evaluation.
+    */
+  private[operators] def mergePair(symbols: Column, a: String, b: String): Column = {
+    val zero = struct(
+      lit(Array.empty[String]).as("out"), lit(false).as("skip"))
+    aggregate(
+      sequence(lit(0), size(symbols) - 1),
+      zero,
+      (acc, i) => {
+        val cur = element_at(symbols, i + 1)
+        // try_: the lookahead reads one past the end on the last element
+        // whenever it matches the merge's left symbol (ANSI element_at throws)
+        val nxt = try_element_at(symbols, i + 2)
+        when(acc.getField("skip"),
+          struct(acc.getField("out").as("out"), lit(false).as("skip")))
+          .when(cur === lit(a) && nxt === lit(b),
+            struct(concat(acc.getField("out"), array(lit(a + b))).as("out"),
+              lit(true).as("skip")))
+          .otherwise(
+            struct(concat(acc.getField("out"), array(cur)).as("out"),
+              lit(false).as("skip")))
+      },
+      acc => acc.getField("out"))
+  }
+
+  /** One merge round's pair counts over the weighted vocab:
+    * (left, right, cnt) summed with each word's corpus frequency. */
+  private[operators] def pairCounts(vocab: DataFrame): DataFrame =
+    vocab.filter(size(col("symbols")) >= 2)
+      .select(col("n"), explode(transform(
+        sequence(lit(0), size(col("symbols")) - 2),
+        i => struct(element_at(col("symbols"), i + 1).as("a"),
+          element_at(col("symbols"), i + 2).as("b")))).as("pr"))
+      .groupBy(col("pr.a").as("left"), col("pr.b").as("right"))
+      .agg(sum(col("n")).as("cnt"))
+
+  /** Corpus → weighted vocab: (symbols = chars + "</w>" end marker, n). */
+  private[operators] def weightedVocab(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .select(concat(
+        filter(split(col("word"), ""), c => length(c) > 0),
+        array(lit("</w>"))).as("symbols"), col("n"))
+
+  /** Train the first `numMerges` merges. Returns (rank, left, right, cnt). */
+  def trainMerges(docs: DataFrame, numMerges: Int): Seq[(Int, String, String, Long)] = {
+    var vocab = weightedVocab(docs).localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 0
+    var exhausted = false
+    while (r < numMerges && !exhausted) {
+      val top = pairCounts(vocab)
+        .orderBy(col("cnt").desc, col("left"), col("right"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r + 1, a, b, cnt))
+        vocab = vocab
+          .select(mergePair(col("symbols"), a, b).as("symbols"), col("n"))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  // ---------------------------------------------------------------- q107
+  // The learned merge table for the first 12 merges — the trained tokenizer
+  // artifact. Iterative ⇒ no SQL oracle (the rows-only driver check
+  // applies); BpeSpec pins the exact merge sequence against an independent
+  // sequential reference implementation on the same fixture.
+  private val NumMerges = 12
+  private def q107(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    trainMerges(Fixtures.documents(s, dir), NumMerges)
+      .toDF("rank", "left", "right", "pair_count")
+      .orderBy(col("rank"))
+  }
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q107_bpe_merges", q107, None))
+}

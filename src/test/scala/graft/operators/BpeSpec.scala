@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.{Fixtures, SparkEntry, TestSpark}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The distributed BPE trainer must reproduce the sequential reference
+  * algorithm EXACTLY: same greedy left-to-right merge application, same
+  * (count desc, left asc, right asc) argmax, same end-of-word marker.
+  * The reference below is implemented independently on plain Scala
+  * collections — no Spark — so agreement is evidence, not tautology.
+  */
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sf0001
+
+  /** Sequential reference: classic BPE on a weighted vocab. */
+  private def referenceMerges(wordFreq: Map[String, Long],
+      numMerges: Int): Seq[(Int, String, String, Long)] = {
+    var vocab: Map[Vector[String], Long] = wordFreq
+      .groupMapReduce { case (w, _) => w.map(_.toString).toVector :+ "</w>" }(_._2)(_ + _)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (r <- 1 to numMerges) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, n) <- vocab; i <- 0 until syms.size - 1)
+        counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + n
+      if (counts.nonEmpty) {
+        val ((a, b), cnt) = counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
+        out += ((r, a, b, cnt))
+        vocab = vocab.groupMapReduce { case (syms, _) =>
+          val merged = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.size) {
+            if (i < syms.size - 1 && syms(i) == a && syms(i + 1) == b) {
+              merged += (a + b); i += 2
+            } else { merged += syms(i); i += 1 }
+          }
+          merged.result()
+        }(_._2)(_ + _)
+      }
+    }
+    out.toSeq
+  }
+
+  test("distributed merge table equals the sequential reference exactly") {
+    val wordFreq = Fixtures.documents(spark, dir)
+      .selectExpr("explode(split(text, ' ')) AS w")
+      .filter("length(w) > 0")
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = referenceMerges(wordFreq, 12)
+    val got = SparkEntry.queries("q107_bpe_merges")(spark, dir)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(got === expected)
+    assert(got.size === 12, "fixture corpus must support 12 merges")
+    // merged symbols appear as inputs of later merges (vocab actually grows)
+    val produced = got.map { case (_, a, b, _) => a + b }.toSet
+    assert(got.exists { case (_, a, b, _) => produced(a) || produced(b) },
+      "no later merge consumed an earlier merge's symbol — trainer not iterating")
+  }
+
+  test("greedy merge application handles overlapping runs (aaa + (a,a) -> [aa, a])") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(Seq("a", "a", "a"), Seq("a", "a", "a", "a"), Seq("b", "a", "a"))
+      .toDF("symbols")
+    val merged = df.select(Bpe.mergePair(col("symbols"), "a", "a").as("m"))
+      .collect().map(_.getSeq[String](0).toList)
+    assert(merged.toList === List(List("aa", "a"), List("aa", "aa"), List("b", "aa")))
+  }
+}
