@@ -79,8 +79,18 @@ object Bpe {
         filter(split(col("word"), ""), c => length(c) > 0),
         array(lit("</w>"))).as("symbols"), col("n"))
 
-  /** Train the first `numMerges` merges. Returns (rank, left, right, cnt). */
-  def trainMerges(docs: DataFrame, numMerges: Int): Seq[(Int, String, String, Long)] = {
+  /** Train the first `numMerges` merges. Returns the merge table
+    * (rank, left, right, cnt) AND the final vocab state — which is exactly
+    * the training corpus ENCODED with all learned merges (each merge is
+    * fully applied, in rank order, greedy left-to-right), so callers get
+    * train+encode from the same checkpointed passes. Applying each merge as
+    * its own checkpointed projection also keeps every expression tree flat
+    * — chaining the HOF merges on one Column duplicates the child tree ~4×
+    * per level (sequence bound + two element_at probes) and OOMs the
+    * analyzer around a dozen merges.
+    */
+  def trainMergesWithVocab(docs: DataFrame,
+      numMerges: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
     var vocab = weightedVocab(docs).localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var r = 0
@@ -99,8 +109,11 @@ object Bpe {
         r += 1
       }
     }
-    merges.toSeq
+    (merges.toSeq, vocab)
   }
+
+  def trainMerges(docs: DataFrame, numMerges: Int): Seq[(Int, String, String, Long)] =
+    trainMergesWithVocab(docs, numMerges)._1
 
   // ---------------------------------------------------------------- q107
   // The learned merge table for the first 12 merges — the trained tokenizer
@@ -115,6 +128,27 @@ object Bpe {
       .orderBy(col("rank"))
   }
 
+  // ---------------------------------------------------------------- q108
+  // BPE ENCODING — the apply half of the tokenizer (q107 trains it): the
+  // learned merges are applied to every word in rank order (each merge
+  // fully applied before the next, exactly the training-side greedy
+  // semantics), then the corpus token-usage histogram is emitted (top 20
+  // by count — what a vocab-coverage report shows).
+  //
+  // Scale shape: the trainer's final vocab state IS the encoded corpus
+  // (merges applied in rank order, one checkpointed narrow projection
+  // each), so encoding reuses those passes outright; the only extra work
+  // is the tiny symbol histogram. Iterative ⇒ rows-only driver check;
+  // BpeSpec pins the histogram against the sequential reference encoder.
+  private def q108(s: SparkSession, dir: String): DataFrame = {
+    val (_, vocab) = trainMergesWithVocab(Fixtures.documents(s, dir), NumMerges)
+    vocab.select(explode(col("symbols")).as("symbol"), col("n"))
+      .groupBy(col("symbol")).agg(sum(col("n")).as("n_tokens"))
+      .orderBy(col("n_tokens").desc, col("symbol"))
+      .limit(20)
+  }
+
   val queries: Seq[GraftQuery] = Seq(
-    GraftQuery("q107_bpe_merges", q107, None))
+    GraftQuery("q107_bpe_merges", q107, None),
+    GraftQuery("q108_bpe_encode", q108, None))
 }

@@ -60,6 +60,34 @@ class BpeSpec extends AnyFunSuite {
       "no later merge consumed an earlier merge's symbol — trainer not iterating")
   }
 
+  test("encoding histogram equals the sequential reference encoder") {
+    val wordFreq = Fixtures.documents(spark, dir)
+      .selectExpr("explode(split(text, ' ')) AS w")
+      .filter("length(w) > 0")
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val merges = referenceMerges(wordFreq, 12).map { case (_, a, b, _) => (a, b) }
+    // sequential encode: apply merges in rank order to each word
+    def encode(w: String): Vector[String] =
+      merges.foldLeft(w.map(_.toString).toVector :+ "</w>") { case (syms, (a, b)) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.size) {
+          if (i < syms.size - 1 && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.result()
+      }
+    val expected = wordFreq.toSeq
+      .flatMap { case (w, n) => encode(w).map(_ -> n) }
+      .groupMapReduce(_._1)(_._2)(_ + _).toSeq
+      .sortBy { case (s, n) => (-n, s) }.take(20)
+    val got = SparkEntry.queries("q108_bpe_encode")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === expected)
+  }
+
   test("greedy merge application handles overlapping runs (aaa + (a,a) -> [aa, a])") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
