@@ -34,6 +34,13 @@ object Bench {
     SparkEntry.queries.get("q10_distinct").foreach(f => f(spark, sfDir).count())
 
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      // Drop cached plans BEFORE the clock starts: operators that persist()
+      // intermediates (PQ training, window fingerprints, LSH buckets)
+      // register them in the CacheManager keyed by canonical plan, so rep 2
+      // of the same query would silently read rep 1's InMemoryRelation and
+      // the median would measure cache reads, not the operator. Clearing per
+      // rep also stops cache entries accumulating across the 100+ query run.
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       // noop sink: fully computes every output column (count() would let
       // Catalyst prune the final projection and under-measure
@@ -64,7 +71,11 @@ object Bench {
           else (times(times.size / 2 - 1) + times(times.size / 2)) / 2.0
         Some(name -> (median, times.head))
       } catch {
-        case scala.util.control.NonFatal(e) =>
+        // + StackOverflowError: fatal to the thread but local to the query
+        // (deep Catalyst trees — see Bpe.mergePair's scaladoc); one query
+        // must land in the errors map, not void the whole round's record.
+        // True VM errors (OOM) still propagate.
+        case e if scala.util.control.NonFatal(e) || e.isInstanceOf[StackOverflowError] =>
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
           errors += name -> e.getClass.getSimpleName
           None

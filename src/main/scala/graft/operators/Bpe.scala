@@ -23,11 +23,14 @@ import org.apache.spark.sql.functions._
   * ivfBuild precedent) — on a production cluster a reliable checkpoint dir
   * substitutes (see connectedComponents' scaladoc).
   *
-  * Determinism: the argmax tiebreak is total ((count desc, left asc,
-  * right asc)), the merge application is greedy left-to-right (exactly the
-  * reference algorithm), and pair counts are integer sums — the merge table
-  * is bit-identical at any parallelism. BpeSpec pins the distributed result
-  * against an independent sequential reference implementation.
+  * Determinism: the argmax tiebreak is total — count desc, then (left,
+  * right) ascending in Spark's native UTF-8 BINARY string order (NOT Java's
+  * UTF-16 order; they disagree on supplementary-plane characters, so the
+  * spec's reference comparator matches bytes) — the merge application is
+  * greedy left-to-right (exactly the reference algorithm), and pair counts
+  * are integer sums: the merge table is bit-identical at any parallelism.
+  * BpeSpec pins the distributed result against an independent sequential
+  * reference implementation.
   */
 object Bpe {
 

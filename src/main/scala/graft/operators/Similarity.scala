@@ -263,12 +263,29 @@ object Similarity {
     * this is what lets the LSH machinery be hash-checked (q47) rather than
     * property-checked only.
     */
+  /** Two-phase sign bit for plane `p`: the codegen'd double projection
+    * decides whenever it sits outside the decimal-vs-double error margin
+    * (per-term 9-dp rounding ≤ 0.5e-9 × dims plus double accumulation
+    * < 1e-7 total, so 1e-5 is a safe fence); the interpreted exact-decimal
+    * fold runs ONLY for the rare |proj| ≤ 1e-5 rows. Bit-identical to the
+    * decimal-only formulation (which the oracle mirrors) at ~100× less
+    * interpreted work — the q20/q106 prefilter discipline applied to the
+    * sign decision itself.
+    */
+  private def planeBit(p: Int, bitValue: Int, dims: Int): org.apache.spark.sql.Column = {
+    val signsF = array((0 until dims).map(d => lit(planeSign(p, d).toFloat)): _*)
+    val signsD = array((0 until dims).map(d => lit(planeSign(p, d))): _*)
+    val fast = graft.functions.VectorDot.dot(col("embedding"), signsF)
+    when(fast > 1e-5, lit(bitValue))
+      .when(fast < -1e-5, lit(0))
+      .otherwise(
+        when(dotDec(col("embedding"), signsD) >= 0, lit(bitValue)).otherwise(lit(0)))
+  }
+
   def lshBucketsExact(e: DataFrame, nPlanes: Int, dims: Int = 64): DataFrame = {
     require(nPlanes <= 16)
-    val planes: Seq[org.apache.spark.sql.Column] = (0 until nPlanes).map { p =>
-      val signs = array((0 until dims).map(d => lit(planeSign(p, d))): _*)
-      when(dotDec(col("embedding"), signs) >= 0, lit(1 << p)).otherwise(lit(0))
-    }
+    val planes: Seq[org.apache.spark.sql.Column] =
+      (0 until nPlanes).map(p => planeBit(p, 1 << p, dims))
     e.select(col("vec_id"), planes.reduce(_ + _).cast("long").as("bucket"))
   }
 
@@ -379,7 +396,10 @@ object Similarity {
       .agg(sum(col("dlut")).as("adot"), sum(col("cn2")).as("an2"),
         first(col("qn2")).as("qn2"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (col("adot") / (sqrt(col("an2")) * sqrt(col("qn2")))).as("c"))
+        // greatest-guard (as in ivfpqTopK): a vector whose m codes all map
+        // to ~zero-norm centroids would give an2 = 0 → NaN, and Spark ranks
+        // NaN above every double — garbage would displace true neighbors.
+        (col("adot") / (sqrt(greatest(col("an2"), lit(1e-12))) * sqrt(col("qn2")))).as("c"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= shortlistK)
     val ranked = if (rerank == 0) adc else exactRerank(adc, e, qs, topK)
@@ -649,9 +669,7 @@ object Similarity {
     val e = Fixtures.embeddings(s, dir)
     val tableStructs = array((0 until LshTables).map { t =>
       val bits = (0 until LshPlanesPerTable).map { j =>
-        val p = t * LshPlanesPerTable + j
-        val signs = array((0 until 64).map(d => lit(planeSign(p, d))): _*)
-        when(dotDec(col("embedding"), signs) >= 0, lit(1 << j)).otherwise(lit(0))
+        planeBit(t * LshPlanesPerTable + j, 1 << j, 64)
       }
       struct(lit(t).as("tbl"), bits.reduce(_ + _).cast("long").as("bucket"))
     }: _*)

@@ -13,6 +13,24 @@ class BpeSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = TestSpark.sf0001
 
+  /** UTF-8 binary string order — Spark's native string comparison (UTF8String
+    * bytes). Java's String.compareTo is UTF-16 code-unit order, which
+    * disagrees for supplementary-plane characters (surrogates sort below
+    * U+E000..U+FFFF in UTF-16 but above in UTF-8), so the reference must
+    * compare the same way the engine's argmax does.
+    */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
   /** Sequential reference: classic BPE on a weighted vocab. */
   private def referenceMerges(wordFreq: Map[String, Long],
       numMerges: Int): Seq[(Int, String, String, Long)] = {
@@ -24,7 +42,13 @@ class BpeSpec extends AnyFunSuite {
       for ((syms, n) <- vocab; i <- 0 until syms.size - 1)
         counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + n
       if (counts.nonEmpty) {
-        val ((a, b), cnt) = counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
+        val maxCnt = counts.valuesIterator.max
+        val (a, b) = counts.collect { case (p, c) if c == maxCnt => p }
+          .reduceLeft { (p, q) =>
+            val c = utf8Compare(p._1, q._1)
+            if (c < 0 || (c == 0 && utf8Compare(p._2, q._2) <= 0)) p else q
+          }
+        val cnt = maxCnt
         out += ((r, a, b, cnt))
         vocab = vocab.groupMapReduce { case (syms, _) =>
           val merged = Vector.newBuilder[String]
