@@ -336,9 +336,21 @@ object Similarity {
 
   /** Train per-subspace codebooks: deterministic seeds (vec_id < k) +
     * `iters` Lloyd refinements. Returns (sub, code, cent, cn2).
+    *
+    * Refinements train on a deterministic 1-in-`TrainSampleMod` sample of
+    * the corpus (plus the seed rows) — the FAISS production discipline: at
+    * corpus scale the codebook converges on a sample; only ENCODING must
+    * touch every vector. Sampling by `vec_id % mod` keeps the trained
+    * codebook bit-identical at any parallelism, and `iters = 0` (the
+    * exact-reconstruction configuration PqSpec pins) is unaffected.
     */
+  private val TrainSampleMod = 4
   def pqTrain(e: DataFrame, m: Int, k: Int, iters: Int, dims: Int = 64): DataFrame = {
     val sv = subvectors(e, m, dims).persist()
+    val svTrain =
+      if (iters == 0) sv
+      else sv.filter(pmod(col("vec_id"), lit(TrainSampleMod)) === 0 ||
+        col("vec_id") < k).persist()
     var cb = sv.filter(col("vec_id") < k)
       .select(col("sub"), col("vec_id").cast("int").as("code"), col("sv").as("cent"),
         graft.functions.VectorDot.dot(col("sv"), col("sv")).as("cn2"))
@@ -346,8 +358,8 @@ object Similarity {
     for (_ <- 1 to iters) {
       val vmean = udaf(new graft.functions.VectorMean(9),
         org.apache.spark.sql.Encoders.product[graft.functions.VecIn])
-      cb = assignCodes(sv, cb)
-        .join(sv, Seq("vec_id", "sub"))
+      cb = assignCodes(svTrain, cb)
+        .join(svTrain, Seq("vec_id", "sub"))
         .groupBy(col("sub"), col("code"))
         .agg(vmean(col("sv")).as("cent"))
         .select(col("sub"), col("code"), col("cent"),
