@@ -290,17 +290,24 @@ object Curation {
   // One groupBy(fp) counts distinct docs per window, one join back + one
   // groupBy(doc_id) folds the verdict. No self-join, no all-pairs; this is
   // the linear-shuffle alternative to a suffix array at cluster scale.
-  private val SubWidth = 16
-  private def q102(s: SparkSession, dir: String): DataFrame = {
-    val wins = Fixtures.documents(s, dir)
-      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
+  private[graft] val SubWidth = 16
+
+  /** Distinct (doc_id, fp) over every SubWidth-token window at every offset
+    * — the building block of q102/q104/q105 and the streaming span gate.
+    * Docs shorter than SubWidth contribute no rows.
+    */
+  private[graft] def windowFps(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), wsTokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= SubWidth)
       .select(col("doc_id"), col("toks"),
         explode(sequence(lit(0), size(col("toks")) - SubWidth)).as("start"))
       .select(col("doc_id"),
         graft.functions.TextFunctions.hash60(
           concat_ws(" ", slice(col("toks"), col("start") + 1, lit(SubWidth)))).as("fp"))
-      .distinct() // within-doc repeats count once; nd below = distinct docs
+      .distinct() // within-doc repeats count once
+
+  private def q102(s: SparkSession, dir: String): DataFrame = {
+    val wins = windowFps(Fixtures.documents(s, dir))
       .persist() // read twice (per-fp counts + join back): the md5-per-window
                  // fingerprint pass is the expensive narrow stage — never twice
     val perFp = wins.groupBy(col("fp")).agg(count(lit(1)).as("nd"))
