@@ -458,7 +458,125 @@ object TextAnalysis {
        |WHERE len(regexp_extract_all(text, '$redactPattern')) > 0
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q109
+  // BM25 top-k retrieval (Robertson's probabilistic idf in the always-
+  // positive Lucene shape, k1=1.2 b=0.75) for a fixed query-term set — the
+  // retrieval primitive behind decontamination-by-retrieval and targeted
+  // corpus mining. Scale shape: ALL corpus statistics (N, Σdl, per-term
+  // document frequencies) collapse into ONE 1-row conditional-sum aggregate
+  // — no per-term corpus scan, no explode, no posting-list join for a fixed
+  // query; the row is broadcast and scoring is a narrow map over codegen'd
+  // array built-ins; top-20 plans as TakeOrderedAndProject, never a global
+  // sort. Determinism: idf is round(ln(·),9) (q51's ln-parity discipline);
+  // every other op is a correctly-rounded IEEE div/mul on identical inputs,
+  // so scores are bit-identical cross-engine before the 6-dp output round.
+  private val bm25Terms = Seq("table", "hash", "window")
+  private def q109(s: SparkSession, dir: String): DataFrame = {
+    val docs = Fixtures.documents(s, dir)
+      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
+    val statCols =
+      count(lit(1)).as("nd") +: sum(size(col("toks"))).as("nt") +:
+        bm25Terms.zipWithIndex.map { case (t, i) =>
+          sum(when(array_contains(col("toks"), t), 1L).otherwise(0L)).as(s"df_$i")
+        }
+    val stats = docs.agg(statCols.head, statCols.tail: _*)
+    val scored = docs.crossJoin(broadcast(stats))
+      .withColumn("dl", size(col("toks")).cast("double"))
+      .withColumn("avgdl", col("nt").cast("double") / col("nd"))
+      .withColumn("norm",
+        lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl"))))
+    def tf(t: String): Column =
+      size(filter(col("toks"), x => x === lit(t))).cast("double")
+    def idf(i: Int): Column =
+      round(log((col("nd").cast("double") - col(s"df_$i") + lit(0.5)) /
+        (col(s"df_$i") + lit(0.5)) + lit(1.0)), 9)
+    val score = bm25Terms.zipWithIndex.map { case (t, i) =>
+      idf(i) * ((tf(t) * lit(2.2)) / (tf(t) + col("norm")))
+    }.reduceLeft(_ + _)
+    scored
+      .select(col("doc_id"), graft.functions.Rounding.stable(score, 6).as("score"))
+      .filter(col("score") > 0.0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  private val q109Sql = {
+    val dfCols = bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"SUM(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS df_$i"
+    }.mkString(",\n      |  ")
+    val tfCols = bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS tf_$i"
+    }.mkString(",\n      |  ")
+    val idfCols = bm25Terms.indices.map { i =>
+      s"round(ln((CAST(nd AS DOUBLE) - df_$i + 0.5) / (df_$i + 0.5) + 1.0), 9) AS idf_$i"
+    }.mkString(",\n      |  ")
+    val scoreExpr = bm25Terms.indices.map { i =>
+      s"idf_$i * ((tf_$i * 2.2) / (tf_$i + norm))"
+    }.mkString(" + ")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |st AS (SELECT COUNT(*) AS nd, SUM(len(toks)) AS nt,
+      |  $dfCols
+      |  FROM d),
+      |sc AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+      |  $tfCols
+      |  FROM d),
+      |x AS (SELECT doc_id, dl, tf_0, tf_1, tf_2,
+      |  1.2 * (0.25 + 0.75 * (dl / (CAST(nt AS DOUBLE) / nd))) AS norm,
+      |  $idfCols
+      |  FROM sc CROSS JOIN st),
+      |z AS (SELECT doc_id,
+      |  floor(($scoreExpr) * 1000000.0 + 0.5) / 1000000.0 AS score FROM x)
+      |SELECT doc_id, score FROM z WHERE score > 0.0
+      |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q111
+  // Hashed-feature linear quality classifier — the fastText/CCNet-shape
+  // model-based filter that follows the heuristic (q24/q41) and LM (q51/
+  // q75) stages: each token hashes into one of 1024 feature buckets, each
+  // bucket carries a fixed weight (both md5-derived, so the "model" is
+  // deterministic and the oracle re-derives it arithmetically — a trained
+  // model would arrive as a broadcast weight table with identical plan
+  // shape), and a document's score is the mean bucket weight plus a bias;
+  // sign decides keep/drop. Pure narrow map — per-token hashing stays
+  // inside array HOFs over codegen'd built-ins, no explode, no join, no
+  // shuffle before the final ORDER BY. Per-token weights are rounded to
+  // 9 dp and folded as DECIMAL — order-free, hash-checked.
+  private def q111(s: SparkSession, dir: String): DataFrame = {
+    val DEC = org.apache.spark.sql.types.DecimalType(28, 12)
+    def bucket(t: Column): Column =
+      conv(substring(md5(concat(lit("feat:"), t)), 1, 4), 16, 10).cast("int") % 1024
+    def weight(b: Column): Column =
+      (conv(substring(md5(concat(lit("w:"), b.cast("string"))), 1, 4), 16, 10)
+        .cast("int") % 2001 - 1000) / lit(1000.0)
+    val toks = wsTokens(col("text"))
+    val wts = transform(toks, t => round(weight(bucket(t)), 9).cast(DEC))
+    val sumw = aggregate(wts, lit(0).cast(DEC), (acc, v) => (acc + v).cast(DEC))
+    val z = lit(-0.01) + sumw.cast("double") / size(toks)
+    Fixtures.documents(s, dir)
+      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
+        graft.functions.Rounding.stable(z, 6).as("z"),
+        when(z >= lit(0.0), 1).otherwise(0).as("pass"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q111Sql =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |f AS (SELECT doc_id,
+      |  ('0x' || substr(md5('feat:' || term), 1, 4))::INT % 1024 AS b FROM t),
+      |w AS (SELECT doc_id,
+      |  CAST(round(CAST(('0x' || substr(md5('w:' || b), 1, 4))::INT % 2001 - 1000 AS DOUBLE)
+      |    / 1000.0, 9) AS DECIMAL(28,12)) AS wt FROM f),
+      |zr AS (SELECT doc_id, COUNT(*) AS n_tokens,
+      |  -0.01 + CAST(SUM(wt) AS DOUBLE) / COUNT(*) AS zraw FROM w GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, floor(zraw * 1000000.0 + 0.5) / 1000000.0 AS z,
+      |  CASE WHEN zraw >= 0.0 THEN 1 ELSE 0 END AS pass
+      |FROM zr ORDER BY doc_id""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q109_bm25", q109, Some(q109Sql)),
+    GraftQuery("q111_quality_classifier", q111, Some(q111Sql)),
     GraftQuery("q81_redaction", q81, Some(q81Sql)),
     GraftQuery("q75_bigram_logprob", q75, Some(q75Sql)),
     GraftQuery("q40_tfidf_topterms", q40, Some(q40Sql)),
