@@ -756,7 +756,130 @@ object Similarity {
        |SELECT va AS vec_a, vb AS vec_b, floor(c * 10000.0 + 0.5) / 10000.0 AS cos_sim
        |FROM cos WHERE c >= 0.45 ORDER BY vec_a, vec_b""".stripMargin
 
+  // ---------------------------------------------------------------- q110
+  // SemDeDup-style semantic dedup (Abbas et al. 2023: cluster the embedding
+  // space, then within each cluster remove near-duplicate pairs keeping the
+  // member closest to the cluster centroid). Clustering here is AND-LSH:
+  // 4 md5-derived hyperplanes → 16 deterministic cells (a trained k-means
+  // assignment would slot in with the identical plan shape — cells are just
+  // a column); "closest to centroid" is the centrality score
+  // dot(x, Σ_cell x) / ‖x‖ — the cell-sum vector is shared by every member,
+  // so ranking by it IS ranking by cosine-to-centroid. A pair with exact
+  // cosine ≥ τ=0.35 drops its less-central member (tie → larger vec_id drops).
+  //
+  // Scale shape: cell sums are a tiny aggregate (≤ cells × dims groups,
+  // map-side combinable); the pairwise step is confined WITHIN cells —
+  // SemDeDup's own posture: cell population is bounded by construction
+  // (more planes → smaller cells), so candidates stay linear, never
+  // all-pairs. Determinism: centrality is exact integer arithmetic —
+  // components scaled to round(x·1e6) longs, products summed as
+  // DECIMAL(38,0) — divided once by a sqrt of an exact long, so both
+  // engines compare bit-identical doubles; the near-dup confirm reuses
+  // q20/q106's fast-double prefilter + exact-decimal rescore.
+  private val SemPlanes = 4
+  private val SemPlaneBase = 128 // independent of q47 (0..15) / q106 (0..95)
+  private def q110(s: SparkSession, dir: String): DataFrame = {
+    val DEC38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val e = Fixtures.embeddings(s, dir)
+    val bits = (0 until SemPlanes).map(j => planeBit(SemPlaneBase + j, 1 << j, 64))
+    val r6 = transform(col("embedding"),
+      x => round(x.cast("double") * lit(1000000.0)).cast("long"))
+    val b = e.select(col("vec_id"), col("embedding"), r6.as("r6"),
+      bits.reduce(_ + _).cast("long").as("bucket")).persist()
+    // per-cell component sums: exact scaled-long integers; the explode feeds
+    // a partial agg, so the shuffle carries ≤ cells × dims rows per task
+    val bsum = b.select(col("bucket"), posexplode(col("r6")).as(Seq("pos", "r")))
+      .groupBy(col("bucket"), col("pos")).agg(sum(col("r")).as("s6"))
+      .groupBy(col("bucket"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("s6")))),
+        p => p.getField("s6")).as("s6arr"))
+    val cents = b.join(bsum, "bucket")
+      .select(col("vec_id"), col("bucket"),
+        (aggregate(zip_with(col("r6"), col("s6arr"), (a, sc) => (a * sc).cast(DEC38)),
+          lit(0).cast(DEC38), (acc, v) => (acc + v).cast(DEC38)).cast("double") /
+          sqrt(aggregate(transform(col("r6"), a => a * a), lit(0L), (acc, v) => acc + v)
+            .cast("double"))).as("cent"))
+    val cand = b.select(col("bucket"), col("vec_id").as("vec_a"))
+      .join(b.select(col("bucket"), col("vec_id").as("vec_b")), Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+    val withNorm = e.select(col("vec_id"), col("embedding"),
+      norm2Dec(col("embedding")).as("n2"),
+      graft.functions.VectorDot.dot(col("embedding"), col("embedding")).as("n2d"))
+    val fastc = cosineFast(graft.functions.VectorDot.dot(col("ea"), col("eb")),
+      col("n2da"), col("n2db"))
+    val exact = cosineWithNorms(dotDec(col("ea"), col("eb")), col("n2a"), col("n2b"))
+    val confirmed = cand
+      .join(withNorm.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        col("n2").as("n2a"), col("n2d").as("n2da")), Seq("vec_a"))
+      .join(withNorm.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+        col("n2").as("n2b"), col("n2d").as("n2db")), Seq("vec_b"))
+      .filter(fastc >= 0.35 - 1e-6)
+      .select(col("vec_a"), col("vec_b"), exact.as("c"))
+      .filter(col("c") >= 0.35)
+    confirmed
+      .join(cents.select(col("vec_id").as("vec_a"), col("cent").as("cent_a")), "vec_a")
+      .join(cents.select(col("vec_id").as("vec_b"), col("cent").as("cent_b")), "vec_b")
+      .select(when(col("cent_a") > col("cent_b") ||
+          (col("cent_a") === col("cent_b") && col("vec_a") < col("vec_b")),
+        col("vec_b")).otherwise(col("vec_a")).as("vec_id"))
+      .distinct()
+      .join(cents, "vec_id")
+      .select(col("vec_id"), col("bucket"),
+        graft.functions.Rounding.stable(col("cent"), 6).as("centrality"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val q110Sql =
+    s"""WITH el AS (
+       |  SELECT vec_id, unnest(embedding) x, generate_subscripts(embedding, 1) i FROM embeddings),
+       |r AS (SELECT vec_id, i, CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) AS r6 FROM el),
+       |planes AS (
+       |  SELECT pp.p, dd.i,
+       |    CASE WHEN ('0x' || substr(md5('plane:' || pp.p || ':' || (dd.i - 1)), 1, 2))::INT % 2 = 1
+       |      THEN 1.0 ELSE -1.0 END AS sgn
+       |  FROM (SELECT unnest(generate_series($SemPlaneBase, ${SemPlaneBase + SemPlanes - 1})) AS p) pp,
+       |       (SELECT unnest(generate_series(1, 64)) AS i) dd),
+       |proj AS (
+       |  SELECT e.vec_id, pl.p,
+       |    SUM(CAST(round(CAST(e.x AS DOUBLE) * pl.sgn, 9) AS DECIMAL(28,12))) pr
+       |  FROM el e JOIN planes pl USING (i) GROUP BY 1, 2),
+       |bk AS (
+       |  SELECT vec_id,
+       |    CAST(SUM(CASE WHEN pr >= 0 THEN 1 << (p - $SemPlaneBase) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM proj GROUP BY 1),
+       |bs AS (SELECT bucket, i, SUM(r6) AS s6 FROM r JOIN bk USING (vec_id) GROUP BY 1, 2),
+       |cents AS (
+       |  SELECT r.vec_id, bk.bucket,
+       |    CAST(SUM(CAST(r.r6 * bs.s6 AS DECIMAL(38,0))) AS DOUBLE)
+       |      / sqrt(CAST(SUM(r.r6 * r.r6) AS DOUBLE)) AS cent
+       |  FROM r JOIN bk USING (vec_id) JOIN bs ON bs.bucket = bk.bucket AND bs.i = r.i
+       |  GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb
+       |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |norms AS (
+       |  SELECT vec_id, SUM(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 9) AS DECIMAL(28,12))) n2
+       |  FROM el GROUP BY 1),
+       |dots AS (
+       |  SELECT c.va, c.vb,
+       |    SUM(CAST(round(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE), 9) AS DECIMAL(28,12))) dot
+       |  FROM cand c JOIN el a ON a.vec_id = c.va JOIN el b ON b.vec_id = c.vb AND b.i = a.i
+       |  GROUP BY 1, 2),
+       |conf AS (
+       |  SELECT va, vb,
+       |    CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) c
+       |  FROM dots JOIN norms na ON na.vec_id = va JOIN norms nb ON nb.vec_id = vb),
+       |losers AS (
+       |  SELECT DISTINCT CASE WHEN ca.cent > cb.cent OR (ca.cent = cb.cent AND va < vb)
+       |    THEN vb ELSE va END AS vec_id
+       |  FROM conf JOIN cents ca ON ca.vec_id = va JOIN cents cb ON cb.vec_id = vb
+       |  WHERE c >= 0.35)
+       |SELECT l.vec_id, ct.bucket, floor(ct.cent * 1000000.0 + 0.5) / 1000000.0 AS centrality
+       |FROM losers l JOIN cents ct ON ct.vec_id = l.vec_id
+       |ORDER BY l.vec_id""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q110_semantic_dedup", q110, Some(q110Sql)),
     GraftQuery("q72_label_centroids", q72, Some(q72Sql)),
     GraftQuery("q62_embed_quantize", q62, Some(q62Sql)),
     GraftQuery("q15_cosine_topk", q15, Some(q15Sql)),

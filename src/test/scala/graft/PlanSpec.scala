@@ -259,6 +259,7 @@ class PlanSpec extends AnyFunSuite {
       "q51_unigram_logprob",     // 1-row corpus token total
       "q59_contamination",       // tiny fixed probe-phrase list
       "q75_bigram_logprob",      // 1-row vocab/total scalars
+      "q109_bm25",               // 1-row corpus-stats (N, Σdl, df) scalar row
       "q84_overlap_matrix",      // |slices|² sketch pairs (sketches, not rows)
       "q96_series_paa_knn",      // 1-row broadcast query sketch
       "q15_cosine_topk",         // constant-size query-vector set × corpus scoring
