@@ -878,7 +878,86 @@ object Similarity {
        |FROM losers l JOIN cents ct ON ct.vec_id = l.vec_id
        |ORDER BY l.vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- q112
+  // Embedding-space decontamination — the SEMANTIC complement of q104's
+  // n-gram decontamination: hash-split the corpus 80/20 into train/eval,
+  // then for every eval vector find its most-similar train vector and flag
+  // it when exact cosine ≥ τ=0.35 (an eval item paraphrased in the training
+  // set slips every n-gram check; embedding similarity catches it). Emits
+  // (eval id, nearest train id, cosine) for flagged rows only — the
+  // evidence table a leakage audit wants.
+  //
+  // Scale shape: the pairwise work rides an equi-join on a deterministic
+  // cell column (the IVF vehicle) with the cell list broadcast — never a
+  // cartesian; with exhaustive probing the result is provably independent
+  // of the cell assignment, which is what makes the full value oracle
+  // possible (q46's trick). At corpus scale the knob is probing fewer
+  // cells (q22) or LSH candidates (q106) — same plan, bounded candidates.
+  // Determinism: fast-double prefilter at τ−1e-6 can't drop a qualifying
+  // pair; argmax compares exact-decimal-derived doubles with train_id
+  // tiebreak.
+  private def q112(s: SparkSession, dir: String): DataFrame = {
+    val nlist = 16
+    val e = Fixtures.embeddings(s, dir)
+    val bkt = conv(substring(md5(col("vec_id").cast("string")), 1, 4), 16, 10)
+      .cast("long") % 100
+    val cell = conv(substring(md5(concat(lit("cell:"), col("vec_id").cast("string"))),
+      1, 4), 16, 10).cast("int") % nlist
+    val n2fast = graft.functions.VectorDot.dot(col("embedding"), col("embedding"))
+    val tagged = e.select(col("vec_id"), col("embedding"), bkt.as("bkt"))
+    val index = tagged.filter(col("bkt") < 80)
+      .select(col("vec_id").as("train_id"), col("embedding"), cell.as("cell"),
+        n2fast.as("n2"), norm2Dec(col("embedding")).as("n2d"))
+    val evals = tagged.filter(col("bkt") >= 80)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        n2fast.as("qn2"), norm2Dec(col("embedding")).as("qn2d"))
+    val cells = index.select(col("cell")).distinct()
+    val probes = evals.crossJoin(broadcast(cells)) // ≤ nlist-row broadcast
+    val fastc = cosineFast(graft.functions.VectorDot.dot(col("embedding"), col("qe")),
+      col("n2"), col("qn2"))
+    val exact = cosineWithNorms(dotDec(col("embedding"), col("qe")),
+      col("n2d"), col("qn2d"))
+    index.join(probes, Seq("cell"))
+      .filter(fastc >= 0.35 - 1e-6)
+      .select(col("query_id"), col("train_id"), exact.as("c"))
+      .filter(col("c") >= 0.35)
+      .groupBy(col("query_id"))
+      .agg(max_by(struct(col("train_id"), col("c")),
+        struct(col("c"), (-col("train_id")).as("tie"))).as("w"))
+      .select(col("query_id"), col("w.train_id").as("train_id"),
+        graft.functions.Rounding.stable(col("w.c"), 4).as("cos_sim"))
+      .orderBy(col("query_id"))
+  }
+
+  private val q112Sql =
+    """WITH el AS (
+      |  SELECT vec_id, unnest(embedding) x, generate_subscripts(embedding, 1) i FROM embeddings),
+      |sp AS (SELECT vec_id,
+      |  ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS bkt
+      |  FROM embeddings),
+      |norms AS (
+      |  SELECT vec_id, SUM(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 9) AS DECIMAL(28,12))) n2
+      |  FROM el GROUP BY 1),
+      |dots AS (
+      |  SELECT q.vec_id AS query_id, t.vec_id AS train_id,
+      |    SUM(CAST(round(CAST(eq.x AS DOUBLE) * CAST(et.x AS DOUBLE), 9) AS DECIMAL(28,12))) dot
+      |  FROM sp q JOIN sp t ON q.bkt >= 80 AND t.bkt < 80
+      |  JOIN el eq ON eq.vec_id = q.vec_id
+      |  JOIN el et ON et.vec_id = t.vec_id AND et.i = eq.i
+      |  GROUP BY 1, 2),
+      |conf AS (
+      |  SELECT query_id, train_id,
+      |    CAST(dot AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nt.n2 AS DOUBLE))) c
+      |  FROM dots JOIN norms nq ON nq.vec_id = query_id JOIN norms nt ON nt.vec_id = train_id),
+      |ranked AS (
+      |  SELECT query_id, train_id, c,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, train_id) rnk
+      |  FROM conf WHERE c >= 0.35)
+      |SELECT query_id, train_id, floor(c * 10000.0 + 0.5) / 10000.0 AS cos_sim
+      |FROM ranked WHERE rnk = 1 ORDER BY query_id""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q112_embedding_decontam", q112, Some(q112Sql)),
     GraftQuery("q110_semantic_dedup", q110, Some(q110Sql)),
     GraftQuery("q72_label_centroids", q72, Some(q72Sql)),
     GraftQuery("q62_embed_quantize", q62, Some(q62Sql)),

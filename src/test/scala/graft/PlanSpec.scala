@@ -267,7 +267,8 @@ class PlanSpec extends AnyFunSuite {
       "q21_ann_brute",           // same (brute baseline is by definition q×corpus)
       "q22_ann_ivf",             // queries × nlist centroid table (nlist rows)
       "q46_ann_ivf_exhaustive",  // same centroid table
-      "q100_ann_ivfpq")          // same centroid table + 1-row LUT scalars
+      "q100_ann_ivfpq",          // same centroid table + 1-row LUT scalars
+      "q112_embedding_decontam") // eval × ≤16-row cell list (exhaustive probe)
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, TestSpark.sf0001).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"),
