@@ -956,7 +956,62 @@ object Similarity {
       |SELECT query_id, train_id, floor(c * 10000.0 + 0.5) / 10000.0 AS cos_sim
       |FROM ranked WHERE rnk = 1 ORDER BY query_id""".stripMargin
 
+  // ---------------------------------------------------------------- q114
+  // Hard-negative mining for contrastive training: for each query vector,
+  // the top-5 most-similar vectors with a DIFFERENT label — the negatives
+  // that sit closest to the decision boundary, which is what contrastive /
+  // metric-learning batches want (random negatives are too easy to carry
+  // gradient). Same exact-decimal scoring and plan shape as q21 (tiny query
+  // set broadcast, corpus scanned once, per-query top-k as a bounded window
+  // rank), with the label inequality applied before scoring so same-label
+  // rows never reach the decimal fold. At corpus scale the brute scan
+  // swaps for IVF/LSH candidates (q22/q106) exactly as q21 does.
+  private def q114(s: SparkSession, dir: String): DataFrame = {
+    val e = Fixtures.embeddings(s, dir)
+    val withNorm = e.repartition(e.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        norm2Dec(col("embedding")).as("n2"))
+    val qs = withNorm.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("embedding").as("qe"), col("n2").as("qn2"))
+    val scored = withNorm.crossJoin(broadcast(qs))
+      .filter(col("label") =!= col("qlabel"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosineWithNorms(dotDec(col("embedding"), col("qe")), col("n2"), col("qn2")).as("c"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("c").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        graft.functions.Rounding.stable(col("c"), 4).as("cos_sim"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  private val q114Sql =
+    """WITH el AS (
+      |  SELECT vec_id, unnest(embedding) x, generate_subscripts(embedding, 1) i FROM embeddings),
+      |norms AS (
+      |  SELECT vec_id, SUM(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 9) AS DECIMAL(28,12))) n2
+      |  FROM el GROUP BY 1),
+      |dots AS (
+      |  SELECT q.vec_id query_id, c.vec_id neighbor_id,
+      |    SUM(CAST(round(CAST(c.x AS DOUBLE) * CAST(q.x AS DOUBLE), 9) AS DECIMAL(28,12))) dot
+      |  FROM el c JOIN el q ON c.i = q.i AND q.vec_id < 10
+      |  JOIN embeddings ec ON ec.vec_id = c.vec_id
+      |  JOIN embeddings eq ON eq.vec_id = q.vec_id AND ec.label <> eq.label
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT query_id, neighbor_id,
+      |    CAST(dot AS DOUBLE) / (sqrt(CAST(nc.n2 AS DOUBLE)) * sqrt(CAST(nq.n2 AS DOUBLE))) c
+      |  FROM dots JOIN norms nc ON nc.vec_id = neighbor_id JOIN norms nq ON nq.vec_id = query_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, c,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) rnk
+      |  FROM scored)
+      |SELECT query_id, rnk, neighbor_id, floor(c * 10000.0 + 0.5) / 10000.0 AS cos_sim
+      |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q114_hard_negatives", q114, Some(q114Sql)),
     GraftQuery("q112_embedding_decontam", q112, Some(q112Sql)),
     GraftQuery("q110_semantic_dedup", q110, Some(q110Sql)),
     GraftQuery("q72_label_centroids", q72, Some(q72Sql)),

@@ -542,7 +542,10 @@ object TextAnalysis {
   // inside array HOFs over codegen'd built-ins, no explode, no join, no
   // shuffle before the final ORDER BY. Per-token weights are rounded to
   // 9 dp and folded as DECIMAL — order-free, hash-checked.
-  private def q111(s: SparkSession, dir: String): DataFrame = {
+  /** The q111 classifier score z as a column over `text` — shared with the
+    * q113 sampler (which uses z as its keep-probability signal).
+    */
+  private def classifierZ: Column = {
     val DEC = org.apache.spark.sql.types.DecimalType(28, 12)
     def bucket(t: Column): Column =
       conv(substring(md5(concat(lit("feat:"), t)), 1, 4), 16, 10).cast("int") % 1024
@@ -552,7 +555,12 @@ object TextAnalysis {
     val toks = wsTokens(col("text"))
     val wts = transform(toks, t => round(weight(bucket(t)), 9).cast(DEC))
     val sumw = aggregate(wts, lit(0).cast(DEC), (acc, v) => (acc + v).cast(DEC))
-    val z = lit(-0.01) + sumw.cast("double") / size(toks)
+    lit(-0.01) + sumw.cast("double") / size(toks)
+  }
+
+  private def q111(s: SparkSession, dir: String): DataFrame = {
+    val toks = wsTokens(col("text"))
+    val z = classifierZ
     Fixtures.documents(s, dir)
       .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
         graft.functions.Rounding.stable(z, 6).as("z"),
@@ -574,9 +582,60 @@ object TextAnalysis {
       |  CASE WHEN zraw >= 0.0 THEN 1 ELSE 0 END AS pass
       |FROM zr ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q113
+  // Quality-weighted sampling — the model-scored importance-sampling stage
+  // (CCNet/DataComp shape): instead of a hard keep/drop at z ≥ 0 (q111),
+  // each document survives with probability p derived from its classifier
+  // score, so borderline text is downsampled rather than discarded and the
+  // corpus quality distribution shifts without a cliff. p is a clamped
+  // linear link (p = clamp[0.05,0.95](0.5 + 5z) — transcendental-free, so
+  // both engines compute bit-identical doubles), and the coin is the
+  // deterministic md5 uniform u = hash32("samp:"+doc_id)/2³² — reproducible
+  // across runs and engines, stable under corpus growth (same contract as
+  // the q64/q67 hash splits). Pure narrow map + tiny per-(lang,source)
+  // aggregate; keep decision and p are re-derived arithmetically by the
+  // oracle.
+  private def q113(s: SparkSession, dir: String): DataFrame = {
+    val DEC = org.apache.spark.sql.types.DecimalType(28, 12)
+    val p = greatest(lit(0.05), least(lit(0.95), lit(0.5) + lit(5.0) * classifierZ))
+    val u = conv(substring(md5(concat(lit("samp:"), col("doc_id").cast("string"))),
+      1, 8), 16, 10).cast("long") / lit(4294967296.0)
+    Fixtures.documents(s, dir)
+      .select(col("lang"), col("source"), p.as("p"), u.as("u"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("u") < col("p"), 1L).otherwise(0L)).as("n_kept"),
+        graft.functions.Rounding.stable(
+          sum(round(col("p"), 9).cast(DEC)).cast("double") / count(lit(1)), 6)
+          .as("avg_p"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  private val q113Sql =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |f AS (SELECT doc_id,
+      |  ('0x' || substr(md5('feat:' || term), 1, 4))::INT % 1024 AS b FROM t),
+      |w AS (SELECT doc_id,
+      |  CAST(round(CAST(('0x' || substr(md5('w:' || b), 1, 4))::INT % 2001 - 1000 AS DOUBLE)
+      |    / 1000.0, 9) AS DECIMAL(28,12)) AS wt FROM f),
+      |zr AS (SELECT doc_id,
+      |  -0.01 + CAST(SUM(wt) AS DOUBLE) / COUNT(*) AS zraw FROM w GROUP BY doc_id),
+      |pr AS (SELECT doc_id,
+      |  greatest(0.05, least(0.95, 0.5 + 5.0 * zraw)) AS p,
+      |  ('0x' || substr(md5('samp:' || doc_id), 1, 8))::BIGINT / 4294967296.0 AS u
+      |  FROM zr)
+      |SELECT d.lang, d.source, COUNT(*) AS n,
+      |  SUM(CASE WHEN pr.u < pr.p THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+      |  floor((CAST(SUM(CAST(round(pr.p, 9) AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*))
+      |    * 1000000.0 + 0.5) / 1000000.0 AS avg_p
+      |FROM documents d JOIN pr USING (doc_id)
+      |GROUP BY d.lang, d.source ORDER BY d.lang, d.source""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q109_bm25", q109, Some(q109Sql)),
     GraftQuery("q111_quality_classifier", q111, Some(q111Sql)),
+    GraftQuery("q113_weighted_sample", q113, Some(q113Sql)),
     GraftQuery("q81_redaction", q81, Some(q81Sql)),
     GraftQuery("q75_bigram_logprob", q75, Some(q75Sql)),
     GraftQuery("q40_tfidf_topterms", q40, Some(q40Sql)),

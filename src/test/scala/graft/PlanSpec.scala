@@ -265,6 +265,7 @@ class PlanSpec extends AnyFunSuite {
       "q15_cosine_topk",         // constant-size query-vector set × corpus scoring
       "q20_dedup_embedding",     // same query-set pattern
       "q21_ann_brute",           // same (brute baseline is by definition q×corpus)
+      "q114_hard_negatives",     // same query-set pattern (different-label top-k)
       "q22_ann_ivf",             // queries × nlist centroid table (nlist rows)
       "q46_ann_ivf_exhaustive",  // same centroid table
       "q100_ann_ivfpq",          // same centroid table + 1-row LUT scalars

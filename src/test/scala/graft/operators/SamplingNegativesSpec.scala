@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.{SparkEntry, TestSpark}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural invariants for q113 (quality-weighted sampling) and q114
+  * (hard-negative mining). Both are fully DuckDB-value-oracled; these pin
+  * the semantic properties a value hash can't express.
+  */
+class SamplingNegativesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sf0001
+
+  test("q113: keep counts are bounded, p stays clamped, and sampling actually thins") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q113_weighted_sample")(spark, dir)
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, n, kept, avgP) =>
+      assert(kept >= 0 && kept <= n)
+      assert(avgP >= 0.05 && avgP <= 0.95)
+    }
+    val (tot, keptTot) = (rows.map(_._3).sum, rows.map(_._4).sum)
+    assert(keptTot > 0 && keptTot < tot,
+      s"sampler must neither keep everything nor drop everything ($keptTot/$tot)")
+    // deterministic md5 coin: a re-run is bit-identical
+    val again = SparkEntry.queries("q113_weighted_sample")(spark, dir)
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    assert(again == rows)
+  }
+
+  test("q114: every hard negative has a different label than its query") {
+    import spark.implicits._
+    val labels = graft.Fixtures.embeddings(spark, dir)
+      .select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    val got = SparkEntry.queries("q114_hard_negatives")(spark, dir)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(got.nonEmpty)
+    got.foreach { case (q, _, n, _) =>
+      assert(labels(q) != labels(n), s"neighbor $n shares label with query $q")
+    }
+    // hard negatives are a subset of the unrestricted ranking: each query's
+    // best hard negative scores no higher than its best unrestricted
+    // neighbor from q21 (equality iff q21's best already crosses labels)
+    val brute = SparkEntry.queries("q21_ann_brute")(spark, dir)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+      .filter(_._2 == 1).map(r => r._1 -> r._4).toMap
+    got.filter(_._2 == 1).foreach { case (q, _, _, c) =>
+      assert(c <= brute(q), s"hard negative for $q outranks the global best")
+    }
+  }
+}
