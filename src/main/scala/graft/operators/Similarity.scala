@@ -677,18 +677,28 @@ object Similarity {
   // oracle; SimilaritySpec pins q106 ⊆ q20 with identical scores.
   private val LshTables = 16
   private val LshPlanesPerTable = 6
-  private def q106(s: SparkSession, dir: String): DataFrame = {
-    val e = Fixtures.embeddings(s, dir)
+
+  /** The q106 OR-amplified bucket table — (vec_id, tbl, bucket), 16 tables
+    * × 6 planes — shared with the streaming cross-batch embedding gate
+    * ([[graft.streaming.EmbedDedupStream]]), whose persisted index must use
+    * the IDENTICAL bucket derivation to probe candidates.
+    */
+  def orLshBuckets(e: DataFrame): DataFrame = {
     val tableStructs = array((0 until LshTables).map { t =>
       val bits = (0 until LshPlanesPerTable).map { j =>
         planeBit(t * LshPlanesPerTable + j, 1 << j, 64)
       }
       struct(lit(t).as("tbl"), bits.reduce(_ + _).cast("long").as("bucket"))
     }: _*)
+    e.select(col("vec_id"), inline(tableStructs))
+  }
+
+  private def q106(s: SparkSession, dir: String): DataFrame = {
+    val e = Fixtures.embeddings(s, dir)
     // persist: the candidate self-join reads tb twice, and the 96 exact-
     // decimal projections per vector are interpreted — recomputing them on
     // both join sides doubles the most expensive narrow stage.
-    val tb = e.select(col("vec_id"), inline(tableStructs)).persist()
+    val tb = orLshBuckets(e).persist()
     val cand = tb.select(col("tbl"), col("bucket"), col("vec_id").as("vec_a"))
       .join(tb.select(col("tbl"), col("bucket"), col("vec_id").as("vec_b")),
         Seq("tbl", "bucket"))

