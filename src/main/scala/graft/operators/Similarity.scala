@@ -803,12 +803,16 @@ object Similarity {
       .groupBy(col("bucket"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("s6")))),
         p => p.getField("s6")).as("s6arr"))
+    // persist: cents feeds the pair join twice (cent_a/cent_b) plus the
+    // final output join — without the cache the centrality fold AND bsum's
+    // aggregation lineage re-run three times (the q22-r4 recompute lesson)
     val cents = b.join(bsum, "bucket")
       .select(col("vec_id"), col("bucket"),
         (aggregate(zip_with(col("r6"), col("s6arr"), (a, sc) => (a * sc).cast(DEC38)),
           lit(0).cast(DEC38), (acc, v) => (acc + v).cast(DEC38)).cast("double") /
           sqrt(aggregate(transform(col("r6"), a => a * a), lit(0L), (acc, v) => acc + v)
             .cast("double"))).as("cent"))
+      .persist()
     val cand = b.select(col("bucket"), col("vec_id").as("vec_a"))
       .join(b.select(col("bucket"), col("vec_id").as("vec_b")), Seq("bucket"))
       .filter(col("vec_a") < col("vec_b"))

@@ -60,15 +60,7 @@ object TextAnalysis {
     }
     val scored = Fixtures.documents(s, dir)
       .select(col("lang") +: scoreCols.map { case (l, c) => c.as(s"s_$l") }: _*)
-    // argmax with alphabetical tie-break: first lang whose score >= all later
-    val langs = stopwords.map(_._1)
-    val pred = langs.init.zipWithIndex.foldLeft(when(lit(false), lit(""))) {
-      case (acc, (l, i)) =>
-        val rest = langs.drop(i + 1)
-        val cond = rest.map(r => col(s"s_$l") >= col(s"s_$r")).reduce(_ && _)
-        acc.when(cond, lit(l))
-    }.otherwise(lit(langs.last))
-    scored.select(col("lang"), pred.as("pred_lang"))
+    scored.select(col("lang"), predFromScores.as("pred_lang"))
       .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("pred_lang"))
   }
@@ -77,19 +69,37 @@ object TextAnalysis {
     val scoreExprs = stopwords.map { case (lang, ws) =>
       s"len(list_filter(string_split(text, ' '), t -> t IN ${sqlList(ws)})) AS s_$lang"
     }.mkString(",\n    ")
-    val langs = stopwords.map(_._1)
-    val predCases = langs.init.zipWithIndex.map { case (l, i) =>
-      val cond = langs.drop(i + 1).map(r => s"s_$l >= s_$r").mkString(" AND ")
-      s"WHEN $cond THEN '$l'"
-    }.mkString(" ")
     s"""WITH scored AS (
        |  SELECT lang,
        |    $scoreExprs
        |  FROM documents),
        |pred AS (
-       |  SELECT lang, CASE $predCases ELSE '${langs.last}' END AS pred_lang FROM scored)
+       |  SELECT lang, $predFromScoresSql AS pred_lang FROM scored)
        |SELECT lang, pred_lang, COUNT(*) AS n FROM pred
        |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin
+  }
+
+  /** q23's stopword-score argmax (first lang alphabetically whose score ≥
+    * every later lang's) over columns `s_<lang>` — shared by the
+    * per-document (q23) and per-chunk (q115) language ID, in both engines'
+    * dialects.
+    */
+  private def predFromScores: Column = {
+    val langs = stopwords.map(_._1)
+    langs.init.zipWithIndex.foldLeft(when(lit(false), lit(""))) {
+      case (acc, (l, i)) =>
+        val cond = langs.drop(i + 1).map(r => col(s"s_$l") >= col(s"s_$r")).reduce(_ && _)
+        acc.when(cond, lit(l))
+    }.otherwise(lit(langs.last))
+  }
+
+  private def predFromScoresSql: String = {
+    val langs = stopwords.map(_._1)
+    val cases = langs.init.zipWithIndex.map { case (l, i) =>
+      val cond = langs.drop(i + 1).map(r => s"s_$l >= s_$r").mkString(" AND ")
+      s"WHEN $cond THEN '$l'"
+    }.mkString(" ")
+    s"CASE $cases ELSE '${langs.last}' END"
   }
 
   // ---------------------------------------------------------------- q24
@@ -632,7 +642,94 @@ object TextAnalysis {
       |FROM documents d JOIN pr USING (doc_id)
       |GROUP BY d.lang, d.source ORDER BY d.lang, d.source""".stripMargin
 
+  // ---------------------------------------------------------------- q115
+  // Mixed-language detection — chunk-level langid disagreement: documents
+  // whose 32-token chunks do not all predict the same language (code-mixed
+  // pages, concatenated crawls, template/content mixes — standard drop or
+  // route-to-lang-split candidates in corpus curation). Runs the q23
+  // stopword-argmax heuristic per CHUNK, then aggregates disagreement per
+  // document: distinct predicted langs and the plurality fraction.
+  //
+  // Scale shape: explode → three aggregations, all keyed by doc_id (the
+  // first shuffle co-locates a document; the rest are partition-local
+  // under AQE) — same class as q66's repetition signals. No UDFs; the
+  // argmax is the shared q23 CASE chain.
+  private val ChunkLangTokens = 32
+  private def q115(s: SparkSession, dir: String): DataFrame = {
+    val words = Fixtures.documents(s, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), posexplode(wsTokens(col("text"))).as(Seq("pos", "term")))
+    val aggs = stopwords.map { case (l, ws) =>
+      sum(when(col("term").isin(ws: _*), 1).otherwise(0)).as(s"s_$l")
+    }
+    val scored = words
+      .select(col("doc_id"),
+        floor(col("pos") / ChunkLangTokens).cast("int").as("chunk"), col("term"))
+      .groupBy(col("doc_id"), col("chunk"))
+      .agg(aggs.head, aggs.tail: _*)
+    val perPred = scored.select(col("doc_id"), predFromScores.as("pred"))
+      .groupBy(col("doc_id"), col("pred")).agg(count(lit(1)).as("c"))
+    perPred.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_chunks"), count(lit(1)).as("n_langs"),
+        max(col("c")).as("mx"))
+      .filter(col("n_langs") > 1)
+      .select(col("doc_id"), col("n_chunks"), col("n_langs"),
+        graft.functions.Rounding.stable(
+          col("mx").cast("double") / col("n_chunks"), 6).as("plurality_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q115Sql = {
+    val scoreExprs = stopwords.map { case (lang, ws) =>
+      s"SUM(CASE WHEN term IN ${sqlList(ws)} THEN 1 ELSE 0 END) AS s_$lang"
+    }.mkString(",\n      |    ")
+    s"""WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents),
+      |scored AS (
+      |  SELECT doc_id, (pos - 1) // $ChunkLangTokens AS chunk,
+      |    $scoreExprs
+      |  FROM toks GROUP BY 1, 2),
+      |pred AS (SELECT doc_id, $predFromScoresSql AS pred FROM scored),
+      |pp AS (SELECT doc_id, pred, COUNT(*) AS c FROM pred GROUP BY 1, 2),
+      |agg AS (SELECT doc_id, SUM(c)::BIGINT AS n_chunks, COUNT(*) AS n_langs, MAX(c) AS mx
+      |        FROM pp GROUP BY 1)
+      |SELECT doc_id, n_chunks, n_langs,
+      |  floor((CAST(mx AS DOUBLE) / n_chunks) * 1000000.0 + 0.5) / 1000000.0 AS plurality_frac
+      |FROM agg WHERE n_langs > 1 ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q116
+  // Tokenizer fertility by language — subword tokens per whitespace word
+  // (the standard tokenizer-quality metric: high fertility = the vocabulary
+  // fragments that language, inflating sequence length and training cost).
+  // Uses the BPE-ish regex token count over the exact-integer-sum ÷ count
+  // pattern (q16's discipline). One scan, one tiny-key aggregate.
+  private def q116(s: SparkSession, dir: String): DataFrame = {
+    val subw = bpeishCount(col("text")).cast("long")
+    val words = size(wsTokens(col("text"))).cast("long")
+    Fixtures.documents(s, dir)
+      .select(col("lang"), subw.as("subw"), words.as("words"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("subw")).as("n_subword"),
+        sum(col("words")).as("n_words"),
+        graft.functions.Rounding.stable(
+          sum(col("subw")).cast("double") / sum(col("words")), 6).as("fertility"))
+      .orderBy(col("lang"))
+  }
+
+  private val q116Sql =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  SUM(CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT))::BIGINT AS n_subword,
+      |  SUM(CAST(len(string_split(text, ' ')) AS BIGINT))::BIGINT AS n_words,
+      |  floor((CAST(SUM(CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)) AS DOUBLE)
+      |    / SUM(CAST(len(string_split(text, ' ')) AS BIGINT))) * 1000000.0 + 0.5) / 1000000.0
+      |    AS fertility
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q115_lang_consistency", q115, Some(q115Sql)),
+    GraftQuery("q116_tokenizer_fertility", q116, Some(q116Sql)),
     GraftQuery("q109_bm25", q109, Some(q109Sql)),
     GraftQuery("q111_quality_classifier", q111, Some(q111Sql)),
     GraftQuery("q113_weighted_sample", q113, Some(q113Sql)),

@@ -97,4 +97,38 @@ class StreamingEmbedDedupSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(again == expected)
   }
+
+  test("compacting the bucket index mid-stream leaves gating identical") {
+    // the index grows one file set per epoch — the standing maintenance job
+    // is Sinks.compact between triggers (same contract as the text gate's
+    // compaction spec): run the first batches, compact buckets+vecs, resume
+    // with the rest; flagged results must equal the uncompacted reference.
+    val replayDir = Files.createTempDirectory("graft-edd-creplay").toString
+    val indexDir = Files.createTempDirectory("graft-edd-cindex").toString + "/idx"
+    val ckpt = Files.createTempDirectory("graft-edd-cckpt").toString
+    val ranges = Seq((0, 100), (100, 200), (200, 300), (300, 400), (400, 500))
+    val schema = Fixtures.embeddings(spark, TestSpark.sf0001)
+      .select(col("vec_id"), col("embedding")).schema
+
+    writeOrderedReplay(replayDir, ranges.take(3))
+    val s1 = Sources.fileStream(spark, replayDir, schema, maxFilesPerTrigger = 1)
+    val q1 = EmbedDedupStream.start(s1, indexDir, ckpt, 0.45)
+    q1.processAllAvailable(); q1.stop()
+
+    graft.sinks.Sinks.compact(spark, s"$indexDir/buckets", targetBytes = Long.MaxValue)
+    graft.sinks.Sinks.compact(spark, s"$indexDir/vecs", targetBytes = Long.MaxValue)
+
+    writeOrderedReplay(replayDir, ranges) // adds the last two batch files
+    val s2 = Sources.fileStream(spark, replayDir, schema, maxFilesPerTrigger = 1)
+    val q2 = EmbedDedupStream.start(s2, indexDir, ckpt, 0.45)
+    q2.processAllAvailable(); q2.stop()
+
+    val pairCos = SparkEntry.queries("q106_embed_dedup_lsh")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val expected = simulate(pairCos, ranges)
+    val got = spark.read.parquet(s"$indexDir/dups")
+      .select(col("vec_id"), col("matched_vec"), col("cos_sim"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == expected)
+  }
 }
