@@ -34,5 +34,7 @@ object GraftQuery {
       operators.Layout.queries ++
       operators.Profile.queries ++
       operators.TimeSeries.queries ++
-      operators.Bpe.queries
+      operators.Bpe.queries ++
+      operators.Graph.queries ++
+      operators.Funnel.queries
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Fixtures, GraftQuery}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -87,7 +87,62 @@ object Profile {
        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sv
        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q121
+  // Distribution-drift monitor (PSI — population stability index) between a
+  // baseline and a current window of the SAME table: the check every
+  // ingestion pipeline runs when a new dump lands ("did the event-type mix
+  // shift?"). psi_term = (p−q)·ln(p/q) per bin; Σ > 0.2 is the classic
+  // retrain/alert threshold — emitting per-bin terms keeps the report
+  // actionable (which bin moved) and the output BIGINT/6-dp-double exact.
+  //
+  // Scale shape: ONE conditional-aggregate scan produces both windows' bin
+  // counts (never two scans of a 100 TB table), totals ride a 1-row
+  // broadcast (provably safe, same as q40's corpus_n). Bins with an empty
+  // side emit NULL psi (ln would be ±∞) — mirrored CASE in the oracle.
+  /** Per-bin PSI report between the rows where `isBase` holds (baseline
+    * window) and the rest (current window). One conditional-aggregate scan;
+    * `bin` must name a column in `df`.
+    */
+  def psi(df: DataFrame, bin: String, isBase: Column): DataFrame = {
+    val binned = df
+      .groupBy(col(bin))
+      .agg(sum(when(isBase, 1L).otherwise(0L)).as("n_base"),
+        sum(when(!isBase, 1L).otherwise(0L)).as("n_cur"))
+    val totals = binned.agg(sum(col("n_base")).as("t_base"), sum(col("n_cur")).as("t_cur"))
+    val p = col("n_base").cast("double") / col("t_base")
+    val q = col("n_cur").cast("double") / col("t_cur")
+    binned.crossJoin(broadcast(totals))
+      .select(col(bin), col("n_base"), col("n_cur"),
+        graft.functions.Rounding.stable(p, 6).as("p"),
+        graft.functions.Rounding.stable(q, 6).as("q"),
+        when(col("n_base") > 0 && col("n_cur") > 0,
+          graft.functions.Rounding.stable((p - q) * log(p / q), 6)).as("psi_term"))
+      .orderBy(col(bin))
+  }
+
+  private def q121(s: SparkSession, dir: String): DataFrame =
+    psi(Fixtures.events(s, dir), "event_type",
+      col("ts") < lit("2024-01-16").cast("timestamp"))
+
+  private val q121Sql =
+    """WITH b AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+      |    CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+      |  FROM events GROUP BY event_type),
+      |t AS (SELECT CAST(SUM(n_base) AS BIGINT) AS t_base, CAST(SUM(n_cur) AS BIGINT) AS t_cur FROM b)
+      |SELECT event_type, n_base, n_cur,
+      |  floor((CAST(n_base AS DOUBLE) / t_base) * 1000000.0 + 0.5) / 1000000.0 AS p,
+      |  floor((CAST(n_cur AS DOUBLE) / t_cur) * 1000000.0 + 0.5) / 1000000.0 AS q,
+      |  CASE WHEN n_base > 0 AND n_cur > 0 THEN
+      |    floor(((CAST(n_base AS DOUBLE) / t_base - CAST(n_cur AS DOUBLE) / t_cur)
+      |      * ln((CAST(n_base AS DOUBLE) / t_base) / (CAST(n_cur AS DOUBLE) / t_cur)))
+      |      * 1000000.0 + 0.5) / 1000000.0
+      |  END AS psi_term
+      |FROM b CROSS JOIN t ORDER BY event_type""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q71_profile", q71, Some(q71Sql)),
-    GraftQuery("q90_histogram", q90, Some(q90Sql)))
+    GraftQuery("q90_histogram", q90, Some(q90Sql)),
+    GraftQuery("q121_drift_psi", q121, Some(q121Sql)))
 }

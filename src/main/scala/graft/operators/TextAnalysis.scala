@@ -727,7 +727,129 @@ object TextAnalysis {
       |    AS fertility
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q120
+  // Cross-source vocabulary overlap — pairwise Jaccard between each source's
+  // distinct-token vocabulary. The corpus-diversity diagnostic run before
+  // setting mixture weights (a pair of sources with near-1 vocabulary
+  // Jaccard is redundant mass; near-0 is genuinely new distribution).
+  //
+  // Shape: distinct (source, token) pairs, then a token self-join restricted
+  // to s1 < s2. Fan-out per token is bounded by |sources|² (a token present
+  // everywhere yields C(20,2)=190 pairs), NOT by corpus size — so the join
+  // output is |vocab|·O(|sources|²) regardless of document volume. At very
+  // large source counts you would MinHash each source's vocabulary instead
+  // (exactly q17's signature machinery applied per-source); this exact form
+  // is the oracle-able diagnostic for catalog-scale source counts (10s-100s).
+  // Intersection/union are exact BIGINTs; Jaccard is the one derived double,
+  // floor-rounded at 6 dp in both engines.
+  private def q120(s: SparkSession, dir: String): DataFrame = {
+    val toks = Fixtures.documents(s, dir)
+      .select(col("source"), explode(wsTokens(col("text"))).as("tok"))
+      .distinct()
+    val sizes = toks.groupBy("source").agg(count(lit(1)).as("vsz"))
+    val inter = toks.as("a")
+      .join(toks.as("b"),
+        col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("source").as("s1"), col("vsz").as("v1")), "s1")
+      .join(sizes.select(col("source").as("s2"), col("vsz").as("v2")), "s2")
+      .select(col("s1"), col("s2"), col("inter"),
+        (col("v1") + col("v2") - col("inter")).as("uni"),
+        graft.functions.Rounding.stable(
+          col("inter").cast("double") / (col("v1") + col("v2") - col("inter")), 6)
+          .as("jaccard"))
+      .orderBy(col("s1"), col("s2"))
+  }
+
+  private val q120Sql =
+    """WITH toks AS (
+      |  SELECT DISTINCT source, tok FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)),
+      |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS vsz FROM toks GROUP BY source),
+      |inter AS (
+      |  SELECT a.source AS s1, b.source AS s2, CAST(count(*) AS BIGINT) AS inter
+      |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT i.s1, i.s2, i.inter,
+      |  CAST(v1.vsz + v2.vsz - i.inter AS BIGINT) AS uni,
+      |  floor((CAST(i.inter AS DOUBLE) / (v1.vsz + v2.vsz - i.inter)) * 1000000.0 + 0.5)
+      |    / 1000000.0 AS jaccard
+      |FROM inter i
+      |JOIN sizes v1 ON v1.source = i.s1
+      |JOIN sizes v2 ON v2.source = i.s2
+      |ORDER BY i.s1, i.s2""".stripMargin
+
+  // ---------------------------------------------------------------- q122
+  // PMI collocation extraction — pointwise mutual information over adjacent
+  // word pairs, top-20. The standard vocabulary-induction signal for
+  // multi-word expressions ("hong kong"-style units a tokenizer should not
+  // split); q55's bigram machinery plus unigram margins and a log-ratio
+  // score. pmi = ln(c_xy/N_bi) − ln(c_x/N_uni) − ln(c_y/N_uni), min support
+  // 5 so noise pairs can't top the list.
+  //
+  // Shape: bigrams/unigrams are narrow maps (zip_with over shifted slices —
+  // no self-join); two margin equi-joins are vocab-sized, totals ride 1-row
+  // broadcasts; top-20 on the ROUNDED score with a lexicographic tiebreak
+  // is a TakeOrderedAndProject and deterministic in both engines.
+  private def q122(s: SparkSession, dir: String): DataFrame = {
+    val toks = wsTokens(col("text"))
+    val n = size(toks)
+    val bgs = zip_with(
+      slice(toks, lit(1), greatest(n - 1, lit(0))),
+      slice(toks, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    val docs = Fixtures.documents(s, dir)
+      .repartition(col("doc_id")) // widen single-file scan (see Dedup.docShingles)
+    val bi = docs.select(explode(bgs).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+    val uni = docs.select(explode(toks).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val nBi = bi.agg(sum(col("c_xy")).as("n_bi"))
+    val nUni = uni.agg(sum(col("c")).as("n_uni"))
+    bi.filter(col("c_xy") >= 5)
+      .join(uni.select(col("w").as("w1"), col("c").as("c_x")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c_y")), "w2")
+      .crossJoin(broadcast(nBi)).crossJoin(broadcast(nUni))
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+        graft.functions.Rounding.stable(
+          log(col("c_xy").cast("double") / col("n_bi"))
+            - log(col("c_x").cast("double") / col("n_uni"))
+            - log(col("c_y").cast("double") / col("n_uni")), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  private val q122Sql =
+    """WITH bi AS (
+      |  SELECT b[1] AS w1, b[2] AS w2, CAST(count(*) AS BIGINT) AS c_xy FROM (
+      |    SELECT unnest(list_zip(
+      |      list_slice(string_split(text, ' '), 1, len(string_split(text, ' ')) - 1),
+      |      list_slice(string_split(text, ' '), 2, len(string_split(text, ' '))))) AS b
+      |    FROM documents)
+      |  GROUP BY 1, 2),
+      |uni AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  GROUP BY 1),
+      |nb AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS n_bi FROM bi),
+      |nu AS (SELECT CAST(SUM(c) AS BIGINT) AS n_uni FROM uni)
+      |SELECT b.w1, b.w2, b.c_xy, u1.c AS c_x, u2.c AS c_y,
+      |  floor((ln(CAST(b.c_xy AS DOUBLE) / n_bi)
+      |       - ln(CAST(u1.c AS DOUBLE) / n_uni)
+      |       - ln(CAST(u2.c AS DOUBLE) / n_uni)) * 1000000.0 + 0.5) / 1000000.0 AS pmi
+      |FROM bi b
+      |JOIN uni u1 ON u1.w = b.w1
+      |JOIN uni u2 ON u2.w = b.w2
+      |CROSS JOIN nb CROSS JOIN nu
+      |WHERE b.c_xy >= 5
+      |ORDER BY pmi DESC, b.w1, b.w2 LIMIT 20""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q120_source_overlap", q120, Some(q120Sql)),
+    GraftQuery("q122_pmi_collocations", q122, Some(q122Sql)),
     GraftQuery("q115_lang_consistency", q115, Some(q115Sql)),
     GraftQuery("q116_tokenizer_fertility", q116, Some(q116Sql)),
     GraftQuery("q109_bm25", q109, Some(q109Sql)),

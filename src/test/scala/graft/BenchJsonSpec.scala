@@ -42,13 +42,18 @@ class BenchJsonSpec extends AnyFunSuite {
   }
 
   test("bench line is valid single-line JSON with bounded-precision values and locale-proof dots") {
-    // per-query values are 2 dp (line-length budget: 100+ queries must fit
-    // the tail window; 3-dp detail lives in BENCH_DETAIL.json), the total
-    // stays 3 dp.
+    // per-query values are magnitude-adaptive (2 dp < 10 s, 1 dp < 100 s,
+    // whole seconds above — line-length budget: 120+ queries must fit the
+    // tail window; 3-dp detail lives in BENCH_DETAIL.json), the total stays
+    // 3 dp.
     val line = lineFor(Seq("q1_filter_agg", "q2_group_agg"))
     assert(!line.contains("\n"))
-    assert(line.contains("\"q1\":123.46"), line)
+    assert(line.contains("\"q1\":123"), line)
     assert(line.contains("\"value\":246.914"), line)
+    val sub10 = Bench.renderJson(Seq("q1_filter_agg" -> 1.23456), Seq.empty, 3, "/dir")
+    assert(sub10.contains("\"q1\":1.23"), sub10)
+    val sub100 = Bench.renderJson(Seq("q1_filter_agg" -> 12.3456), Seq.empty, 3, "/dir")
+    assert(sub100.contains("\"q1\":12.3"), sub100)
     assert(!line.contains("123".concat(",46")), "decimal comma would break JSON parsing")
     // minimal structural parse without a JSON library: balanced braces,
     // expected top-level keys present

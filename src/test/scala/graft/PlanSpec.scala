@@ -269,7 +269,9 @@ class PlanSpec extends AnyFunSuite {
       "q22_ann_ivf",             // queries × nlist centroid table (nlist rows)
       "q46_ann_ivf_exhaustive",  // same centroid table
       "q100_ann_ivfpq",          // same centroid table + 1-row LUT scalars
-      "q112_embedding_decontam") // eval × ≤16-row cell list (exhaustive probe)
+      "q112_embedding_decontam", // eval × ≤16-row cell list (exhaustive probe)
+      "q121_drift_psi",          // 1-row (t_base, t_cur) window totals
+      "q122_pmi_collocations")   // 1-row corpus bigram/unigram totals
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, TestSpark.sf0001).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"),

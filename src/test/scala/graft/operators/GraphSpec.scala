@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.{SparkEntry, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PageRank semantics beyond the q117 value oracle: the distributed loop
+  * must equal a sequential reference fold of the SAME integer recurrence,
+  * and the declared conservation/sink invariants must hold on real data.
+  */
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val Init = 1000000000000L
+  private val Base = 150000000000L
+
+  /** Sequential reference: the exact integer recurrence, evaluated in plain
+    * Scala maps (no Spark). */
+  private def refPagerank(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var score = nodes.map(_ -> Init).toMap
+    for (_ <- 1 to iters) {
+      val in = edges.groupBy(_._2).view.mapValues { es =>
+        es.map { case (u, _) => ((score(u) / deg(u)) * 85L) / 100L }.sum
+      }.toMap
+      score = nodes.map(n => n -> (Base + in.getOrElse(n, 0L))).toMap
+    }
+    score
+  }
+
+  test("distributed loop equals the sequential integer recurrence") {
+    import spark.implicits._
+    // cycle + chord + sink: exercises in-degree 0, out-degree 0 (dangling),
+    // and multi-in-edge accumulation in one graph
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (3L, 4L))
+    val got = Graph.pagerank(edges.toDF("src", "dst"), iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === refPagerank(edges, 5))
+  }
+
+  test("node with no in-edges holds exactly the base score") {
+    import spark.implicits._
+    val got = Graph.pagerank(Seq((1L, 2L), (1L, 3L)).toDF("src", "dst"), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) === Base)
+  }
+
+  test("q117: mass never grows (floor losses + dangling evaporation only)") {
+    val out = SparkEntry.queries("q117_pagerank")(spark, TestSpark.sf0001)
+    val agg = out.agg(count(lit(1)).as("n"), sum(col("score")).as("total"),
+      min(col("score")).as("mn")).collect()(0)
+    val (n, total, mn) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+    assert(n > 0)
+    assert(mn >= Base, "every node keeps at least the damping base")
+    assert(total <= n * Init, "total mass must not exceed the initial mass")
+  }
+}
