@@ -239,8 +239,14 @@ object TextAnalysis {
   // ---------------------------------------------------------------- q41
   // Quality-percentile filtering: the end-to-end curation decision — score
   // every document, compute the per-language median, keep docs strictly
-  // above it. Medians are one tiny aggregate broadcast back; the filter is
-  // a narrow op over the scored scan.
+  // above it. The 4-dp-rounded score has ≤ 10 001 distinct values, so the
+  // EXACT median comes from a value histogram: ONE scan of documents into
+  // map-side-combinable (lang, quality) counts, then every downstream step
+  // (cumulative ranks, median pick, keep-count) runs over the tiny
+  // histogram. This replaces an earlier percentile()-based plan that
+  // scanned + tokenized documents twice (median subtree and join probe
+  // side) and ran the median as an interpreted sort-based aggregate — at
+  // corpus scale the tokenizing scan dominates, so halving it matters.
   private def q41(s: SparkSession, dir: String): DataFrame = {
     val toks = wsTokens(col("text"))
     val enStops = stopwords.toMap.apply("en")
@@ -250,14 +256,32 @@ object TextAnalysis {
       lit(0.4) * (least(col("n_chars"), lit(500)) / lit(500.0)) +
         lit(0.3) * (stopCnt / nTok) +
         lit(0.3) * (least(col("n_chars") / nTok, lit(8.0)) / lit(8.0)), 4)
-    val scored = Fixtures.documents(s, dir)
-      .select(col("doc_id"), col("lang"), score.as("quality"))
-    val medians = scored.groupBy(col("lang"))
-      .agg(expr("percentile(quality, 0.5)").as("median_q"))
-    scored.join(broadcast(medians), "lang")
+    val hist = Fixtures.documents(s, dir)
+      .select(col("lang"), score.as("quality"))
+      .groupBy(col("lang"), col("quality")).agg(count(lit(1)).as("cnt"))
+    val W = org.apache.spark.sql.expressions.Window
+    // 1-indexed middle ranks: lower = ⌊(n+1)/2⌋, upper = ⌊n/2⌋+1 (equal for
+    // odd n). Value-at-rank r = first histogram row whose cumulative count
+    // reaches r. Interpolation `v_l + (v_u − v_l) * 0.5` is the exact form
+    // both percentile() and DuckDB's quantile_cont use, so the oracle hash
+    // is unchanged bit-for-bit.
+    val cum = hist
+      .withColumn("cum", sum("cnt").over(W.partitionBy("lang").orderBy("quality")))
+      .withColumn("ntot", sum("cnt").over(W.partitionBy("lang")))
+    val meds = cum.groupBy(col("lang"))
+      .agg(min(when(col("cum") >= floor((col("ntot") + 1) / lit(2.0)),
+             col("quality"))).as("v_l"),
+           min(when(col("cum") >= floor(col("ntot") / lit(2.0)) + 1,
+             col("quality"))).as("v_u"))
+      .select(col("lang"),
+        (col("v_l") + (col("v_u") - col("v_l")) * lit(0.5)).as("median_q"))
+    // hist's shuffle exchange is shared with the window subtree above —
+    // ReuseExchange keeps the documents scan single-pass (PlanSpec pins it).
+    hist.join(broadcast(meds), "lang")
       .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_total"),
-        sum(when(col("quality") > col("median_q"), 1).otherwise(0)).as("n_kept"),
+      .agg(sum(col("cnt")).as("n_total"),
+        sum(when(col("quality") > col("median_q"), col("cnt"))
+          .otherwise(lit(0L))).as("n_kept"),
         graft.functions.Rounding.stable(max(col("median_q")), 4).as("median_q"))
       .orderBy(col("lang"))
   }
@@ -555,15 +579,30 @@ object TextAnalysis {
   /** The q111 classifier score z as a column over `text` — shared with the
     * q113 sampler (which uses z as its keep-probability signal).
     */
+  /** The 1024-entry bucket→weight table, derived once on the driver (the
+    * "model": weight(b) = (int(md5("w:" ++ b)[0:4], 16) % 2001 - 1000) /
+    * 1000, identical to what the oracle SQL re-derives per row). Shipping
+    * it as a literal array + `element_at` halves the per-token hashing on
+    * the hottest scan vs re-computing the second md5 for every token — at
+    * corpus scale the md5s dominate this operator's CPU bill.
+    */
+  private lazy val classifierWeights: Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(1024) { b =>
+      val h = md.digest(s"w:$b".getBytes("UTF-8"))
+      val v = ((h(0) & 0xff) << 8) | (h(1) & 0xff) // first 4 hex chars
+      (v % 2001 - 1000) / 1000.0
+    }
+  }
+
   private def classifierZ: Column = {
     val DEC = org.apache.spark.sql.types.DecimalType(28, 12)
     def bucket(t: Column): Column =
       conv(substring(md5(concat(lit("feat:"), t)), 1, 4), 16, 10).cast("int") % 1024
-    def weight(b: Column): Column =
-      (conv(substring(md5(concat(lit("w:"), b.cast("string"))), 1, 4), 16, 10)
-        .cast("int") % 2001 - 1000) / lit(1000.0)
+    val lut = typedlit(classifierWeights.toSeq)
     val toks = wsTokens(col("text"))
-    val wts = transform(toks, t => round(weight(bucket(t)), 9).cast(DEC))
+    val wts = transform(toks, t =>
+      round(element_at(lut, bucket(t) + 1), 9).cast(DEC))
     val sumw = aggregate(wts, lit(0).cast(DEC), (acc, v) => (acc + v).cast(DEC))
     lit(-0.01) + sumw.cast("double") / size(toks)
   }
