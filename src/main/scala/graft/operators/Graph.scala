@@ -34,10 +34,15 @@ import org.apache.spark.storage.StorageLevel
   * map-side-combinable (sum of longs). `edges`+`outdeg` are computed once
   * and persisted (they are re-read every iteration; recomputing the
   * edge-derivation join per iteration is the classic lineage trap — same
-  * lesson as the IVF refine loop, Similarity.scala). Iterations are a fixed
-  * small constant, so lineage depth is bounded; at web scale you would add
-  * a `localCheckpoint` every k iterations exactly as [[Dedup.resolveGroups]]
-  * does for connected components.
+  * lesson as the IVF refine loop, Similarity.scala). The `scores` frame
+  * itself is `localCheckpoint`ed every `checkpointEvery` iterations —
+  * exactly as [[Dedup.resolveGroups]] does for connected components — so
+  * plan depth is bounded by `checkpointEvery` joins regardless of `iters`;
+  * without it the analyzer/optimizer cost grows with every iteration and a
+  * large `iters` becomes a driver-side blowup long before any executor does
+  * real work. The last iteration is never checkpointed (the caller is about
+  * to consume the result anyway), so small fixed-iteration queries like
+  * q117 (iters=5) keep their original single-job plan.
   */
 object Graph {
 
@@ -45,7 +50,8 @@ object Graph {
     * Returns `(node, score)` with score in 1e-12 units.
     */
   def pagerank(edges: DataFrame, iters: Int,
-      init: Long = 1000000000000L, base: Long = 150000000000L): DataFrame = {
+      init: Long = 1000000000000L, base: Long = 150000000000L,
+      checkpointEvery: Int = 5): DataFrame = {
     val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst")))
@@ -57,7 +63,7 @@ object Graph {
     val ed = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
 
     var scores = nodes.withColumn("score", lit(init))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = ed
         .join(scores.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"),
@@ -66,6 +72,10 @@ object Graph {
       scores = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(base) + coalesce(col("inmass"), lit(0L))).as("score"))
+      // truncate lineage so plan depth stays O(checkpointEvery), not O(iters);
+      // skipped on the final iteration — the caller materializes it anyway
+      if (i % checkpointEvery == 0 && i < iters)
+        scores = scores.localCheckpoint()
     }
     scores
   }

@@ -262,12 +262,25 @@ object TextAnalysis {
     val W = org.apache.spark.sql.expressions.Window
     // 1-indexed middle ranks: lower = ⌊(n+1)/2⌋, upper = ⌊n/2⌋+1 (equal for
     // odd n). Value-at-rank r = first histogram row whose cumulative count
-    // reaches r. Interpolation `v_l + (v_u − v_l) * 0.5` is the exact form
-    // both percentile() and DuckDB's quantile_cont use, so the oracle hash
-    // is unchanged bit-for-bit.
+    // reaches r. Interpolation `v_l + (v_u − v_l) * 0.5` is DuckDB's
+    // quantile_cont form (lo + delta*d), which is what the oracle hash
+    // depends on. (Spark's percentile() interpolates as
+    // (higher−pos)*lo + (pos−lower)*hi — up to 1 ulp different — but the
+    // oracle is DuckDB, not percentile().)
+    // Median ranks run over NON-NULL qualities only — quantile_cont ignores
+    // NULLs, so a null-text/null-n_chars doc must not shift the ranks. This
+    // is a CONDITIONAL sum, not a filter: a `hist.filter(isNotNull)` would be
+    // pushed below hist's aggregate (quality is a grouping column), making
+    // the two hist subtrees canonically different and killing the exchange
+    // reuse that keeps the documents scan single-pass. Null rows sort first
+    // (cum stays 0, never reaching rank ≥ 1) and their `quality` is null, so
+    // min(when(...)) skips them either way. The unfiltered hist still feeds
+    // the n_total join below, where such rows DO count (COUNT(*) semantics)
+    // and fail the `quality > median` keep test.
+    val nnCnt = when(col("quality").isNotNull, col("cnt")).otherwise(lit(0L))
     val cum = hist
-      .withColumn("cum", sum("cnt").over(W.partitionBy("lang").orderBy("quality")))
-      .withColumn("ntot", sum("cnt").over(W.partitionBy("lang")))
+      .withColumn("cum", sum(nnCnt).over(W.partitionBy("lang").orderBy("quality")))
+      .withColumn("ntot", sum(nnCnt).over(W.partitionBy("lang")))
     val meds = cum.groupBy(col("lang"))
       .agg(min(when(col("cum") >= floor((col("ntot") + 1) / lit(2.0)),
              col("quality"))).as("v_l"),
@@ -276,7 +289,8 @@ object TextAnalysis {
       .select(col("lang"),
         (col("v_l") + (col("v_u") - col("v_l")) * lit(0.5)).as("median_q"))
     // hist's shuffle exchange is shared with the window subtree above —
-    // ReuseExchange keeps the documents scan single-pass (PlanSpec pins it).
+    // ReuseExchange keeps the documents scan single-pass (PlanSpec's
+    // "q41 single scan" test pins exactly one documents FileScan).
     hist.join(broadcast(meds), "lang")
       .groupBy(col("lang"))
       .agg(sum(col("cnt")).as("n_total"),

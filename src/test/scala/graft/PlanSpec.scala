@@ -149,6 +149,23 @@ class PlanSpec extends AnyFunSuite {
       s"profiling must not rescan per column:\n${p.take(1500)}")
   }
 
+  test("q41: median subtree and keep-count probe share ONE documents scan (ReuseExchange)") {
+    // the whole point of the histogram-median plan is that the tokenizing
+    // scan of documents happens once. The reuse is an AQE runtime decision
+    // (stage-level, on canonically-equal exchanges), so execute first and
+    // assert on the FINAL adaptive plan: the second hist consumer must show
+    // up as a reused stage, not a second parquet scan.
+    val df = SparkEntry.queries("q41_quality_filter")(spark, TestSpark.sf0001)
+    df.collect()
+    // the adaptive plan string appends the pre-AQE "Initial Plan" section,
+    // which re-prints every scan — only the Final Plan section is what ran
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val scans = "Scan parquet".r.findAllIn(p).size
+    val reused = p.contains("ReusedQueryStage") || p.contains("ReusedExchange")
+    assert(scans == 1 && reused,
+      s"q41 must not rescan documents for the median subtree (scans=$scans, reused=$reused):\n${p.take(4000)}")
+  }
+
   test("q70/q72: layout and centroid aggregates combine map-side (partial+final)") {
     for (q <- Seq("q70_zorder_ranges", "q72_label_centroids")) {
       val p = planOf(q)

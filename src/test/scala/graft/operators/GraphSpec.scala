@@ -46,6 +46,22 @@ class GraphSpec extends AnyFunSuite {
     assert(got(1L) === Base)
   }
 
+  test("lineage is truncated every checkpointEvery iterations: iters=15 plans like iters=5") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (3L, 4L))
+    def joins(df: org.apache.spark.sql.DataFrame): Int =
+      "Join".r.findAllIn(df.queryExecution.optimizedPlan.toString).size
+    val deep = Graph.pagerank(edges.toDF("src", "dst"), iters = 15, checkpointEvery = 5)
+    val shallow = Graph.pagerank(edges.toDF("src", "dst"), iters = 5, checkpointEvery = 5)
+    // checkpoints at iters 5 and 10 cut the plan back to a 5-iteration tail;
+    // without them the 15-iteration plan would carry 3x the joins
+    assert(joins(deep) <= joins(shallow),
+      s"expected localCheckpoint to bound plan depth: ${joins(deep)} vs ${joins(shallow)}")
+    // and the values still equal the sequential recurrence across the cuts
+    val got = deep.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === refPagerank(edges, 15))
+  }
+
   test("q117: mass never grows (floor losses + dangling evaporation only)") {
     val out = SparkEntry.queries("q117_pagerank")(spark, TestSpark.sf0001)
     val agg = out.agg(count(lit(1)).as("n"), sum(col("score")).as("total"),
