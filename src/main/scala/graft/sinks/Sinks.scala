@@ -26,6 +26,61 @@ object Sinks {
       .option("topic", topic)
       .option("checkpointLocation", checkpoint)
 
+  /** Kafka headers shape check (nullability-insensitive): the sink reads
+    * `ARRAY<STRUCT<key STRING, value BINARY>>`.
+    */
+  private def isKafkaHeadersType(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ArrayType(StructType(Array(k, v)), _) =>
+        k.name == "key" && k.dataType == StringType &&
+          v.name == "value" && v.dataType == BinaryType
+      case _ => false
+    }
+  }
+
+  /** Project arbitrary columns into the Kafka writer's column contract — the
+    * engine form of the reference's `Producer.toProducerRecord`
+    * (/root/reference/src/main/scala/com/iravid/fs2/kafka/client/
+    * Producer.scala:22-35: encoded key/value bytes + explicit topic,
+    * partition, headers). Spark's Kafka sink is column-driven: it reads
+    * EXACTLY `key BINARY, value BINARY, topic STRING, partition INT,
+    * headers ARRAY<STRUCT<key STRING, value BINARY>>` from the frame —
+    * per-row `topic`/`partition` are the dynamic-routing form of the
+    * produce() arguments (a fixed topic can instead ride the `topic`
+    * option on [[kafka]]). String key/value are cast to binary here, other
+    * types must be encoded explicitly (e.g. BinaryRecordEncode) — silent
+    * stringification of a struct would corrupt the wire format.
+    *
+    * The reference's explicit record `timestamp` argument has no sink
+    * column in Spark — the producer stamps send time (CreateTime) or the
+    * broker stamps append time; a required event time belongs INSIDE the
+    * value payload. Per-record acks are likewise replaced by epoch commits
+    * (see object scaladoc).
+    */
+  def kafkaRecords(df: DataFrame, key: org.apache.spark.sql.Column,
+      value: org.apache.spark.sql.Column,
+      topic: org.apache.spark.sql.Column,
+      partition: Option[org.apache.spark.sql.Column] = None,
+      headers: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    import org.apache.spark.sql.types._
+    val cols = Seq(
+      key.cast(BinaryType).as("key"),
+      value.cast(BinaryType).as("value"),
+      topic.as("topic")) ++
+      partition.map(_.cast(IntegerType).as("partition")).toSeq ++
+      headers.map(_.as("headers")).toSeq
+    val out = df.select(cols: _*)
+    val s = out.schema
+    require(s("topic").dataType == StringType,
+      s"topic column must be STRING, got ${s("topic").dataType.sql}")
+    headers.foreach { _ =>
+      require(isKafkaHeadersType(s("headers").dataType),
+        s"headers must be ARRAY<STRUCT<key STRING, value BINARY>>, got ${s("headers").dataType.sql}")
+    }
+    out
+  }
+
   /** Parquet file sink (append). */
   def parquet(df: DataFrame, path: String, checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] =

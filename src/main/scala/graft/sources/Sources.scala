@@ -63,6 +63,37 @@ object Sources {
     }).load()
   }
 
+  /** Kafka-SHAPED in-tree test stream ([[KafkaTestSource]]): exact Kafka
+    * schema from a deterministic simulated log, with real per-partition
+    * offsets, admission-control backpressure and checkpointed offset
+    * recovery. The broker-free executable form of the reference round-trip
+    * property (RecordStreamSpec.scala:91-143).
+    */
+  def kafkaTestStream(spark: SparkSession, topic: String, partitions: Int,
+      recordsPerPartition: Long, maxOffsetsPerTrigger: Option[Long] = None,
+      startingOffset: Long = 0L): DataFrame = {
+    val base = spark.readStream.format("kafka-test")
+      .option("topic", topic)
+      .option("partitions", partitions.toString)
+      .option("recordsPerPartition", recordsPerPartition.toString)
+      .option("startingOffset", startingOffset.toString)
+    maxOffsetsPerTrigger.fold(base)(n =>
+      base.option("maxOffsetsPerTrigger", n.toString)).load()
+  }
+
+  /** Batch scan of the same simulated log — the oracle side of the stream ≡
+    * batch property (and the A6 offset-range read: `startingOffset` skips the
+    * log prefix exactly as `startingOffsets` does on the real source).
+    */
+  def kafkaTestBatch(spark: SparkSession, topic: String, partitions: Int,
+      recordsPerPartition: Long, startingOffset: Long = 0L): DataFrame =
+    spark.read.format("kafka-test")
+      .option("topic", topic)
+      .option("partitions", partitions.toString)
+      .option("recordsPerPartition", recordsPerPartition.toString)
+      .option("startingOffset", startingOffset.toString)
+      .load()
+
   /** File-based replay stream: the broker-free stand-in used by all
     * streaming tests (same engine, same semantics). `maxFilesPerTrigger`
     * plays the backpressure bound.
