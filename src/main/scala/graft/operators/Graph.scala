@@ -28,56 +28,89 @@ import org.apache.spark.storage.StorageLevel
   * redistributed; that choice is part of the declared semantics and is
   * mirrored in the oracle.
   *
-  * Scale shape (the 100 TB posture): one iteration is
-  * `edges ⨝ scores (on src)` + `groupBy dst` — the canonical distributed
-  * PageRank step; the join key is the edge source, the aggregate is
-  * map-side-combinable (sum of longs). `edges`+`outdeg` are computed once
-  * and persisted (they are re-read every iteration; recomputing the
-  * edge-derivation join per iteration is the classic lineage trap — same
-  * lesson as the IVF refine loop, Similarity.scala). The `scores` frame
-  * itself is `localCheckpoint`ed every `checkpointEvery` iterations —
-  * exactly as [[Dedup.resolveGroups]] does for connected components — so
-  * plan depth is bounded by `checkpointEvery` joins regardless of `iters`;
-  * without it the analyzer/optimizer cost grows with every iteration and a
-  * large `iters` becomes a driver-side blowup long before any executor does
-  * real work. The last iteration is never checkpointed (the caller is about
-  * to consume the result anyway), so small fixed-iteration queries like
-  * q117 (iters=5) keep their original single-job plan.
+  * Scale shape (the 100 TB posture): the loop is the Pregel superstep in
+  * DataFrame form. State is the SPARSE in-mass table — one row per node
+  * with ≥1 in-edge — not the dense score vector: a node's score is always
+  * `base + inmass` (0 if absent), so carrying the dense vector would only
+  * add a vertex-set left join to every superstep. One iteration is
+  * `edges ⨝ inmass (on src, left)` + `groupBy dst`; the join key is the
+  * edge source, the aggregate is map-side-combinable (sum of longs).
+  * `edges`+`outdeg` are computed once and persisted (they are re-read every
+  * iteration; recomputing the edge-derivation join per iteration is the
+  * classic lineage trap — same lesson as the IVF refine loop,
+  * Similarity.scala). Each round's in-mass is eagerly `localCheckpoint`ed —
+  * the same bound [[Dedup.resolveGroups]] uses — so every superstep builds
+  * on a LogicalRDD and plan depth is ONE superstep regardless of `iters`
+  * (GraphSpec pins constant depth at iters=15). A persist/unpersist chain
+  * is NOT an alternative here: `unpersist()` on round t makes CacheManager
+  * re-compile (and clear the data of) every cache entry whose plan contains
+  * round t — i.e. round t+1 — so lineage and recomputation grow
+  * exponentially while every round still claims to be cached. Local
+  * checkpoints die with an executor; on a real cluster a reliable
+  * `checkpoint()` every k rounds is the swap-in (as resolveGroups offers).
+  *
+  * Early exit at the exact fixed point: because the arithmetic is integer,
+  * `inmass(t+1) == inmass(t)` implies every later round is bit-identical,
+  * so the loop may stop and return the fixed point as the result of ALL
+  * remaining iterations — the same no-change halting rule as Pregel's
+  * vote-to-halt, made sound by exactness (a float tolerance would change
+  * the declared semantics; equality does not). The probe is a vertex-sized
+  * join + `limit(1).count()` per round — negligible next to the edge join
+  * it can save. Iteration 1 needs no score join at all: every source holds
+  * exactly `init`.
   */
 object Graph {
 
   /** Integer-scaled PageRank over an edge list (`src: long, dst: long`).
-    * Returns `(node, score)` with score in 1e-12 units.
+    * Returns `(node, score)` with score in 1e-12 units, bit-identical to
+    * running the recurrence exactly `iters` times.
     */
   def pagerank(edges: DataFrame, iters: Int,
-      init: Long = 1000000000000L, base: Long = 150000000000L,
-      checkpointEvery: Int = 5): DataFrame = {
+      init: Long = 1000000000000L, base: Long = 150000000000L): DataFrame = {
     val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    if (iters <= 0) return nodes.withColumn("score", lit(init))
     // out-degree rides on every edge row so the per-iteration join is a
     // single equi-join on src (not edges⨝deg⨝scores).
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val ed = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
 
-    var scores = nodes.withColumn("score", lit(init))
-    for (i <- 1 to iters) {
-      val contrib = ed
-        .join(scores.withColumnRenamed("node", "src"), "src")
+    // superstep 1: every source's score is `init` — pure edge aggregate.
+    // Eager localCheckpoint materializes the round and truncates lineage
+    // to a LogicalRDD; the previous round's blocks are released by the
+    // ContextCleaner once unreferenced.
+    var inmass = ed
+      .select(col("dst").as("node"),
+        expr(s"(($init div deg) * 85) div 100").as("c"))
+      .groupBy("node").agg(sum("c").as("inmass"))
+      .localCheckpoint()
+    var it = 1
+    var fixed = false
+    while (it < iters && !fixed) {
+      val next = ed
+        .join(inmass.select(col("node").as("src"), col("inmass").as("im")),
+          Seq("src"), "left")
         .select(col("dst").as("node"),
-          expr("((score div deg) * 85) div 100").as("c"))
+          expr(s"((($base + coalesce(im, 0L)) div deg) * 85) div 100").as("c"))
         .groupBy("node").agg(sum("c").as("inmass"))
-      scores = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) + coalesce(col("inmass"), lit(0L))).as("score"))
-      // truncate lineage so plan depth stays O(checkpointEvery), not O(iters);
-      // skipped on the final iteration — the caller materializes it anyway
-      if (i % checkpointEvery == 0 && i < iters)
-        scores = scores.localCheckpoint()
+        .localCheckpoint()
+      // Exact fixed-point probe over the two checkpointed rounds. The
+      // in-mass key set is the constant set of nodes with in-edges, so an
+      // inner join covers every row; `<=>` tolerates the (impossible) null
+      // anyway.
+      val changed = next
+        .join(inmass.select(col("node"), col("inmass").as("prev")), Seq("node"))
+        .where(!(col("inmass") <=> col("prev"))).limit(1).count()
+      inmass = next
+      it += 1
+      fixed = changed == 0L
     }
-    scores
+    nodes.join(inmass, Seq("node"), "left")
+      .select(col("node"),
+        (lit(base) + coalesce(col("inmass"), lit(0L))).as("score"))
   }
 
   // ---------------------------------------------------------------- q117

@@ -46,20 +46,32 @@ class GraphSpec extends AnyFunSuite {
     assert(got(1L) === Base)
   }
 
-  test("lineage is truncated every checkpointEvery iterations: iters=15 plans like iters=5") {
+  test("plan depth is constant in iters: each superstep materializes (iters=15 plans like iters=2)") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (3L, 4L))
     def joins(df: org.apache.spark.sql.DataFrame): Int =
       "Join".r.findAllIn(df.queryExecution.optimizedPlan.toString).size
-    val deep = Graph.pagerank(edges.toDF("src", "dst"), iters = 15, checkpointEvery = 5)
-    val shallow = Graph.pagerank(edges.toDF("src", "dst"), iters = 5, checkpointEvery = 5)
-    // checkpoints at iters 5 and 10 cut the plan back to a 5-iteration tail;
-    // without them the 15-iteration plan would carry 3x the joins
+    val deep = Graph.pagerank(edges.toDF("src", "dst"), iters = 15)
+    val shallow = Graph.pagerank(edges.toDF("src", "dst"), iters = 2)
+    // every round eagerly localCheckpoints its in-mass, so the RETURNED
+    // plan is always `nodes ⨝ LogicalRDD` — O(1) joins however large
+    // iters is (no lineage-blowup mode)
     assert(joins(deep) <= joins(shallow),
-      s"expected localCheckpoint to bound plan depth: ${joins(deep)} vs ${joins(shallow)}")
-    // and the values still equal the sequential recurrence across the cuts
+      s"expected per-round materialization to bound plan depth: ${joins(deep)} vs ${joins(shallow)}")
+    // and the values still equal the sequential recurrence across the rounds
     val got = deep.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === refPagerank(edges, 15))
+  }
+
+  test("exact fixed-point early exit returns the same result as running all iterations") {
+    import spark.implicits._
+    // bipartite graph: sources have no in-edges, so scores are constant
+    // from round 2 on — iters=50 must early-exit AND equal the 50-round
+    // sequential recurrence bit for bit
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L), (3L, 11L))
+    val got = Graph.pagerank(edges.toDF("src", "dst"), iters = 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === refPagerank(edges, 50))
   }
 
   test("q117: mass never grows (floor losses + dangling evaporation only)") {
