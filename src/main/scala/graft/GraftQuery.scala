@@ -36,5 +36,6 @@ object GraftQuery {
       operators.TimeSeries.queries ++
       operators.Bpe.queries ++
       operators.Graph.queries ++
-      operators.Funnel.queries
+      operators.Funnel.queries ++
+      operators.Clustering.queries
 }

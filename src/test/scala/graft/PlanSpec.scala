@@ -166,6 +166,18 @@ class PlanSpec extends AnyFunSuite {
       s"q41 must not rescan documents for the median subtree (scans=$scans, reused=$reused):\n${p.take(4000)}")
   }
 
+  test("q123: k-means reads embeddings once (cached quantized corpus), model side broadcast") {
+    // the corpus is quantized once into a persisted frame every round reads;
+    // the distance join is corpus × broadcast(k-row model) — never a shuffle
+    // of the data against the model and never a cartesian of two big sides
+    val p = planOf("q123_kmeans")
+    assert("Scan parquet".r.findAllIn(p).size <= 1,
+      s"k-means must train off the cached quantized corpus, not rescans:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"centroid model side should be broadcast:\n${p.take(1500)}")
+  }
+
   test("q70/q72: layout and centroid aggregates combine map-side (partial+final)") {
     for (q <- Seq("q70_zorder_ranges", "q72_label_centroids")) {
       val p = planOf(q)
@@ -288,7 +300,8 @@ class PlanSpec extends AnyFunSuite {
       "q100_ann_ivfpq",          // same centroid table + 1-row LUT scalars
       "q112_embedding_decontam", // eval × ≤16-row cell list (exhaustive probe)
       "q121_drift_psi",          // 1-row (t_base, t_cur) window totals
-      "q122_pmi_collocations")   // 1-row corpus bigram/unigram totals
+      "q122_pmi_collocations",   // 1-row corpus bigram/unigram totals
+      "q123_kmeans")             // corpus × k-row centroid model (k bounded by design)
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, TestSpark.sf0001).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"),
