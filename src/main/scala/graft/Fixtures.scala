@@ -25,10 +25,14 @@ object Fixtures {
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
   def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
-  /** events.ts is parquet TIMESTAMP(NANOS,false); with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` it arrives as epoch-nanos
-    * LongType and is truncated here to a microsecond TimestampType (the
-    * DuckDB oracle's TIMESTAMP_NS truncates identically at µs outputs).
+  /** events.ts normalization. The fixture has shipped two physical types:
+    * parquet TIMESTAMP(NANOS,false) (arrives as epoch-nanos LongType under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`; truncated here to µs) and
+    * plain timestamp[us] with no timezone (arrives as TIMESTAMP_NTZ). Both
+    * are normalized to a session-UTC TimestampType so downstream
+    * `unix_micros`/epoch arithmetic resolves; with the session pinned to UTC
+    * the NTZ→TZ cast is value-preserving, and DuckDB's naive TIMESTAMP
+    * oracle reads the same instants.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = table(spark, dir, "events")
@@ -36,6 +40,9 @@ object Fixtures {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }
