@@ -37,5 +37,6 @@ object GraftQuery {
       operators.Bpe.queries ++
       operators.Graph.queries ++
       operators.Funnel.queries ++
-      operators.Clustering.queries
+      operators.Clustering.queries ++
+      operators.Skew.queries
 }

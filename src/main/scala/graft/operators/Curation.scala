@@ -338,6 +338,106 @@ object Curation {
        |GROUP BY 1 HAVING CAST(SUM(CASE WHEN s.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) > 0
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q124
+  // Windowed content-defined chunking (CDC) + per-document chunk-dup
+  // accounting. q101's fixed-stride windows shift ALL downstream chunk
+  // fingerprints when one token is inserted early in a document — a crawl
+  // re-fetch with a one-word edit re-ingests every chunk. CDC (the
+  // gear/Rabin idea from LBFS and modern dedup stores, re-expressed
+  // relationally) cuts where a rolling content fingerprint of the trailing
+  // CdcWin tokens satisfies fp % CdcDiv == 0: boundaries are a function of
+  // LOCAL content, so an edit perturbs only the chunks it touches
+  // (CurationSpec pins this shift-invariance: every chunk after the first
+  // survives a prefix insertion verbatim). Expected chunk ~CdcDiv tokens.
+  //
+  // Relation to q74 (Dedup.scala): q74 is single-token-boundary CDC (gear
+  // window = 1) emitting the corpus-level boilerplate report; q124 uses an
+  // 8-token rolling fingerprint (boundaries keyed to CONTEXT, not to every
+  // occurrence of 1/16 of the vocabulary) and emits the per-document dup
+  // fraction — the doc-level drop/keep signal. Chunk assembly here is also
+  // a different plan shape: boundaries and chunks materialize in ONE narrow
+  // higher-order-function projection per document (no per-doc window
+  // cumsum, no collect_list rebuild — q74 pays two doc-keyed shuffles).
+  //
+  // Scale shape: boundary detection and chunk assembly are ONE narrow
+  // projection per document (higher-order array ops — no explode of
+  // candidate positions, no shuffle); the only shuffles are the chunk-fp
+  // aggregate and the join back, both keyed on the 60-bit fp — the same
+  // linear ~20 B/chunk profile as q102. Cross-doc dup test counts DISTINCT
+  // docs per fp, so within-doc repeats (boilerplate headers) don't
+  // self-certify as duplicated.
+  private val CdcWin = 8
+  private val CdcDiv = 16
+
+  /** Per-doc CDC chunk inventory `(doc_id, chunk_idx, n_tok, fp)`. */
+  private[graft] def cdcChunks(docs: DataFrame): DataFrame = {
+    val emptyInt = array().cast("array<int>")
+    val cuts = when(col("n") - 1 >= CdcWin,
+      org.apache.spark.sql.functions.filter(
+        sequence(lit(CdcWin), col("n") - 1),
+        i => hash60(concat_ws(" ", slice(col("toks"), i - lit(CdcWin) + 1, lit(CdcWin))))
+          % lit(CdcDiv) === 0)).otherwise(emptyInt)
+    val chunk = (lo: Column, hi: Column) => struct(
+      (hi - lo).cast("long").as("n_tok"),
+      hash60(concat_ws(" ", slice(col("toks"), lo + lit(1), hi - lo))).as("fp"))
+    docs.select(col("doc_id"), wsTokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .withColumn("n", size(col("toks")))
+      .withColumn("bs", concat(array(lit(0)), cuts, array(col("n"))))
+      .withColumn("chunks", zip_with(
+        slice(col("bs"), lit(1), size(col("bs")) - 1),
+        slice(col("bs"), lit(2), size(col("bs")) - 1), chunk))
+      .select(col("doc_id"), posexplode(col("chunks")))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        col("col.n_tok").as("n_tok"), col("col.fp").as("fp"))
+  }
+
+  private def q124(s: SparkSession, dir: String): DataFrame = {
+    val ch = cdcChunks(Fixtures.documents(s, dir))
+      .persist() // read twice (per-fp distinct-doc counts + join back); the
+                 // md5-per-window boundary pass is the expensive narrow stage
+    val perFp = ch.groupBy(col("fp")).agg(countDistinct(col("doc_id")).as("nd"))
+    ch.join(perFp, Seq("fp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup"),
+        round(col("n_dup") / col("n_chunks"), 4).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q124Sql =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |  WHERE len(string_split(text, ' ')) > 0),
+       |cuts AS (
+       |  SELECT doc_id, i AS b FROM (
+       |    SELECT doc_id, toks, unnest(generate_series($CdcWin, len(toks) - 1)) AS i
+       |    FROM t WHERE len(toks) - 1 >= $CdcWin)
+       |  WHERE ('0x' || substr(md5(array_to_string(
+       |          list_slice(toks, i - ${CdcWin - 1}, i), ' ')), 1, 15))::BIGINT
+       |        % $CdcDiv = 0),
+       |bounds AS (
+       |  SELECT doc_id, 0 AS b FROM t
+       |  UNION ALL SELECT doc_id, b FROM cuts
+       |  UNION ALL SELECT doc_id, len(toks) FROM t),
+       |ob AS (SELECT doc_id, b,
+       |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY b) AS rn
+       |       FROM bounds),
+       |ch AS (
+       |  SELECT lo.doc_id,
+       |    ('0x' || substr(md5(array_to_string(
+       |       list_slice(t.toks, lo.b + 1, hi.b), ' ')), 1, 15))::BIGINT AS fp
+       |  FROM ob lo
+       |  JOIN ob hi ON hi.doc_id = lo.doc_id AND hi.rn = lo.rn + 1
+       |  JOIN t ON t.doc_id = lo.doc_id),
+       |perfp AS (SELECT fp, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY 1)
+       |SELECT ch.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |  CAST(SUM(CASE WHEN perfp.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       |  ROUND(SUM(CASE WHEN perfp.nd >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) AS dup_frac
+       |FROM ch JOIN perfp USING (fp)
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q105
   // Duplicated-span SCRUB — the removal counterpart to q102's detector
   // (Lee et al. 2022 remove repeated substrings rather than whole docs):
@@ -585,5 +685,6 @@ object Curation {
     GraftQuery("q102_substring_dedup", q102, Some(q102Sql)),
     GraftQuery("q103_mixture_weights", q103, Some(q103Sql)),
     GraftQuery("q104_decontamination", q104, Some(q104Sql)),
-    GraftQuery("q105_span_scrub", q105, Some(q105Sql)))
+    GraftQuery("q105_span_scrub", q105, Some(q105Sql)),
+    GraftQuery("q124_cdc_dedup", q124, Some(q124Sql)))
 }

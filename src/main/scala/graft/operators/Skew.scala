@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.{Fixtures, GraftQuery}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Skew-handling utilities for hot keys (100-TB posture, SURVEY §7.1).
@@ -70,4 +71,73 @@ object Skew {
     saltedLeft.join(replicatedRight, Seq(keyCol, "__salt"))
       .drop("__salt")
   }
+
+  /** Hot-key-aware salted equi-join: only keys with ≥ `hotThreshold` probe
+    * rows are salted, so replication cost is `saltFactor ×` the HOT build
+    * rows instead of [[saltedJoin]]'s `saltBuckets × |right|`. The shape
+    * that survives 100 TB:
+    *
+    *   1. one map-side-combinable count finds hot probe keys — the hot set
+    *      is bounded by |probe| / hotThreshold keys and broadcasts;
+    *   2. probe rows of hot keys get a content-derived salt (see [[rowSalt]]
+    *      — recompute-deterministic, no RNG in the lineage); cold rows salt 0;
+    *   3. build rows of hot keys explode to all `saltFactor` salts, cold
+    *      rows keep the single salt 0 — every probe row still meets every
+    *      matching build row exactly once;
+    *   4. equi-join on (key, salt).
+    *
+    * The result set is provably identical to `probe ⋈ build` (inner):
+    * salting is pure physical re-partitioning. SkewSpec pins equality on
+    * power-law data plus the replication accounting; the q125 oracle is the
+    * plain SQL join. Non-key columns of the two sides must not collide.
+    */
+  def hotSaltedJoin(probe: DataFrame, build: DataFrame, keyCol: String,
+      saltFactor: Int, hotThreshold: Long,
+      disambiguator: Option[Column] = None): DataFrame = {
+    require(saltFactor > 1, "saltFactor must be > 1")
+    require(hotThreshold > 0, "hotThreshold must be > 0")
+    val hot = probe.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= hotThreshold)
+      .select(col(keyCol), lit(true).as("__hot"))
+    val isHot = col("__hot").isNotNull
+    val salted = probe.join(broadcast(hot), Seq(keyCol), "left")
+      .withColumn("__salt",
+        when(isHot, rowSalt(probe, saltFactor, disambiguator)).otherwise(lit(0)))
+      .drop("__hot")
+    val replicated = build.join(broadcast(hot), Seq(keyCol), "left")
+      .withColumn("__salt",
+        explode(when(isHot, sequence(lit(0), lit(saltFactor - 1)))
+          .otherwise(array(lit(0)))))
+      .drop("__hot")
+    salted.join(replicated, Seq(keyCol, "__salt")).drop("__salt")
+  }
+
+  // ---------------------------------------------------------------- q125
+  // Event enrichment under user skew: events ⋈ customer on user_id — the
+  // q5 enrichment re-planned through the hot-key salted path. The oracle is
+  // the PLAIN SQL join: the salted plan must be result-identical, which is
+  // exactly the property that makes salting safe to apply mechanically at
+  // 100 TB. hotThreshold is sized so the power-law fixture exercises both
+  // the salted and the cold path; the output is invariant either way.
+  private val SaltFactor = 8
+  private val HotThreshold = 64L
+
+  private def q125(s: SparkSession, dir: String): DataFrame = {
+    val e = Fixtures.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val c = Fixtures.customer(s, dir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    hotSaltedJoin(e, c, "user_id", SaltFactor, HotThreshold)
+      .select(col("event_id"), col("user_id"), col("c_mktsegment"),
+        col("event_type"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q125Sql =
+    """SELECT e.event_id, e.user_id, c.c_mktsegment, e.event_type
+      |FROM events e JOIN customer c ON c.c_custkey = e.user_id
+      |ORDER BY e.event_id""".stripMargin
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q125_skew_join", q125, Some(q125Sql)))
 }

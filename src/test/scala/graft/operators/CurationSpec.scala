@@ -119,4 +119,59 @@ class CurationSpec extends AnyFunSuite {
     assert(out.join(testIds, Seq("doc_id"), "left_anti").isEmpty,
       "flagged docs must all be in the test split")
   }
+
+  test("CDC chunks partition every document: contiguous indices, token counts sum exactly") {
+    import spark.implicits._
+    val docs = Fixtures.documents(spark, dir).select(col("doc_id"), col("text"))
+    val ch = Curation.cdcChunks(docs)
+    val perDoc = ch.groupBy(col("doc_id")).agg(
+      sum(col("n_tok")).as("tok_sum"), count(lit(1)).as("k"),
+      min(col("chunk_idx")).as("mn"), max(col("chunk_idx")).as("mx"))
+    val truth = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n"))
+    // every chunk non-empty, indices are 0..k-1, token counts reconstruct
+    assert(ch.filter(col("n_tok") <= 0).isEmpty)
+    val bad = perDoc.join(truth, "doc_id")
+      .filter(col("tok_sum") =!= col("n") || col("mn") =!= 0 ||
+        col("mx") =!= col("k") - 1)
+    assert(bad.isEmpty)
+    // boundaries are content-defined, not fixed-stride: chunk lengths vary
+    val distinctLens = ch.select(col("n_tok")).distinct().count()
+    assert(distinctLens > 3, s"only $distinctLens distinct chunk lengths — looks fixed-stride")
+  }
+
+  test("CDC boundaries are shift-invariant: every chunk after the first survives a prefix insertion") {
+    import spark.implicits._
+    // deterministic pseudo-random token stream long enough to contain cuts
+    val words = (0 until 400).map(i =>
+      "w" + ((i * 2654435761L) % 97)).mkString(" ")
+    val a = Seq((1L, words)).toDF("doc_id", "text")
+    val b = Seq((2L, "inserted prefix tokens " + words)).toDF("doc_id", "text")
+    val fa = Curation.cdcChunks(a).orderBy(col("chunk_idx"))
+      .select(col("fp")).as[Long].collect()
+    val fb = Curation.cdcChunks(b).select(col("fp")).as[Long].collect()
+    assert(fa.length >= 4, s"fixture produced only ${fa.length} chunks — no cuts to test")
+    // multiset containment: chunks 1..k-1 of A must all appear in B
+    val bCounts = fb.groupBy(identity).view.mapValues(_.length).toMap
+    val missing = fa.drop(1).groupBy(identity).view.mapValues(_.length)
+      .filter { case (fp, n) => bCounts.getOrElse(fp, 0) < n }
+    assert(missing.isEmpty,
+      s"${missing.size} post-first chunks of A vanished after a prefix edit")
+  }
+
+  test("CDC dedup flags identical-text documents at dup_frac 1.0") {
+    val out = SparkEntry.queries("q124_cdc_dedup")(spark, dir)
+    // exact-duplicate fixture docs (the q14 groups) share every chunk
+    val dupIds = Fixtures.documents(spark, dir)
+      .groupBy(col("text")).agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(col("ids")).as("doc_id"))
+    val flagged = out.filter(col("dup_frac") === 1.0).select("doc_id")
+    assert(dupIds.join(flagged, Seq("doc_id"), "left_anti").isEmpty,
+      "every exact-duplicate doc must have all its CDC chunks flagged")
+    // fractions well-formed; every doc emits a row
+    assert(out.filter(col("dup_frac") < 0 || col("dup_frac") > 1 ||
+      col("n_dup") > col("n_chunks")).isEmpty)
+    assert(out.count() === Fixtures.documents(spark, dir).count())
+  }
 }

@@ -78,4 +78,40 @@ class SkewSpec extends AnyFunSuite {
       .collect().map(key).toSet
     assert(salted == direct)
   }
+
+  test("hotSaltedJoin equals plain inner join on power-law data; only hot build rows replicate") {
+    // one monster key (half the probe side), a mid key above threshold, and
+    // 500 cold keys — duplicates included so multiset equality is exercised
+    val probe = spark.range(20000).select(
+      when(col("id") % 2 === 0, 0L)
+        .when(col("id") % 5 === 1, 1L)
+        .otherwise(col("id") % 500L + 2L).as("k"),
+      (col("id") % 1000L).as("payload"))
+    val build = spark.range(502).select(col("id").as("k"),
+      concat(lit("dim"), col("id")).as("name"))
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getString(2))
+    val direct = probe.join(build, "k")
+      .select(col("k"), col("payload"), col("name"))
+      .collect().map(key)
+    val salted = Skew.hotSaltedJoin(probe, build, "k",
+        saltFactor = 8, hotThreshold = 1000L)
+      .select(col("k"), col("payload"), col("name"))
+      .collect().map(key)
+    // multiset equality, not set: replication bugs show up as duplicates
+    assert(salted.groupBy(identity).view.mapValues(_.length).toMap ===
+      direct.groupBy(identity).view.mapValues(_.length).toMap)
+    // hot probe rows really spread: the operator's content-derived salt
+    // (pmod(xxhash64(row), saltFactor)) lands the monster key's rows in
+    // most of the 8 buckets on this data
+    val salts = probe.filter(col("k") === 0L)
+      .select(pmod(xxhash64(col("k"), col("payload")), lit(8L)).as("s"))
+      .distinct().count()
+    assert(salts >= 6, s"hot key spread over only $salts of 8 salt buckets")
+    // replication accounting: a 1-row build side against a cold-only probe
+    // must not replicate (salted output rows == direct output rows already
+    // pinned by the multiset check above; here pin the cold-path shape)
+    val coldProbe = probe.filter(col("k") >= 2)
+    val coldDirect = coldProbe.join(build, "k").count()
+    assert(Skew.hotSaltedJoin(coldProbe, build, "k", 8, 1000L).count() === coldDirect)
+  }
 }
