@@ -286,7 +286,7 @@ object Curation {
   // boilerplate/licenses that near-dup (whole-doc) passes miss.
   //
   // Scale shape: windows ≈ one row per corpus TOKEN, but each row is a
-  // 60-bit fp + doc_id — the shuffle moves ~20 B/token, not documents.
+  // 64-bit fp + doc_id — the shuffle moves ~20 B/token, not documents.
   // One groupBy(fp) counts distinct docs per window, one join back + one
   // groupBy(doc_id) folds the verdict. No self-join, no all-pairs; this is
   // the linear-shuffle alternative to a suffix array at cluster scale.
@@ -295,20 +295,30 @@ object Curation {
   /** Distinct (doc_id, fp) over every SubWidth-token window at every offset
     * — the building block of q102/q104/q105 and the streaming span gate.
     * Docs shorter than SubWidth contribute no rows.
+    *
+    * Fingerprints feed COUNTS and equality joins only — no fp value reaches
+    * a query output — so the hash needs collision-freeness, not oracle
+    * parity. Codegen'd xxhash64 over the token-slice ARRAY replaces the old
+    * md5(concat_ws(...)): no per-window string build, no digest, and no
+    * full-toks-array copy riding every exploded row (the fp array is built
+    * in ONE projection per document, then only 8-byte longs explode). The
+    * DuckDB oracle keeps its own md5 fingerprints; both engines' counts
+    * agree unless a hash collides (≈n²/2⁶⁵ — the same accepted-risk class
+    * as the q17 minhash internals, which likewise never face the oracle).
+    * The array hash is also strictly more faithful than the joined string:
+    * ["a b","c"] vs ["a","b c"] collide as strings but not as arrays.
     */
   private[graft] def windowFps(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), wsTokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= SubWidth)
-      .select(col("doc_id"), col("toks"),
-        explode(sequence(lit(0), size(col("toks")) - SubWidth)).as("start"))
-      .select(col("doc_id"),
-        graft.functions.TextFunctions.hash60(
-          concat_ws(" ", slice(col("toks"), col("start") + 1, lit(SubWidth)))).as("fp"))
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("toks")) - SubWidth),
+        i => xxhash64(slice(col("toks"), i + 1, lit(SubWidth))))).as("fp"))
       .distinct() // within-doc repeats count once
 
   private def q102(s: SparkSession, dir: String): DataFrame = {
     val wins = windowFps(Fixtures.documents(s, dir))
-      .persist() // read twice (per-fp counts + join back): the md5-per-window
+      .persist() // read twice (per-fp counts + join back): the per-window
                  // fingerprint pass is the expensive narrow stage — never twice
     val perFp = wins.groupBy(col("fp")).agg(count(lit(1)).as("nd"))
     wins.join(perFp, Seq("fp"))
@@ -359,31 +369,69 @@ object Curation {
   // higher-order-function projection per document (no per-doc window
   // cumsum, no collect_list rebuild — q74 pays two doc-keyed shuffles).
   //
-  // Scale shape: boundary detection and chunk assembly are ONE narrow
-  // projection per document (higher-order array ops — no explode of
-  // candidate positions, no shuffle); the only shuffles are the chunk-fp
-  // aggregate and the join back, both keyed on the 60-bit fp — the same
-  // linear ~20 B/chunk profile as q102. Cross-doc dup test counts DISTINCT
-  // docs per fp, so within-doc repeats (boilerplate headers) don't
-  // self-certify as duplicated.
+  // The rolling fingerprint is ADDITIVE (Buzhash family): one 56-bit md5
+  // value per TOKEN, window fingerprint = sum of the trailing CdcWin token
+  // values. One digest per token instead of one per (window × 8-token
+  // string) — the md5 work drops ~8× and the per-position boundary test in
+  // the HOF lambda is pure integer adds. The sum is permutation-insensitive
+  // within the window, which is irrelevant for a boundary predicate (it
+  // needs pseudo-randomness mod CdcDiv, not cryptographic distinctness);
+  // 56-bit values keep the 8-term sum < 2⁶⁰, overflow-safe BIGINT in both
+  // engines. The oracle mirrors the boundary rule exactly (md5-parity token
+  // values + a trailing-ROWS window SUM), so boundaries — and therefore
+  // chunk contents — are engine-identical. Chunk fps are match-only
+  // (counts, never emitted) and use codegen'd xxhash64 on the token-slice
+  // array; the oracle keeps md5 chunk fps — counts agree unless a 64-bit
+  // hash collides, the same accepted-risk class as the q17 minhash
+  // internals.
+  //
+  // Scale shape: boundary detection is one narrow token-scale pass (explode
+  // → per-token digest → doc-partitioned ROWS-window sum → ~n/CdcDiv cut
+  // rows); chunk assembly is one HOF projection per document over the
+  // collected cut array; the remaining shuffles are the chunk-fp aggregate
+  // and the join back, keyed on the 64-bit chunk fp — the same linear
+  // ~20 B/token profile as q102. Cross-doc dup test counts DISTINCT docs
+  // per fp, so within-doc repeats (boilerplate headers) don't self-certify
+  // as duplicated.
   private val CdcWin = 8
   private val CdcDiv = 16
 
-  /** Per-doc CDC chunk inventory `(doc_id, chunk_idx, n_tok, fp)`. */
+  /** Per-doc CDC chunk inventory `(doc_id, chunk_idx, n_tok, fp)`.
+    *
+    * Boundary sums are computed RELATIONALLY (posexplode → one codegen'd
+    * md5 per token → per-doc ROWS-window SUM → boundary filter), not with
+    * nested array lambdas: an `element_at(tokenValues, i - j)` inside a
+    * per-position lambda invites Catalyst's project collapse to inline the
+    * whole per-token transform into the lambda body, re-evaluating n
+    * digests per position — O(n²) per document (observed: 11× the whole
+    * inventory's bench time). The relational form digests each token
+    * exactly once and mirrors the oracle SQL shape; the token-scale
+    * shuffle is narrow (doc_id, pos, 8-byte value) and doc-partitioned.
+    */
   private[graft] def cdcChunks(docs: DataFrame): DataFrame = {
-    val emptyInt = array().cast("array<int>")
-    val cuts = when(col("n") - 1 >= CdcWin,
-      org.apache.spark.sql.functions.filter(
-        sequence(lit(CdcWin), col("n") - 1),
-        i => hash60(concat_ws(" ", slice(col("toks"), i - lit(CdcWin) + 1, lit(CdcWin))))
-          % lit(CdcDiv) === 0)).otherwise(emptyInt)
-    val chunk = (lo: Column, hi: Column) => struct(
-      (hi - lo).cast("long").as("n_tok"),
-      hash60(concat_ws(" ", slice(col("toks"), lo + lit(1), hi - lo))).as("fp"))
-    docs.select(col("doc_id"), wsTokens(col("text")).as("toks"))
+    val base = docs.select(col("doc_id"), wsTokens(col("text")).as("toks"))
       .filter(size(col("toks")) > 0)
       .withColumn("n", size(col("toks")))
-      .withColumn("bs", concat(array(lit(0)), cuts, array(col("n"))))
+    // 56-bit per-token md5 values (hash60 >> 4 ≡ first 14 hex digits);
+    // trailing CdcWin-sum per position, full windows only, no cut at n
+    val wv = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-(CdcWin - 1), 0)
+    val cutRows = base
+      .select(col("doc_id"), col("n"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("n"), col("pos"),
+        shiftright(hash60(col("tok")), 4).as("v"))
+      .withColumn("s", sum(col("v")).over(wv))
+      .filter(col("pos") >= CdcWin - 1 && col("pos") <= col("n") - 2 &&
+        pmod(col("s"), lit(CdcDiv.toLong)) === 0)
+      .select(col("doc_id"), (col("pos") + 1).as("b"))
+    val cutsArr = cutRows.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("b"))).as("cuts"))
+    val chunk = (lo: Column, hi: Column) => struct(
+      (hi - lo).cast("long").as("n_tok"),
+      xxhash64(slice(col("toks"), lo + lit(1), hi - lo)).as("fp"))
+    base.join(cutsArr, Seq("doc_id"), "left")
+      .withColumn("bs", concat(array(lit(0)),
+        coalesce(col("cuts"), array().cast("array<int>")), array(col("n"))))
       .withColumn("chunks", zip_with(
         slice(col("bs"), lit(1), size(col("bs")) - 1),
         slice(col("bs"), lit(2), size(col("bs")) - 1), chunk))
@@ -395,7 +443,7 @@ object Curation {
   private def q124(s: SparkSession, dir: String): DataFrame = {
     val ch = cdcChunks(Fixtures.documents(s, dir))
       .persist() // read twice (per-fp distinct-doc counts + join back); the
-                 // md5-per-window boundary pass is the expensive narrow stage
+                 // per-token digest + boundary pass is the expensive stage
     val perFp = ch.groupBy(col("fp")).agg(countDistinct(col("doc_id")).as("nd"))
     ch.join(perFp, Seq("fp"))
       .groupBy(col("doc_id"))
@@ -410,13 +458,21 @@ object Curation {
     s"""WITH t AS (
        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
        |  WHERE len(string_split(text, ' ')) > 0),
+       |tok AS (
+       |  SELECT doc_id, pos, len(toks) AS n,
+       |    ('0x' || substr(md5(toks[pos + 1]), 1, 14))::BIGINT AS v
+       |  FROM (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 1)) AS pos
+       |        FROM t)),
+       |roll AS (
+       |  SELECT doc_id, pos + 1 AS i, n,
+       |    SUM(v) OVER (PARTITION BY doc_id ORDER BY pos
+       |                 ROWS BETWEEN ${CdcWin - 1} PRECEDING AND CURRENT ROW) AS s,
+       |    COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+       |                   ROWS BETWEEN ${CdcWin - 1} PRECEDING AND CURRENT ROW) AS c
+       |  FROM tok),
        |cuts AS (
-       |  SELECT doc_id, i AS b FROM (
-       |    SELECT doc_id, toks, unnest(generate_series($CdcWin, len(toks) - 1)) AS i
-       |    FROM t WHERE len(toks) - 1 >= $CdcWin)
-       |  WHERE ('0x' || substr(md5(array_to_string(
-       |          list_slice(toks, i - ${CdcWin - 1}, i), ' ')), 1, 15))::BIGINT
-       |        % $CdcDiv = 0),
+       |  SELECT doc_id, i AS b FROM roll
+       |  WHERE c = $CdcWin AND i <= n - 1 AND s % $CdcDiv = 0),
        |bounds AS (
        |  SELECT doc_id, 0 AS b FROM t
        |  UNION ALL SELECT doc_id, b FROM cuts
@@ -454,12 +510,14 @@ object Curation {
     val docs = Fixtures.documents(s, dir)
       .select(col("doc_id"), wsTokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= SubWidth)
+    // fp array built per doc in one projection (see windowFps: xxhash64 on
+    // the slice array — match-only values, oracle keeps md5); posexplode's
+    // index IS the window start
     val wins = docs
-      .select(col("doc_id"), col("toks"),
-        explode(sequence(lit(0), size(col("toks")) - SubWidth)).as("start"))
-      .select(col("doc_id"), col("start"),
-        graft.functions.TextFunctions.hash60(
-          concat_ws(" ", slice(col("toks"), col("start") + 1, lit(SubWidth)))).as("fp"))
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("toks")) - SubWidth),
+        i => xxhash64(slice(col("toks"), i + 1, lit(SubWidth)))))
+        .as(Seq("start", "fp")))
       .persist() // read twice (dup-fp derivation + coverage expansion)
     val dupFps = wins.select(col("doc_id"), col("fp")).distinct()
       .groupBy(col("fp")).agg(count(lit(1)).as("nd"))
@@ -526,7 +584,7 @@ object Curation {
   // this is the asymmetric eval→train direction q59's phrase check and
   // q102's symmetric span detector don't cover.
   //
-  // Scale shape: train fingerprints are one distinct 60-bit-key set (~one
+  // Scale shape: train fingerprints are one distinct 64-bit-key set (~one
   // row per train token); the verdict is a single left join on fp + a
   // per-eval-doc fold — linear, no self-join. At 100 TB the train-fp set
   // would ride a bloom filter (q77's plumbing) so the eval side never
@@ -537,12 +595,12 @@ object Curation {
       .select(col("doc_id"), md5Bucket(col("doc_id")).as("bucket"),
         wsTokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= DecontamWidth)
+    // match-only fingerprints (see windowFps): xxhash64 on the slice array,
+    // fp array built per doc in one projection; oracle keeps md5
     def wins(df: DataFrame): DataFrame = df
-      .select(col("doc_id"), col("toks"),
-        explode(sequence(lit(0), size(col("toks")) - DecontamWidth)).as("start"))
-      .select(col("doc_id"),
-        graft.functions.TextFunctions.hash60(
-          concat_ws(" ", slice(col("toks"), col("start") + 1, lit(DecontamWidth)))).as("fp"))
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("toks")) - DecontamWidth),
+        i => xxhash64(slice(col("toks"), i + 1, lit(DecontamWidth))))).as("fp"))
       .distinct()
     val trainFp = wins(docs.filter(col("bucket") < 90))
       .select(col("fp")).distinct().withColumn("hit", lit(1L))

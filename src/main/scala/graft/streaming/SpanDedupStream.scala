@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
   * Docs shorter than one window carry no windows and always pass.
   *
   * Scale shape: per batch the work is O(batch windows) — one fingerprint
-  * pass over the batch, one equi join on the 60-bit fp against the index,
+  * pass over the batch, one equi join on the 64-bit fp against the index,
   * one in-batch min-owner aggregate, one per-doc fold. The index grows by
   * accepted docs only. Exactly-once follows DedupStream: every write lands
   * in its own `batch=<id>` partition with OVERWRITE semantics and reads

@@ -11,27 +11,27 @@ import org.scalatest.funsuite.AnyFunSuite
   * its contract over the same batch boundaries: a window is duplicated iff
   * its fp is in the accepted index from earlier batches or owned by a
   * smaller-id doc in the same batch; a doc is flagged iff its duplicated
-  * fraction ≥ τ. The reference recomputes windows and the md5-derived
-  * 60-bit fingerprints independently on plain Scala collections.
+  * fraction ≥ τ. The gating/ownership/threshold logic is simulated
+  * independently on plain Scala collections; the per-window fingerprint
+  * values come from the operator's own `Curation.windowFps` (they are
+  * opaque match-only ids — xxhash64 over token-slice arrays — and
+  * re-deriving Spark's internal array hash in plain Scala would pin an
+  * implementation detail, not the contract).
   */
 class StreamingSpanDedupSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val Tau = 0.5
-  private val W = 16
 
-  /** Same 60-bit fingerprint as TextFunctions.hash60: first 15 hex chars
-    * of md5, parsed as a long.
+  /** (doc_id → window-fp set) for every doc, computed once via the
+    * operator's fingerprint pass.
     */
-  private def fp60(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex.take(15), 16)
-  }
-
-  private def windowFps(text: String): Set[Long] = {
-    val toks = text.split(" ", -1)
-    if (toks.length < W) Set.empty
-    else (0 to toks.length - W).map(i => fp60(toks.slice(i, i + W).mkString(" "))).toSet
+  private def allWindowFps(texts: Map[Long, String]): Map[Long, Set[Long]] = {
+    import spark.implicits._
+    val df = texts.toSeq.toDF("doc_id", "text")
+    val m = graft.operators.Curation.windowFps(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupMap(_._1)(_._2).map { case (d, fps) => d -> fps.toSet }
+    texts.keysIterator.map(d => d -> m.getOrElse(d, Set.empty[Long])).toMap
   }
 
   private def writeOrderedReplay(replayDir: String, ranges: Seq[(Int, Int)]): Unit = {
@@ -67,11 +67,12 @@ class StreamingSpanDedupSpec extends AnyFunSuite {
     val texts = Fixtures.documents(spark, TestSpark.sf0001)
       .select(col("doc_id"), col("text")).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val fpsByDoc = allWindowFps(texts)
     var acceptedFps = Set.empty[Long]
     val expected = scala.collection.mutable.Map.empty[Long, (Long, Long)]
     for ((lo, hi) <- ranges) {
       val ids = (lo.toLong until hi.toLong).filter(texts.contains).sorted
-      val wins = ids.map(d => d -> windowFps(texts(d))).toMap
+      val wins = ids.map(d => d -> fpsByDoc(d)).toMap
       val minOwner = wins.toSeq.flatMap { case (d, fps) => fps.map(_ -> d) }
         .groupMapReduce(_._1)(_._2)(math.min)
       val flaggedIds = ids.filter { d =>
