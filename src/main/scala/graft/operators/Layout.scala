@@ -62,6 +62,69 @@ object Layout {
        |SELECT z_range, COUNT(*) AS n FROM z GROUP BY z_range ORDER BY z_range""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q126
+  // Deterministic hash-sharded training-shard MANIFEST — the artifact a
+  // dataloader consumes: which shard holds which documents, in what order,
+  // with counts for scheduling and an order fingerprint for integrity.
+  //
+  // Sharding is by md5-key HASH, not by global rank: rank-sharding needs a
+  // total order (a global sort + a single-partition row_number — the exact
+  // driver-bottleneck shape this engine bans), while hash-sharding is one
+  // narrow map + one shard-keyed aggregate and still gives the two
+  // properties a training run needs — (a) a document's shard never changes
+  // under corpus growth (same stability argument as q64's md5 split), and
+  // (b) within-shard read order (by md5 key) is a deterministic global
+  // shuffle of the corpus, de-correlating neighboring source documents.
+  // Shard sizes concentrate at n/NumShards (multinomial, ±√ relative) —
+  // the manifest's n_docs/n_tokens columns are exactly what a scheduler
+  // checks that against.
+  //
+  // Scale shape: per-doc key + token count are narrow map-side work; the
+  // single shuffle is the 16-way shard aggregate. The ordered-id
+  // fingerprint uses collect_list + array_sort per shard — bounded by
+  // shard size; at 100 TB you shard to O(corpus/target-shard-bytes) shards
+  // so the per-shard list stays bounded (and the fingerprint would move to
+  // a streaming hash over the shard's file write, same value, no list).
+  // All arithmetic is md5-parity, so the manifest — including the order
+  // fingerprint — hash-matches the oracle end to end.
+  private val NumShards = 16
+
+  /** Manifest over any (doc_id, text) corpus view; see q126 scaladoc. */
+  def shardManifest(docs: DataFrame, numShards: Int = NumShards): DataFrame = {
+    val key = md5(col("doc_id").cast("string"))
+    docs
+      .select(col("doc_id"), key.as("k"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+      .withColumn("shard",
+        (conv(substring(col("k"), 1, 4), 16, 10).cast("long") % numShards).cast("int"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+        min(col("k")).as("first_key"), max(col("k")).as("last_key"),
+        graft.functions.TextFunctions.hash60(concat_ws(",",
+          transform(array_sort(collect_list(struct(col("k"), col("doc_id")))),
+            e => e.getField("doc_id").cast("string")))).as("order_fp"))
+      .orderBy(col("shard"))
+  }
+
+  private def q126(s: SparkSession, dir: String): DataFrame =
+    shardManifest(Fixtures.documents(s, dir))
+
+  private val q126Sql =
+    s"""WITH d AS (
+       |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS k,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, k, nt,
+       |    CAST(('0x' || substr(k, 1, 4))::BIGINT % $NumShards AS INT) AS shard
+       |  FROM d)
+       |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(nt) AS BIGINT) AS n_tokens,
+       |  MIN(k) AS first_key, MAX(k) AS last_key,
+       |  ('0x' || substr(md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY k, doc_id)), 1, 15))::BIGINT AS order_fp
+       |FROM sh GROUP BY shard ORDER BY shard""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
-    GraftQuery("q70_zorder_ranges", q70, Some(q70Sql)))
+    GraftQuery("q70_zorder_ranges", q70, Some(q70Sql)),
+    GraftQuery("q126_shard_manifest", q126, Some(q126Sql)))
 }

@@ -49,4 +49,31 @@ class LayoutSpec extends AnyFunSuite {
     }.max
     assert(worstYSpan <= 16, s"z-order should bound per-chunk y-span, got $worstYSpan")
   }
+
+  test("shard manifest covers the corpus, shards are stable, order fingerprint is deterministic") {
+    val dir = graft.TestSpark.sf0001
+    val m1 = graft.SparkEntry.queries("q126_shard_manifest")(spark, dir).collect()
+    val nDocs = graft.Fixtures.documents(spark, dir).count()
+    // complete partition of the corpus, no empty shards at fixture size
+    assert(m1.map(_.getAs[Long]("n_docs")).sum === nDocs)
+    assert(m1.length === 16 && m1.forall(_.getAs[Long]("n_docs") > 0))
+    // key ranges are internally consistent
+    assert(m1.forall(r => r.getAs[String]("first_key") <= r.getAs[String]("last_key")))
+    // deterministic: a rerun reproduces every manifest row incl. order_fp
+    val m2 = graft.SparkEntry.queries("q126_shard_manifest")(spark, dir).collect()
+    assert(m1.map(_.toString).toSeq === m2.map(_.toString).toSeq)
+    // shard stability under corpus growth (the q64-split argument): a
+    // manifest over HALF the corpus keeps every shard's key range inside
+    // the full manifest's range for that shard — no doc moved shards, so
+    // per-shard min/max keys can only shrink inward
+    import org.apache.spark.sql.functions._
+    val half = Layout.shardManifest(
+      graft.Fixtures.documents(spark, dir).filter(col("doc_id") % 2 === 0))
+      .select(col("shard"), col("first_key").as("f2"), col("last_key").as("l2"))
+    val fullM = Layout.shardManifest(graft.Fixtures.documents(spark, dir))
+      .select(col("shard"), col("first_key"), col("last_key"))
+    assert(fullM.join(half, "shard")
+      .filter(col("f2") < col("first_key") || col("l2") > col("last_key"))
+      .isEmpty)
+  }
 }
