@@ -327,7 +327,7 @@ object Curation {
         sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
       .filter(col("n_dup") > 0)
       .select(col("doc_id"), col("n_win"), col("n_dup"),
-        round(col("n_dup") / col("n_win"), 4).as("dup_frac"))
+        Rounding.stable(col("n_dup") / col("n_win"), 4).as("dup_frac"))
       .orderBy(col("doc_id"))
   }
 
@@ -343,7 +343,7 @@ object Curation {
        |SELECT w.doc_id,
        |  CAST(COUNT(*) AS BIGINT) AS n_win,
        |  CAST(SUM(CASE WHEN s.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
-       |  ROUND(SUM(CASE WHEN s.nd >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) AS dup_frac
+       |  floor(SUM(CASE WHEN s.nd >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS dup_frac
        |FROM w JOIN s USING (fp)
        |GROUP BY 1 HAVING CAST(SUM(CASE WHEN s.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) > 0
        |ORDER BY doc_id""".stripMargin
@@ -450,7 +450,7 @@ object Curation {
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
       .select(col("doc_id"), col("n_chunks"), col("n_dup"),
-        round(col("n_dup") / col("n_chunks"), 4).as("dup_frac"))
+        Rounding.stable(col("n_dup") / col("n_chunks"), 4).as("dup_frac"))
       .orderBy(col("doc_id"))
   }
 
@@ -490,7 +490,7 @@ object Curation {
        |perfp AS (SELECT fp, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY 1)
        |SELECT ch.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
        |  CAST(SUM(CASE WHEN perfp.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
-       |  ROUND(SUM(CASE WHEN perfp.nd >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) AS dup_frac
+       |  floor(SUM(CASE WHEN perfp.nd >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS dup_frac
        |FROM ch JOIN perfp USING (fp)
        |GROUP BY 1 ORDER BY doc_id""".stripMargin
 
@@ -610,7 +610,7 @@ object Curation {
       .agg(count(lit(1)).as("n_win"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
       .filter(col("n_hit") > 0)
       .select(col("doc_id"), col("n_win"), col("n_hit"),
-        round(col("n_hit") / col("n_win"), 4).as("contam_frac"))
+        Rounding.stable(col("n_hit") / col("n_win"), 4).as("contam_frac"))
       .orderBy(col("doc_id"))
   }
 
@@ -630,7 +630,7 @@ object Curation {
        |SELECT e.doc_id,
        |  CAST(COUNT(*) AS BIGINT) AS n_win,
        |  CAST(SUM(CASE WHEN t.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
-       |  ROUND(SUM(CASE WHEN t.fp IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) AS contam_frac
+       |  floor(SUM(CASE WHEN t.fp IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS contam_frac
        |FROM e LEFT JOIN t ON e.fp = t.fp
        |GROUP BY 1 HAVING CAST(SUM(CASE WHEN t.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) > 0
        |ORDER BY doc_id""".stripMargin

@@ -94,7 +94,7 @@ object Layout {
     val key = md5(col("doc_id").cast("string"))
     docs
       .select(col("doc_id"), key.as("k"),
-        size(split(col("text"), " ")).cast("long").as("nt"))
+        size(graft.functions.TextFunctions.wsTokens(col("text"))).cast("long").as("nt"))
       .withColumn("shard",
         (conv(substring(col("k"), 1, 4), 16, 10).cast("long") % numShards).cast("int"))
       .groupBy(col("shard"))

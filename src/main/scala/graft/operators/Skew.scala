@@ -94,6 +94,20 @@ object Skew {
   def hotSaltedJoin(probe: DataFrame, build: DataFrame, keyCol: String,
       saltFactor: Int, hotThreshold: Long,
       disambiguator: Option[Column] = None): DataFrame = {
+    val (salted, replicated) =
+      hotSaltedSides(probe, build, keyCol, saltFactor, hotThreshold, disambiguator)
+    salted.join(replicated, Seq(keyCol, "__salt")).drop("__salt")
+  }
+
+  /** The two salted inputs of [[hotSaltedJoin]], exposed so the replication
+    * accounting is testable directly (the JOIN result is invariant even
+    * under a replication bug — cold probe rows only ever match salt 0 — so
+    * SkewSpec pins |replicated| = |cold build| + saltFactor·|hot build| on
+    * this frame, not on the join output).
+    */
+  private[graft] def hotSaltedSides(probe: DataFrame, build: DataFrame,
+      keyCol: String, saltFactor: Int, hotThreshold: Long,
+      disambiguator: Option[Column] = None): (DataFrame, DataFrame) = {
     require(saltFactor > 1, "saltFactor must be > 1")
     require(hotThreshold > 0, "hotThreshold must be > 0")
     val hot = probe.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
@@ -109,7 +123,7 @@ object Skew {
         explode(when(isHot, sequence(lit(0), lit(saltFactor - 1)))
           .otherwise(array(lit(0)))))
       .drop("__hot")
-    salted.join(replicated, Seq(keyCol, "__salt")).drop("__salt")
+    (salted, replicated)
   }
 
   // ---------------------------------------------------------------- q125

@@ -107,11 +107,17 @@ class SkewSpec extends AnyFunSuite {
       .select(pmod(xxhash64(col("k"), col("payload")), lit(8L)).as("s"))
       .distinct().count()
     assert(salts >= 6, s"hot key spread over only $salts of 8 salt buckets")
-    // replication accounting: a 1-row build side against a cold-only probe
-    // must not replicate (salted output rows == direct output rows already
-    // pinned by the multiset check above; here pin the cold-path shape)
+    // replication accounting pinned on the REPLICATED FRAME itself — the
+    // join output is invariant even if cold build rows were wrongly
+    // replicated (cold probe rows only match salt 0), so count the frame:
+    // 2 hot keys (0 and 1) replicate 8×, the 500 cold build rows once
+    val (_, replicated) = Skew.hotSaltedSides(probe, build, "k",
+      saltFactor = 8, hotThreshold = 1000L)
+    assert(replicated.count() === 500 + 2 * 8)
+    // and a cold-only probe must replicate nothing at all
     val coldProbe = probe.filter(col("k") >= 2)
-    val coldDirect = coldProbe.join(build, "k").count()
-    assert(Skew.hotSaltedJoin(coldProbe, build, "k", 8, 1000L).count() === coldDirect)
+    val (_, coldRepl) = Skew.hotSaltedSides(coldProbe, build, "k",
+      saltFactor = 8, hotThreshold = 1000L)
+    assert(coldRepl.count() === build.count())
   }
 }
