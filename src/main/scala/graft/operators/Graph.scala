@@ -54,10 +54,11 @@ import org.apache.spark.storage.StorageLevel
   * so the loop may stop and return the fixed point as the result of ALL
   * remaining iterations — the same no-change halting rule as Pregel's
   * vote-to-halt, made sound by exactness (a float tolerance would change
-  * the declared semantics; equality does not). The probe is a vertex-sized
-  * join + `limit(1).count()` per round — negligible next to the edge join
-  * it can save. Iteration 1 needs no score join at all: every source holds
-  * exactly `init`.
+  * the declared semantics; equality does not). The probe is FUSED into the
+  * superstep: the previous round joins back on the constant in-mass node
+  * set and an `observe()` metric counts changed rows during the
+  * localCheckpoint job itself — zero extra actions per round. Iteration 1
+  * needs no score join at all: every source holds exactly `init`.
   */
 object Graph {
 
@@ -74,7 +75,11 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     if (iters <= 0) return nodes.withColumn("score", lit(init))
     // out-degree rides on every edge row so the per-iteration join is a
-    // single equi-join on src (not edges⨝deg⨝scores).
+    // single equi-join on src (not edges⨝deg⨝scores). No pre-partitioning
+    // by src: at fixture scale AQE broadcasts the vertex-sized in-mass
+    // side, so the persisted edge table is never reshuffled per round
+    // anyway; at cluster scale, bucket the edge table by src to get the
+    // same exchange reuse durably.
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val ed = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -90,23 +95,27 @@ object Graph {
     var it = 1
     var fixed = false
     while (it < iters && !fixed) {
+      // Exact fixed-point probe FUSED into the round's materialization: the
+      // previous round joins back on (the constant) in-mass node set and an
+      // observe() metric counts changed rows while the localCheckpoint job
+      // runs — one action per superstep instead of checkpoint + probe.
+      // `<=>` tolerates the (impossible) null anyway; `prev` is projected
+      // away before the checkpoint so the carried state stays (node, inmass).
+      val obs = org.apache.spark.sql.Observation()
       val next = ed
         .join(inmass.select(col("node").as("src"), col("inmass").as("im")),
           Seq("src"), "left")
         .select(col("dst").as("node"),
           expr(s"((($base + coalesce(im, 0L)) div deg) * 85) div 100").as("c"))
         .groupBy("node").agg(sum("c").as("inmass"))
-        .localCheckpoint()
-      // Exact fixed-point probe over the two checkpointed rounds. The
-      // in-mass key set is the constant set of nodes with in-edges, so an
-      // inner join covers every row; `<=>` tolerates the (impossible) null
-      // anyway.
-      val changed = next
         .join(inmass.select(col("node"), col("inmass").as("prev")), Seq("node"))
-        .where(!(col("inmass") <=> col("prev"))).limit(1).count()
+        .observe(obs, sum(when(!(col("inmass") <=> col("prev")), 1L)
+          .otherwise(0L)).as("changed"))
+        .drop("prev")
+        .localCheckpoint()
       inmass = next
       it += 1
-      fixed = changed == 0L
+      fixed = obs.get("changed").asInstanceOf[Long] == 0L
     }
     nodes.join(inmass, Seq("node"), "left")
       .select(col("node"),
