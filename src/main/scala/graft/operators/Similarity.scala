@@ -355,9 +355,9 @@ object Similarity {
       .select(col("sub"), col("vec_id").cast("int").as("code"), col("sv").as("cent"),
         graft.functions.VectorDot.dot(col("sv"), col("sv")).as("cn2"))
       .persist()
+    val vmean = udaf(new graft.functions.VectorMean(9),
+      org.apache.spark.sql.Encoders.product[graft.functions.VecIn])
     for (_ <- 1 to iters) {
-      val vmean = udaf(new graft.functions.VectorMean(9),
-        org.apache.spark.sql.Encoders.product[graft.functions.VecIn])
       cb = assignCodes(svTrain, cb)
         .join(svTrain, Seq("vec_id", "sub"))
         .groupBy(col("sub"), col("code"))
