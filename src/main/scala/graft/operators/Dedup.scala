@@ -402,31 +402,42 @@ object Dedup {
         s"${System.getProperty("java.io.tmpdir")}/graft-ckpt")
     // canonical undirected edges (hi > lo), self-loops dropped; checkpointed
     // so rounds don't re-derive the upstream pipeline (minhash + verify)
-    var e = edges.select(greatest(col("a"), col("b")).as("hi"),
-        least(col("a"), col("b")).as("lo"))
-      .filter(col("hi") =!= col("lo")).distinct().checkpoint()
-    // convergence = edge-set signature stable across a full round (one tiny
-    // aggregate per round — the same driver-side action any iterative
-    // fixpoint needs)
-    def sig(df: DataFrame): (Long, Long) = {
-      // bit_xor, not sum: xor of 64-bit hashes can't overflow (ANSI mode)
-      val r = df.select(xxhash64(col("hi"), col("lo")).as("h"))
-        .agg(count(lit(1)), coalesce(expr("bit_xor(h)"), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
+    // Convergence = edge-set signature stable across a full round. The
+    // (count, bit_xor-of-hash) signature is FUSED into each round's
+    // checkpoint materialization via observe() — the metrics aggregate
+    // rides the checkpoint job, so a round is ONE action, not
+    // checkpoint + signature scan (same fusion as Graph.pagerank's probe).
+    // bit_xor, not sum: xor of 64-bit hashes can't overflow (ANSI mode).
+    def withSig(df: DataFrame): (DataFrame, org.apache.spark.sql.Observation) = {
+      val obs = org.apache.spark.sql.Observation()
+      val out = df
+        .withColumn("__h", xxhash64(col("hi"), col("lo")))
+        .observe(obs, count(lit(1)).as("cnt"),
+          coalesce(expr("bit_xor(__h)"), lit(0L)).as("xr"))
+        .drop("__h")
+        .checkpoint()
+      (out, obs)
     }
-    var prev = sig(e)
+    def sigOf(obs: org.apache.spark.sql.Observation): (Long, Long) =
+      (obs.get("cnt").asInstanceOf[Long], obs.get("xr").asInstanceOf[Long])
+    val (e0, obs0) = withSig(edges
+      .select(greatest(col("a"), col("b")).as("hi"),
+        least(col("a"), col("b")).as("lo"))
+      .filter(col("hi") =!= col("lo")).distinct())
+    var e = e0
+    var prev = sigOf(obs0)
     var rounds = 0
     var converged = false
     val maxRounds = 64
     while (!converged && rounds < maxRounds) {
-      val next = smallStar(largeStar(e)).checkpoint()
-      val cur = sig(next)
-      // The (count, xor-of-hash) signature is a cheap screen; on a signature
-      // HIT, confirm with an exact set compare before declaring fixpoint —
-      // a colliding pair of distinct consecutive edge sets must not
-      // terminate the loop early with wrong labels. At fixpoint both sides
-      // are the same checkpointed star edges, so the except is one cheap
-      // hash-join over already-materialized data, paid once.
+      val (next, obs) = withSig(smallStar(largeStar(e)))
+      val cur = sigOf(obs)
+      // The signature is a cheap screen; on a signature HIT, confirm with
+      // an exact set compare before declaring fixpoint — a colliding pair
+      // of distinct consecutive edge sets must not terminate the loop early
+      // with wrong labels. At fixpoint both sides are the same checkpointed
+      // star edges, so the except is one cheap hash-join over
+      // already-materialized data, paid once.
       converged = cur == prev && next.exceptAll(e).isEmpty
       prev = cur
       e = next
