@@ -71,7 +71,8 @@ object SpanDedupStream {
     val flagged = marked.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_win"),
         sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup"))
-      .withColumn("dup_frac", round(col("n_dup") / col("n_win"), 4))
+      .withColumn("dup_frac",
+        graft.functions.Rounding.stable(col("n_dup") / col("n_win"), 4))
       .filter(col("n_dup") / col("n_win") >= threshold)
       .localCheckpoint() // consumed twice; decouples from the dirs below
 
