@@ -312,4 +312,32 @@ class PlanSpec extends AnyFunSuite {
             s"broadcast side is a 1-row scalar):\n${p.take(1200)}")
     }
   }
+
+  test("q125: both hot-key set joins broadcast; no shuffle of the probe against the hot set") {
+    // the hot set is bounded by |probe| / hotThreshold keys — the whole
+    // point is that marking hot rows costs a broadcast lookup, not an
+    // exchange of the probe/build sides against it
+    val p = planOf("q125_skew_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"hot-set marking on both sides must be broadcast joins:\n${p.take(1500)}")
+  }
+
+  test("q126: shard manifest reads documents exactly once") {
+    val p = planOf("q126_shard_manifest")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"the manifest is one narrow map + one shard-keyed aggregate:\n${p.take(1500)}")
+  }
+
+  test("q124: chunk inventory is cached once and shared by both dup-accounting consumers") {
+    // the per-fp count and the join back must read the SAME persisted chunk
+    // inventory (two InMemoryTableScans over one InMemoryRelation), and the
+    // cached subtree itself holds the only corpus reads — the boundary pass
+    // and the chunk assembly, 2 scans, rendered once per cache consumer in
+    // the plan string (hence ≤ 4 textual occurrences, 2 real reads)
+    val p = planOf("q124_cdc_dedup")
+    assert("InMemoryTableScan".r.findAllIn(p).size == 2,
+      s"both consumers must share the cached chunk inventory:\n${p.take(1500)}")
+    assert("Scan parquet".r.findAllIn(p).size <= 4,
+      s"cut derivation must not re-scan the corpus per consumer:\n${p.take(1500)}")
+  }
 }
