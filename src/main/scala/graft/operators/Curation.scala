@@ -675,6 +675,57 @@ object Curation {
        |  ROUND((POW(n_tokens, $MixAlpha) / wsum) / (n_tokens / tot), 4) AS repeat_factor
        |FROM per, tot ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q127
+  // Mixture-realizing read order: weighted-fair (virtual-time) interleave
+  // of sources — the step between q103's mixture TABLE and an actual
+  // dataloader schedule. Each source's documents are ranked by md5 key
+  // (the q85/q126 deterministic-shuffle order); document rn of source s is
+  // scheduled at virtual time vt = rn·10¹² div w_s, and the global read
+  // order is ascending vt — classic WFQ/virtual-time scheduling, which
+  // realizes per-source throughput ∝ w_s in every schedule prefix (±1 doc
+  // per source, the standard WFQ fairness bound). Weights here are
+  // w_s = ⌊√tokens_s⌋ — a √-smoothed mixture of the same shape q103's
+  // α = 0.5 smoothing produces, kept INTEGER (and IEEE-sqrt exact) so vt is
+  // BIGINT floor arithmetic and both engines order identically; ties are
+  // impossible in the (vt, source, rn) total order.
+  //
+  // Scale shape: per-source token totals are a tiny aggregate; ranking is
+  // one WindowExec partitioned by source (never global); vt is a narrow
+  // map over a broadcast weight table; the top-ScheduleK selection is a
+  // TakeOrdered, not a global sort. The full schedule at 100 TB is the
+  // same plan with the limit replaced by a range-partitioned write on vt.
+  private val ScheduleK = 200
+  private def q127(s: SparkSession, dir: String): DataFrame = {
+    val docs = Fixtures.documents(s, dir)
+    val weights = docs
+      .groupBy(col("source"))
+      .agg(sum(size(wsTokens(col("text")))).cast("long").as("nt"))
+      .select(col("source"), floor(sqrt(col("nt"))).cast("long").as("w"))
+    val ranked = docs
+      .select(col("doc_id"), col("source"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))).cast("long"))
+    ranked.join(broadcast(weights), "source")
+      .withColumn("vt", expr("(rn * 1000000000000) div w"))
+      .select(col("doc_id"), col("source"), col("rn"), col("vt"))
+      .orderBy(col("vt"), col("source"), col("rn"))
+      .limit(ScheduleK)
+  }
+
+  private val q127Sql =
+    s"""WITH per AS (
+       |  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS nt
+       |  FROM documents GROUP BY 1),
+       |w AS (SELECT source, CAST(FLOOR(SQRT(nt)) AS BIGINT) AS w FROM per),
+       |r AS (
+       |  SELECT doc_id, source,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+       |  FROM documents)
+       |SELECT r.doc_id, r.source, r.rn, (r.rn * 1000000000000) // w.w AS vt
+       |FROM r JOIN w USING (source)
+       |ORDER BY vt, source, rn LIMIT $ScheduleK""".stripMargin
+
   // ---------------------------------------------------------------- q85
   // Deterministic EXACT-k per-stratum sample: rank documents inside each
   // language by md5(doc_id) and keep the first k — the fixed-size eval-set
@@ -744,5 +795,6 @@ object Curation {
     GraftQuery("q103_mixture_weights", q103, Some(q103Sql)),
     GraftQuery("q104_decontamination", q104, Some(q104Sql)),
     GraftQuery("q105_span_scrub", q105, Some(q105Sql)),
-    GraftQuery("q124_cdc_dedup", q124, Some(q124Sql)))
+    GraftQuery("q124_cdc_dedup", q124, Some(q124Sql)),
+    GraftQuery("q127_mixture_schedule", q127, Some(q127Sql)))
 }

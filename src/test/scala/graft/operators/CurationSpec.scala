@@ -159,6 +159,39 @@ class CurationSpec extends AnyFunSuite {
       s"${missing.size} post-first chunks of A vanished after a prefix edit")
   }
 
+  test("mixture schedule interleaves sources in weight proportion (WFQ fairness bound)") {
+    import spark.implicits._
+    val sched = SparkEntry.queries("q127_mixture_schedule")(spark, dir).collect()
+    assert(sched.length === 200)
+    // deterministic: same schedule on rerun
+    val again = SparkEntry.queries("q127_mixture_schedule")(spark, dir).collect()
+    assert(sched.map(_.toString).toSeq === again.map(_.toString).toSeq)
+    // WFQ property: at the schedule's vt horizon V, source s has delivered
+    // floor(V·w/1e12) docs (capped by its corpus), within the ±1 discrete
+    // bound plus the cut-mid-tick tolerance of a count-based prefix
+    val w = Fixtures.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " "))).cast("long").as("nt"))
+      .select(col("source"), floor(sqrt(col("nt"))).cast("long").as("w"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nPerSource = Fixtures.documents(spark, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val horizon = sched.map(_.getAs[Long]("vt")).max
+    val got = sched.groupBy(_.getAs[String]("source")).view.mapValues(_.length.toLong)
+    for ((s, ws) <- w) {
+      val ideal = math.min(nPerSource(s), horizon * ws / 1000000000000L)
+      val g = got.getOrElse(s, 0L)
+      assert(math.abs(g - ideal) <= 2,
+        s"source $s delivered $g docs at horizon $horizon, fluid ideal $ideal")
+    }
+    // within-source order is the md5-rank order: rn values are 1..k contiguous
+    for ((s, rows) <- sched.groupBy(_.getAs[String]("source"))) {
+      val rns = rows.map(_.getAs[Long]("rn")).sorted
+      assert(rns === (1L to rns.length).toArray, s"source $s schedule skips ranks")
+    }
+  }
+
   test("CDC dedup flags identical-text documents at dup_frac 1.0") {
     val out = SparkEntry.queries("q124_cdc_dedup")(spark, dir)
     // exact-duplicate fixture docs (the q14 groups) share every chunk
