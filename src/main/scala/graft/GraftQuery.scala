@@ -38,5 +38,6 @@ object GraftQuery {
       operators.Graph.queries ++
       operators.Funnel.queries ++
       operators.Clustering.queries ++
-      operators.Skew.queries
+      operators.Skew.queries ++
+      operators.Winnow.queries
 }

@@ -348,6 +348,48 @@ object Curation {
        |GROUP BY 1 HAVING CAST(SUM(CASE WHEN s.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) > 0
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q130
+  // Cross-source duplicated-span matrix: which SOURCE pairs share exact
+  // SubWidth-token windows, and how many distinct windows each pair shares.
+  // The corpus-audit view of q102 — per-document dup fractions say HOW MUCH
+  // is duplicated; this says WHERE it flows between ingestion sources
+  // (mirror detection, syndication, cross-crawl contamination), which is
+  // what decides whether to drop a source or dedup against it.
+  //
+  // Scale shape: rides the same linear windowFps pass, then collapses to
+  // DISTINCT (source, fp) — at most |sources| rows per fingerprint — before
+  // any pairwise work. The fp self-join fans out ≤ |sources|² per
+  // fingerprint (sources are a catalog-sized dimension, not data-sized), so
+  // the matrix costs one fp-keyed shuffle over the deduped pairs; no
+  // all-pairs document work anywhere. Fingerprints feed counts/joins only
+  // (xxhash64 here, md5 in the oracle — the q102 accepted-risk class).
+  private def q130(s: SparkSession, dir: String): DataFrame = {
+    val docs = Fixtures.documents(s, dir)
+    val srcFps = windowFps(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("source"), col("fp")).distinct()
+    srcFps.as("a").join(srcFps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared_windows"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  private val q130Sql =
+    s"""WITH t AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $SubWidth),
+       |w AS (
+       |  SELECT DISTINCT source,
+       |    ('0x' || substr(md5(array_to_string(list_slice(toks, start + 1, start + $SubWidth), ' ')), 1, 15))::BIGINT AS fp
+       |  FROM (SELECT source, toks, unnest(generate_series(0, len(toks) - $SubWidth)) AS start
+       |        FROM t))
+       |SELECT a.source AS src_a, b.source AS src_b,
+       |  CAST(COUNT(*) AS BIGINT) AS n_shared_windows
+       |FROM w a JOIN w b ON a.fp = b.fp AND a.source < b.source
+       |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin
+
   // ---------------------------------------------------------------- q124
   // Windowed content-defined chunking (CDC) + per-document chunk-dup
   // accounting. q101's fixed-stride windows shift ALL downstream chunk
@@ -796,5 +838,6 @@ object Curation {
     GraftQuery("q104_decontamination", q104, Some(q104Sql)),
     GraftQuery("q105_span_scrub", q105, Some(q105Sql)),
     GraftQuery("q124_cdc_dedup", q124, Some(q124Sql)),
-    GraftQuery("q127_mixture_schedule", q127, Some(q127Sql)))
+    GraftQuery("q127_mixture_schedule", q127, Some(q127Sql)),
+    GraftQuery("q130_source_span_matrix", q130, Some(q130Sql)))
 }

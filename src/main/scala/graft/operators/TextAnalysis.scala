@@ -900,8 +900,60 @@ object TextAnalysis {
       |WHERE b.c_xy >= 5
       |ORDER BY pmi DESC, b.w1, b.w2 LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- q131
+  // Tokenizer OOV rate per source against a frequency-induced vocabulary:
+  // vocab = the top-V tokens of the GLOBAL occurrence histogram (count
+  // desc, token asc — a total order, so the cut is deterministic in both
+  // engines); per source, the fraction of token OCCURRENCES falling outside
+  // it. The coverage complement to q116 (fertility says how finely a
+  // tokenizer splits; OOV says what its vocab misses per source) and to
+  // q120 (set-level vocabulary jaccard, occurrence-blind).
+  //
+  // Shape: ONE token-scale aggregate — per-(source, token) counts, persisted
+  // vocab-sized (|sources|·|vocab|-bounded); the global histogram and top-V
+  // cut fold FROM that aggregate (map-side combinable, no second corpus
+  // scan), and the vocab is a broadcast left join. At 100 TB the corpus is
+  // touched once and everything after is catalog-sized.
+  private val OovVocab = 20
+
+  private def q131(s: SparkSession, dir: String): DataFrame = {
+    val perSrcTok = Fixtures.documents(s, dir)
+      .select(col("source"), explode(wsTokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n"))
+      .persist() // read twice (vocab induction + per-source rollup); tiny —
+                 // bounded by |sources| × |vocabulary|
+    val vocab = perSrcTok.groupBy(col("tok")).agg(sum(col("n")).as("c"))
+      .orderBy(col("c").desc, col("tok").asc).limit(OovVocab)
+      .select(col("tok"), lit(1).as("in_v"))
+    perSrcTok.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_tokens"),
+        sum(when(col("in_v").isNull, col("n")).otherwise(0L)).as("n_oov"))
+      .select(col("source"), col("n_tokens"), col("n_oov"),
+        graft.functions.Rounding.stable(col("n_oov") / col("n_tokens"), 4).as("oov_rate"))
+      .orderBy(col("source"))
+  }
+
+  private val q131Sql =
+    s"""WITH st AS (
+       |  SELECT source, tok, COUNT(*) AS n FROM (
+       |    SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  GROUP BY 1, 2),
+       |v AS (
+       |  SELECT tok FROM (
+       |    SELECT tok, SUM(n) AS c FROM st GROUP BY 1
+       |    ORDER BY c DESC, tok ASC LIMIT $OovVocab))
+       |SELECT st.source,
+       |  CAST(SUM(st.n) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(CASE WHEN v.tok IS NULL THEN st.n ELSE 0 END) AS BIGINT) AS n_oov,
+       |  floor(SUM(CASE WHEN v.tok IS NULL THEN st.n ELSE 0 END) * 1.0
+       |        / SUM(st.n) * 10000.0 + 0.5) / 10000.0 AS oov_rate
+       |FROM st LEFT JOIN v ON v.tok = st.tok
+       |GROUP BY 1 ORDER BY source""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q120_source_overlap", q120, Some(q120Sql)),
+    GraftQuery("q131_oov_rate", q131, Some(q131Sql)),
     GraftQuery("q122_pmi_collocations", q122, Some(q122Sql)),
     GraftQuery("q115_lang_consistency", q115, Some(q115Sql)),
     GraftQuery("q116_tokenizer_fertility", q116, Some(q116Sql)),

@@ -340,4 +340,28 @@ class PlanSpec extends AnyFunSuite {
     assert("InMemoryTableScan".r.findAllIn(p).size == 2,
       s"both consumers must share the cached chunk inventory:\n${p.take(1500)}")
   }
+
+  test("q128: both fingerprint consumers share the cached minimizer pass (one corpus read)") {
+    // per-v40 doc counts + per-doc rollup must read the SAME persisted
+    // selection — the k-gram digest + window-min pass never runs twice
+    val p = planOf("q128_winnow_fingerprints")
+    assert("InMemoryTableScan".r.findAllIn(p).size == 2,
+      s"both consumers must share the cached minimizers:\n${p.take(1500)}")
+  }
+
+  test("q129/q130: candidate joins are equi hash joins, never nested loops") {
+    for (name <- Seq("q129_edit_near_dup", "q130_source_span_matrix")) {
+      val p = planOf(name)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$name must join candidates on the fingerprint key:\n${p.take(1500)}")
+    }
+  }
+
+  test("q131: vocab side broadcasts; corpus aggregated once behind the cache") {
+    val p = planOf("q131_oov_rate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the top-V vocab must broadcast, not shuffle the token aggregate:\n${p.take(1500)}")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      s"vocab induction and the rollup must share the cached (source, token) aggregate:\n${p.take(1500)}")
+  }
 }
