@@ -163,6 +163,107 @@ object Graph {
       "\nSELECT node, score FROM it5 ORDER BY score DESC, node"
   }
 
+  // ---------------------------------------------------------------- q133
+  // Degree-oriented triangle counting over the customer co-purchase graph —
+  // the clustering-coefficient backbone (community density, spam-farm and
+  // collusion detection on interaction graphs; for corpora, the same
+  // operator runs on the near-dup candidate graph to find boilerplate
+  // cliques). Edge (a, b) when two customers ordered the same part; parts
+  // with more than TriCap distinct buyers are excluded (the declared
+  // hot-item guardrail every bipartite co-occurrence projection needs —
+  // one part with 10⁶ buyers would otherwise emit 10¹² edges).
+  //
+  // The algorithm is the MapReduce-classic orientation trick (Suri &
+  // Vassilvitskii 2011 / Cohen 2009): direct every edge from the
+  // lower-(degree, id) endpoint to the higher, so each triangle is counted
+  // exactly once from its lowest-rank vertex and wedge generation per node
+  // is bounded by OUT-degree ≤ O(√m) — a hot vertex's in-edges never pair.
+  // Both wedge-build and closure are equi hash joins (on src, then on the
+  // (v, w) pair); per-node counts explode 3 rows per triangle and fold in
+  // one map-side-combinable aggregate; top-20 is a TakeOrderedAndProject.
+  // Rank packs as deg·10⁹ + node (node ids < 10⁹), a single BIGINT both
+  // engines order identically.
+  private val TriCap = 20
+
+  /** Per-node triangle counts over an undirected edge list `(x, y)` with
+    * x < y, distinct, no self-loops. Degree-oriented exactly-once counting
+    * (see q133 scaladoc); returns `(node, n_tri)` for nodes in ≥1 triangle.
+    */
+  private[graft] def triangleCounts(edgesIn: DataFrame): DataFrame = {
+    val edges = edgesIn.persist() // read thrice: degrees + both orientation joins
+    val deg = edges.select(col("x").as("n")).union(edges.select(col("y")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val dir0 = edges
+      .join(deg.select(col("n").as("x"), col("d").as("dx")), Seq("x"))
+      .join(deg.select(col("n").as("y"), col("d").as("dy")), Seq("y"))
+      .select((col("dx") * 1000000000L + col("x")).as("rx"),
+        (col("dy") * 1000000000L + col("y")).as("ry"), col("x"), col("y"))
+    val dirE = dir0.select(
+        when(col("rx") < col("ry"), col("x")).otherwise(col("y")).as("u"),
+        when(col("rx") < col("ry"), col("y")).otherwise(col("x")).as("v"),
+        greatest(col("rx"), col("ry")).as("rv"))
+      .persist() // read thrice: two wedge sides + the closure probe
+    val tri = dirE.as("e1").join(dirE.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.rv") < col("e2.rv"))
+      .select(col("e1.u").as("ta"), col("e1.v").as("tb"), col("e2.v").as("tc"))
+      .join(dirE.as("e3"),
+        col("tb") === col("e3.u") && col("tc") === col("e3.v"))
+      .select(col("ta"), col("tb"), col("tc"))
+    tri.select(explode(array(col("ta"), col("tb"), col("tc"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+  }
+
+  private def q133(s: SparkSession, dir: String): DataFrame = {
+    // Bipartite projection WITHOUT a self-join: one collect_set aggregate
+    // per part (the same shuffle the cap filter needs anyway), then the
+    // ≤ TriCap² ordered pairs per part unfold in a narrow HOF projection —
+    // per-part work is cap-bounded by construction, so the lambda is safe
+    // from the q124 HOF-collapse trap and the only remaining shuffle is the
+    // cross-part edge distinct.
+    val parts = Fixtures.lineitem(s, dir).select(col("l_partkey").as("p"), col("l_orderkey"))
+      .join(Fixtures.orders(s, dir).select(col("o_orderkey"), col("o_custkey").as("c")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("p")).agg(sort_array(collect_set(col("c").cast("long"))).as("cs"))
+      .filter(size(col("cs")) >= 2 && size(col("cs")) <= TriCap)
+    val edges = parts.select(explode(flatten(transform(
+        sequence(lit(0), size(col("cs")) - 2),
+        i => transform(slice(col("cs"), i + 2, size(col("cs")) - i - 1),
+          cb => struct(element_at(col("cs"), i + 1).as("x"), cb.as("y"))))))
+        .as("e"))
+      .select(col("e.x").as("x"), col("e.y").as("y")).distinct()
+    triangleCounts(edges)
+      .orderBy(col("n_tri").desc, col("node"))
+      .limit(20)
+  }
+
+  private val q133Sql =
+    s"""WITH pc AS (
+       |  SELECT DISTINCT l_partkey AS p, o_custkey AS c
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |ok AS (SELECT p FROM pc GROUP BY p HAVING COUNT(*) BETWEEN 2 AND $TriCap),
+       |e AS (
+       |  SELECT DISTINCT a.c AS x, b.c AS y
+       |  FROM pc a JOIN pc b ON a.p = b.p AND a.c < b.c
+       |  JOIN ok ON ok.p = a.p),
+       |deg AS (
+       |  SELECT n, COUNT(*) AS d FROM (
+       |    SELECT x AS n FROM e UNION ALL SELECT y FROM e) GROUP BY 1),
+       |dir AS (
+       |  SELECT CASE WHEN dx.d * 1000000000 + x < dy.d * 1000000000 + y THEN x ELSE y END AS u,
+       |         CASE WHEN dx.d * 1000000000 + x < dy.d * 1000000000 + y THEN y ELSE x END AS v,
+       |         greatest(dx.d * 1000000000 + x, dy.d * 1000000000 + y) AS rv
+       |  FROM e JOIN deg dx ON dx.n = e.x JOIN deg dy ON dy.n = e.y),
+       |tri AS (
+       |  SELECT e1.u AS ta, e1.v AS tb, e2.v AS tc
+       |  FROM dir e1 JOIN dir e2 ON e1.u = e2.u AND e1.rv < e2.rv
+       |  JOIN dir e3 ON e3.u = e1.v AND e3.v = e2.v)
+       |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+       |  SELECT ta AS node FROM tri
+       |  UNION ALL SELECT tb FROM tri
+       |  UNION ALL SELECT tc FROM tri)
+       |GROUP BY 1 ORDER BY n_tri DESC, node LIMIT 20""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
-    GraftQuery("q117_pagerank", q117, Some(q117Sql)))
+    GraftQuery("q117_pagerank", q117, Some(q117Sql)),
+    GraftQuery("q133_triangles", q133, Some(q133Sql)))
 }

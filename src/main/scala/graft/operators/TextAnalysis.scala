@@ -695,6 +695,84 @@ object TextAnalysis {
       |FROM documents d JOIN pr USING (doc_id)
       |GROUP BY d.lang, d.source ORDER BY d.lang, d.source""".stripMargin
 
+  // ---------------------------------------------------------------- q132
+  // DSIR-style importance resampling (Xie et al. 2023, "Data Selection for
+  // Language Models via Importance Resampling"): score every pool document
+  // by how much more likely its tokens are under a TARGET-domain unigram LM
+  // than under the pool LM, then keep probabilistically by that ratio —
+  // the principled replacement for hard domain filters when assembling a
+  // pretraining mixture around a seed corpus. Target domain here = the
+  // `src0` documents (declared); both LMs are Laplace-smoothed unigram
+  // models (the q51/q75 family).
+  //
+  // Determinism: per-token log-ratios are computed once per DISTINCT token
+  // and floor-scaled to 1e-6 BIGINT units, so the per-doc score is an
+  // exact integer SUM (order-free); the only doubles are |vocab| ln()
+  // calls shared verbatim with the oracle (the q122 PMI risk class). The
+  // keep rule is the q113 contract: clamped LINEAR probability
+  // p = clamp[0.05,0.95]((lr + A) / 2A) — transcendental-free — against
+  // the deterministic md5 coin u = hash32("dsir:"+doc_id)/2³².
+  //
+  // Scale shape: ONE per-(doc, token) aggregate off the corpus (persisted;
+  // doc-bounded), token LMs and totals fold FROM it (map-side combinable,
+  // vocab-sized + 1-row broadcasts), scores come back via a broadcast LUT
+  // join — the corpus is touched once, exactly the q131 posture.
+  private val DsirTarget = "src0"
+  private val DsirScale = 20000000L // A: linear link saturates at |lr| = 20
+
+  private def q132(s: SparkSession, dir: String): DataFrame = {
+    val dt = Fixtures.documents(s, dir)
+      .select(col("doc_id"), col("source"), explode(wsTokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("source"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .persist() // read twice: LM induction + per-doc scoring
+    val lm = dt.groupBy(col("tok"))
+      .agg(sum(col("n")).as("c_pool"),
+        sum(when(col("source") === DsirTarget, col("n")).otherwise(0L)).as("c_tgt"))
+    val totals = lm.agg(sum(col("c_pool")).as("n_pool"), sum(col("c_tgt")).as("n_tgt"),
+      count(lit(1)).as("v"))
+    val lut = lm.crossJoin(broadcast(totals))
+      .select(col("tok"), floor(
+        (log((col("c_tgt") + 1).cast("double") / (col("n_tgt") + col("v")))
+          - log((col("c_pool") + 1).cast("double") / (col("n_pool") + col("v"))))
+          * 1e6 + 0.5).cast("long").as("s6"))
+    val perDoc = dt.join(broadcast(lut), Seq("tok"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("n")).as("n_tok"), sum(col("s6") * col("n")).as("lr"))
+    val p = greatest(lit(0.05), least(lit(0.95),
+      (col("lr") + DsirScale).cast("double") / (2.0 * DsirScale)))
+    val u = conv(substring(md5(concat(lit("dsir:"), col("doc_id").cast("string"))),
+      1, 8), 16, 10).cast("long") / lit(4294967296.0)
+    perDoc.select(col("doc_id"), col("source"), col("n_tok"), col("lr"),
+      (u < p).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q132Sql =
+    s"""WITH dt AS (
+       |  SELECT doc_id, source, tok, COUNT(*) AS n FROM (
+       |    SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  GROUP BY 1, 2, 3),
+       |lm AS (
+       |  SELECT tok, SUM(n) AS c_pool,
+       |    SUM(CASE WHEN source = '$DsirTarget' THEN n ELSE 0 END) AS c_tgt
+       |  FROM dt GROUP BY 1),
+       |tot AS (SELECT SUM(c_pool) AS n_pool, SUM(c_tgt) AS n_tgt, COUNT(*) AS v FROM lm),
+       |lut AS (
+       |  SELECT tok, CAST(floor(
+       |    (ln(CAST(c_tgt + 1 AS DOUBLE) / (n_tgt + v))
+       |     - ln(CAST(c_pool + 1 AS DOUBLE) / (n_pool + v))) * 1e6 + 0.5) AS BIGINT) AS s6
+       |  FROM lm CROSS JOIN tot),
+       |pd AS (
+       |  SELECT dt.doc_id, dt.source,
+       |    CAST(SUM(dt.n) AS BIGINT) AS n_tok,
+       |    CAST(SUM(lut.s6 * dt.n) AS BIGINT) AS lr
+       |  FROM dt JOIN lut USING (tok) GROUP BY 1, 2)
+       |SELECT doc_id, source, n_tok, lr,
+       |  (('0x' || substr(md5('dsir:' || doc_id), 1, 8))::BIGINT / 4294967296.0)
+       |    < greatest(0.05, least(0.95, CAST(lr + $DsirScale AS DOUBLE) / ${2 * DsirScale}.0)) AS keep
+       |FROM pd ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q115
   // Mixed-language detection — chunk-level langid disagreement: documents
   // whose 32-token chunks do not all predict the same language (code-mixed
@@ -954,6 +1032,7 @@ object TextAnalysis {
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q120_source_overlap", q120, Some(q120Sql)),
     GraftQuery("q131_oov_rate", q131, Some(q131Sql)),
+    GraftQuery("q132_dsir_resample", q132, Some(q132Sql)),
     GraftQuery("q122_pmi_collocations", q122, Some(q122Sql)),
     GraftQuery("q115_lang_consistency", q115, Some(q115Sql)),
     GraftQuery("q116_tokenizer_fertility", q116, Some(q116Sql)),

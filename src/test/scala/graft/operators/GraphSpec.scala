@@ -83,4 +83,44 @@ class GraphSpec extends AnyFunSuite {
     assert(mn >= Base, "every node keeps at least the damping base")
     assert(total <= n * Init, "total mass must not exceed the initial mass")
   }
+
+  /** Brute-force reference: count triangles by testing every node triple
+    * against the edge set (fine at spec scale). */
+  private def refTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val es = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val nodes = es.toSeq.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val counts = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      i <- nodes.indices; j <- (i + 1) until nodes.length; k <- (j + 1) until nodes.length
+      (a, b, c) = (nodes(i), nodes(j), nodes(k))
+      if es((a, b)) && es((a, c)) && es((b, c))
+    } { counts(a) += 1; counts(b) += 1; counts(c) += 1 }
+    counts.toMap
+  }
+
+  private def triOf(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.triangleCounts(edges.toDF("x", "y"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("q133 core: per-node triangle counts equal brute force on random graphs (5 seeds)") {
+    val rnd = new scala.util.Random(7)
+    for (seed <- 1 to 5) {
+      rnd.setSeed(seed * 1000L)
+      val n = 30 + rnd.nextInt(20)
+      val edges = (for {
+        a <- 0L until n; b <- (a + 1) until n
+        if rnd.nextDouble() < 0.15
+      } yield (a, b)).toSeq
+      assert(triOf(edges) === refTriangles(edges), s"seed $seed mismatch")
+    }
+  }
+
+  test("q133 core: K4 yields 3 triangles per node; a star yields none") {
+    val k4 = for { a <- 0L to 3L; b <- (a + 1) to 3L } yield (a, b)
+    assert(triOf(k4.toSeq) === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    val star = (1L to 6L).map(i => (0L, i))
+    assert(triOf(star) === Map.empty[Long, Long])
+  }
 }

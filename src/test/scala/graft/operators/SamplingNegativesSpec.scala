@@ -29,6 +29,30 @@ class SamplingNegativesSpec extends AnyFunSuite {
     assert(again == rows)
   }
 
+  test("q132: DSIR scores rank the target domain above the pool and resampling thins") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q132_dsir_resample")(spark, dir)
+      .as[(Long, String, Long, Long, Boolean)].collect().toSeq
+    assert(rows.nonEmpty)
+    // every pool document is scored exactly once
+    assert(rows.map(_._1).distinct.size === rows.size)
+    // the importance ratio must on average prefer the declared target
+    // domain (its tokens define the target LM) over the rest of the pool
+    val (tgt, rest) = rows.partition(_._2 == "src0")
+    assert(tgt.nonEmpty && rest.nonEmpty)
+    def meanLr(xs: Seq[(Long, String, Long, Long, Boolean)]) =
+      xs.map(r => r._4.toDouble / r._3).sum / xs.size
+    assert(meanLr(tgt) > meanLr(rest),
+      "target-domain docs must score higher per token than the pool")
+    // resampling thins but never empties
+    val kept = rows.count(_._5)
+    assert(kept > 0 && kept < rows.size, s"kept $kept of ${rows.size}")
+    // deterministic: md5 coin + integer-scaled scores, bit-identical re-run
+    val again = SparkEntry.queries("q132_dsir_resample")(spark, dir)
+      .as[(Long, String, Long, Long, Boolean)].collect().toSeq
+    assert(again == rows)
+  }
+
   test("q114: every hard negative has a different label than its query") {
     import spark.implicits._
     val labels = graft.Fixtures.embeddings(spark, dir)
