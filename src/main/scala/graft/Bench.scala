@@ -137,13 +137,13 @@ object Bench {
     val short = shortKeys(results.map(_._1) ++ errors.map(_._1))
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    // Per-query values at magnitude-adaptive precision (2 dp under 10 s,
-    // 1 dp under 100 s, whole seconds above): with 120+ queries the line
+    // Per-query values at magnitude-adaptive precision (2 dp under 1 s,
+    // 1 dp under 10 s, whole seconds above): with 130+ queries the line
     // must stay inside the harness's 2 kB tail window (BenchJsonSpec pins
-    // the budget) and 10 ms resolution on a 10 s query is noise anyway; the
-    // 3-dp medians AND mins live in BENCH_DETAIL.json.
+    // the budget) and 100 ms resolution on a 10 s query is noise anyway;
+    // the 3-dp medians AND mins live in BENCH_DETAIL.json.
     def fmt2(v: Double) = {
-      val pat = if (v < 10.0) "%.2f" else if (v < 100.0) "%.1f" else "%.0f"
+      val pat = if (v < 1.0) "%.2f" else if (v < 10.0) "%.1f" else "%.0f"
       String.format(java.util.Locale.ROOT, pat, Double.box(v))
     }
     val qs = results.map { case (k, v) => jstr(short(k)) + ":" + fmt2(v) }

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
@@ -20,18 +20,32 @@ import org.apache.spark.unsafe.types.UTF8String
   * shingle = n consecutive space-separated tokens joined by ' ', distinct,
   * fewer-than-n-token documents → empty array).
   *
-  * CodegenFallback: the body is a tight single method on binary UTF-8 —
-  * the interpreted-call overhead per ROW (not per shingle) is negligible.
+  * Generates real code (one static call per row) rather than extending
+  * CodegenFallback: the body itself amortizes per shingle, but a fallback
+  * expression anywhere in a projection collapses the WHOLE stage out of
+  * whole-stage codegen and deoptimizes every sibling expression (the same
+  * lesson as [[Md5Hash60]]).
   */
 case class WordNGrams(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(n >= 1)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_ngrams"
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String]
+  override def nullSafeEval(input: Any): Any =
+    WordNGrams.evalNGrams(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordNGrams.evalNGrams($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordNGrams {
+  /** Static entry point shared by interpreted eval and generated code. */
+  def evalNGrams(s: UTF8String, n: Int): GenericArrayData = {
     val bytes = s.getBytes
     // token start offsets (single-space separated; empty string → 1 token)
     val starts = scala.collection.mutable.ArrayBuffer[Int](0)
@@ -57,11 +71,6 @@ case class WordNGrams(child: Expression, n: Int)
     new GenericArrayData(out)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-object WordNGrams {
   def distinctNGrams(c: Column, n: Int): Column =
     ColumnBridge.column(WordNGrams(ColumnBridge.expression(c), n))
 }

@@ -773,6 +773,43 @@ object TextAnalysis {
        |    < greatest(0.05, least(0.95, CAST(lr + $DsirScale AS DOUBLE) / ${2 * DsirScale}.0)) AS keep
        |FROM pd ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q134
+  // Efraimidis–Spirakis weighted reservoir sampling (A-Res, 2006): an
+  // EXACT-k sample where inclusion probability scales with document weight
+  // (here token count — the "sample by contribution to the token budget"
+  // rule). Each item draws priority u^(1/w) and the k largest win; ordering
+  // by ln(u)/w is monotone-equivalent and needs one transcendental. This is
+  // THE one-pass distributed weighted sampler: no global sort, no second
+  // scan, mergeable top-k — where q113's Bernoulli keep gives a RANDOM
+  // sample size and q85's per-stratum k ignores weights.
+  //
+  // Determinism: u is the md5 coin (h+1)/2³² ∈ (0,1] (the q64/q113
+  // contract), priorities are floor-rounded to 9 dp and the ORDER applies
+  // to the rounded value with doc_id tiebreak, so both engines rank
+  // identically (the q122 rounded-order pattern; ln ulp drift is the
+  // accepted q122/q132 risk class).
+  //
+  // Scale shape: one narrow scan → TakeOrderedAndProject (per-partition
+  // top-k, merged at the driver); nothing shuffles but k rows.
+  private val ResK = 50
+
+  private def q134(s: SparkSession, dir: String): DataFrame = {
+    val u = (conv(substring(md5(concat(lit("esam:"), col("doc_id").cast("string"))),
+      1, 8), 16, 10).cast("long") + 1L) / lit(4294967296.0)
+    Fixtures.documents(s, dir)
+      .select(col("doc_id"), size(wsTokens(col("text"))).cast("long").as("n_tok"),
+        graft.functions.Rounding.stable(log(u) / size(wsTokens(col("text"))), 9).as("pri"))
+      .orderBy(col("pri").desc, col("doc_id"))
+      .limit(ResK)
+  }
+
+  private val q134Sql =
+    s"""SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |  floor(ln((('0x' || substr(md5('esam:' || doc_id), 1, 8))::BIGINT + 1) / 4294967296.0)
+       |        / len(string_split(text, ' ')) * 1000000000.0 + 0.5) / 1000000000.0 AS pri
+       |FROM documents
+       |ORDER BY pri DESC, doc_id LIMIT $ResK""".stripMargin
+
   // ---------------------------------------------------------------- q115
   // Mixed-language detection — chunk-level langid disagreement: documents
   // whose 32-token chunks do not all predict the same language (code-mixed
@@ -1033,6 +1070,7 @@ object TextAnalysis {
     GraftQuery("q120_source_overlap", q120, Some(q120Sql)),
     GraftQuery("q131_oov_rate", q131, Some(q131Sql)),
     GraftQuery("q132_dsir_resample", q132, Some(q132Sql)),
+    GraftQuery("q134_weighted_reservoir", q134, Some(q134Sql)),
     GraftQuery("q122_pmi_collocations", q122, Some(q122Sql)),
     GraftQuery("q115_lang_consistency", q115, Some(q115Sql)),
     GraftQuery("q116_tokenizer_fertility", q116, Some(q116Sql)),

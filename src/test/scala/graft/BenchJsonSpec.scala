@@ -42,18 +42,20 @@ class BenchJsonSpec extends AnyFunSuite {
   }
 
   test("bench line is valid single-line JSON with bounded-precision values and locale-proof dots") {
-    // per-query values are magnitude-adaptive (2 dp < 10 s, 1 dp < 100 s,
-    // whole seconds above — line-length budget: 120+ queries must fit the
+    // per-query values are magnitude-adaptive (2 dp < 1 s, 1 dp < 10 s,
+    // whole seconds above — line-length budget: 130+ queries must fit the
     // tail window; 3-dp detail lives in BENCH_DETAIL.json), the total stays
     // 3 dp.
     val line = lineFor(Seq("q1_filter_agg", "q2_group_agg"))
     assert(!line.contains("\n"))
     assert(line.contains("\"q1\":123"), line)
     assert(line.contains("\"value\":246.914"), line)
+    val sub1 = Bench.renderJson(Seq("q1_filter_agg" -> 0.23456), Seq.empty, 3, "/dir")
+    assert(sub1.contains("\"q1\":0.23"), sub1)
     val sub10 = Bench.renderJson(Seq("q1_filter_agg" -> 1.23456), Seq.empty, 3, "/dir")
-    assert(sub10.contains("\"q1\":1.23"), sub10)
+    assert(sub10.contains("\"q1\":1.2"), sub10)
     val sub100 = Bench.renderJson(Seq("q1_filter_agg" -> 12.3456), Seq.empty, 3, "/dir")
-    assert(sub100.contains("\"q1\":12.3"), sub100)
+    assert(sub100.contains("\"q1\":12"), sub100)
     assert(!line.contains("123".concat(",46")), "decimal comma would break JSON parsing")
     // minimal structural parse without a JSON library: balanced braces,
     // expected top-level keys present

@@ -40,6 +40,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
   }
 
+  test("q134: weighted reservoir is one narrow scan + TakeOrderedAndProject (no shuffle, no sort)") {
+    val p = planOf("q134_weighted_reservoir")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(!p.contains("Exchange hashpartitioning") && !p.contains("Exchange rangepartitioning"),
+      s"the one-pass sampler must not shuffle:\n${p.take(1200)}")
+  }
+
   test("q4: latest-by-key aggregates in two phases (map-side partial)") {
     // max_by carries a string in its buffer, so Spark picks SortAggregate
     // (strings aren't hash-agg buffer types); what matters at scale is the
@@ -301,7 +308,8 @@ class PlanSpec extends AnyFunSuite {
       "q112_embedding_decontam", // eval × ≤16-row cell list (exhaustive probe)
       "q121_drift_psi",          // 1-row (t_base, t_cur) window totals
       "q122_pmi_collocations",   // 1-row corpus bigram/unigram totals
-      "q123_kmeans")             // corpus × k-row centroid model (k bounded by design)
+      "q123_kmeans",             // corpus × k-row centroid model (k bounded by design)
+      "q132_dsir_resample")      // 1-row (n_pool, n_tgt, v) LM totals
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, TestSpark.sf0001).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"),
@@ -343,7 +351,11 @@ class PlanSpec extends AnyFunSuite {
 
   test("q128: both fingerprint consumers share the cached minimizer pass (one corpus read)") {
     // per-v40 doc counts + per-doc rollup must read the SAME persisted
-    // selection — the k-gram digest + window-min pass never runs twice
+    // selection — the k-gram digest + window-min pass never runs twice.
+    // Cleared cache first: q129 persists a projection of the same minimizer
+    // subtree, and a leftover entry from an earlier test would be picked up
+    // by CacheManager plan-matching and add a third (still-cached) scan.
+    spark.catalog.clearCache()
     val p = planOf("q128_winnow_fingerprints")
     assert("InMemoryTableScan".r.findAllIn(p).size == 2,
       s"both consumers must share the cached minimizers:\n${p.take(1500)}")

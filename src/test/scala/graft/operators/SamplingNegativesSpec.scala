@@ -53,6 +53,34 @@ class SamplingNegativesSpec extends AnyFunSuite {
     assert(again == rows)
   }
 
+  test("q134: weighted reservoir equals a sequential Efraimidis-Spirakis reference") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q134_weighted_reservoir")(spark, dir)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.size === 50)
+    assert(got.forall(_._3 <= 0.0), "ln(u)/w priorities are non-positive")
+    // independent sequential reference: same md5 coin, same priority, same
+    // rounded ordering — over the corpus collected outside the operator
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def coin(id: Long): Double = {
+      val d = md.digest(s"esam:$id".getBytes("UTF-8"))
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      (h + 1L) / 4294967296.0
+    }
+    val ref = graft.Fixtures.documents(spark, dir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .as[(Long, String)].collect()
+      .map { case (id, text) =>
+        val w = text.split(" ", -1).length
+        val pri = math.floor(math.log(coin(id)) / w * 1e9 + 0.5) / 1e9
+        (id, w.toLong, pri)
+      }
+      .sortBy(r => (-r._3, r._1)).take(50).toSeq
+    assert(got === ref)
+  }
+
   test("q114: every hard negative has a different label than its query") {
     import spark.implicits._
     val labels = graft.Fixtures.embeddings(spark, dir)
