@@ -466,6 +466,95 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- q135
+  // Dup-cluster COHESION audit — the check that catches LSH over-merging.
+  // Connected components are closed under CHAINING: a~b and b~c put a and c
+  // in one cluster even when jac(a, c) ≈ 0, so a greedy "keep one per
+  // group" drop (q88) silently discards documents that are not duplicates
+  // of the kept representative. This audit computes exact jaccard for EVERY
+  // within-cluster pair — including pairs that were never LSH candidates —
+  // and reports per-cluster min/avg: min ≥ threshold means the cluster is a
+  // clique (safe to drop all-but-one); a low min flags a chain that needs
+  // splitting or a human look. Standard practice before destructive dedup
+  // at corpus scale.
+  //
+  // All-INTEGER scoring: j6 = (|A∩B|·10⁶) div (|A|+|B|−|A∩B|) with floor
+  // division, and avg = Σj6 div n_pairs — no doubles anywhere, both engines
+  // bit-exact. Pairwise work is confined WITHIN clusters (the q17 verify's
+  // array_intersect shape); cluster sizes are dup-group-sized, so the
+  // self-join is bounded by the largest dup cluster, not the corpus.
+  /** The cohesion rollup given shingles and CC labels (see q135). */
+  private[graft] def clusterCohesion(shingles: DataFrame, labels: DataFrame): DataFrame = {
+    val arrs = shingles.groupBy(col("doc_id"))
+      .agg(collect_list(col("sh")).as("arr"), count(lit(1)).as("n"))
+    val members = labels.join(arrs, col("node") === col("doc_id"))
+      .select(col("lbl").as("grp"), col("node").as("id"), col("arr"), col("n"))
+    val within = members.as("x").join(members.as("y"),
+        col("x.grp") === col("y.grp") && col("x.id") < col("y.id"))
+      .select(col("x.grp").as("grp"),
+        size(array_intersect(col("x.arr"), col("y.arr"))).cast("long").as("i"),
+        col("x.n").as("na"), col("y.n").as("nb"))
+      .withColumn("j6", expr("(i * 1000000) div (na + nb - i)"))
+    within.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_pairs"), min(col("j6")).as("min_j6"),
+        expr("sum(j6) div count(1)").as("avg_j6"))
+      .join(labels.groupBy(col("lbl")).agg(count(lit(1)).as("n_docs"))
+        .select(col("lbl").as("grp"), col("n_docs")), Seq("grp"))
+      .select(col("grp"), col("n_docs"), col("n_pairs"),
+        col("min_j6"), col("avg_j6"))
+      .orderBy(col("grp"))
+  }
+
+  private def q135(s: SparkSession, dir: String): DataFrame = {
+    val shingles = docShingles(s, dir).localCheckpoint()
+    val pairs = verifyJaccard(shingles, Some(minhashCandidates(shingles)), 0.8)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val labels = connectedComponents(pairs).localCheckpoint() // reused 2×
+    clusterCohesion(shingles, labels)
+  }
+
+  // q39Sql's recursive-CC labels + the exact grams intersections, LEFT
+  // JOINed so chained pairs sharing ZERO grams still audit as j6 = 0
+  private val q135Sql =
+    """WITH RECURSIVE
+      |toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS g
+      |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      |              JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+      |sizes AS (SELECT doc_id, COUNT(*) n FROM grams GROUP BY 1),
+      |inter AS (
+      |  SELECT g1.doc_id a, g2.doc_id b, COUNT(*) i
+      |  FROM grams g1 JOIN grams g2 ON g1.g = g2.g AND g1.doc_id < g2.doc_id
+      |  GROUP BY 1, 2),
+      |prs AS (
+      |  SELECT a, b FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+      |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8),
+      |edges AS (SELECT a src, b dst FROM prs UNION ALL SELECT b, a FROM prs),
+      |reach(node, r) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.node),
+      |lab AS (SELECT node, MIN(r) AS grp FROM reach GROUP BY node),
+      |wp AS (
+      |  SELECT x.grp, x.node AS ia, y.node AS ib,
+      |    COALESCE(inter.i, 0) AS i, sa.n AS na, sb.n AS nb
+      |  FROM lab x JOIN lab y ON x.grp = y.grp AND x.node < y.node
+      |  LEFT JOIN inter ON inter.a = x.node AND inter.b = y.node
+      |  JOIN sizes sa ON sa.doc_id = x.node
+      |  JOIN sizes sb ON sb.doc_id = y.node),
+      |coh AS (
+      |  SELECT grp,
+      |    CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |    CAST(MIN((i * 1000000) // (na + nb - i)) AS BIGINT) AS min_j6,
+      |    CAST(SUM((i * 1000000) // (na + nb - i)) // COUNT(*) AS BIGINT) AS avg_j6
+      |  FROM wp GROUP BY 1),
+      |nd AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_docs FROM lab GROUP BY 1)
+      |SELECT coh.grp, nd.n_docs, coh.n_pairs, coh.min_j6, coh.avg_j6
+      |FROM coh JOIN nd USING (grp) ORDER BY grp""".stripMargin
+
   private val q39Sql =
     """WITH RECURSIVE
       |toks AS (
@@ -920,5 +1009,6 @@ object Dedup {
     GraftQuery("q18_dedup_simhash", q18, Some(q18Sql)),
     GraftQuery("q19_dedup_ngram_jaccard", q19, Some(jaccardSql)),
     GraftQuery("q20_dedup_embedding", q20, Some(q20Sql)),
-    GraftQuery("q74_chunk_dedup", q74, Some(q74Sql)))
+    GraftQuery("q74_chunk_dedup", q74, Some(q74Sql)),
+    GraftQuery("q135_cluster_cohesion", q135, Some(q135Sql)))
 }

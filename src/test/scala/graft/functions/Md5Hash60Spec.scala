@@ -29,4 +29,15 @@ class Md5Hash60Spec extends AnyFunSuite {
       .filter(col("fast") =!= col("sql")).count()
     assert(bad == 0)
   }
+
+  test("md5_hash60 and word_ngrams are registered SQL functions (extension jar surface)") {
+    val r = spark.sql(
+      "SELECT md5_hash60('spark'), word_ngrams('a b c d', 2)").head()
+    assert(r.getLong(0) ===
+      spark.range(1).select(TextFunctions.hash60(lit("spark"))).head().getLong(0))
+    assert(r.getSeq[String](1) === Seq("a b", "b c", "c d"))
+    // literal-arity misuse fails loud, not silently wrong
+    val e = intercept[Exception](spark.sql("SELECT word_ngrams('a b', 1 + 1)").head())
+    assert(e.getMessage.contains("integer literal") || e.getMessage.contains("word_ngrams"))
+  }
 }

@@ -129,4 +129,30 @@ class DedupSpec extends AnyFunSuite {
     // and it is a real split, not one bucket
     assert(split.values.toSet.size > 1)
   }
+
+  test("q135 cohesion flags CC chaining: the chained pair audits below the merge threshold") {
+    import spark.implicits._
+    // planted chain: A ≈ B and B ≈ C pass jaccard ≥ 0.8, but A vs C —
+    // edited at BOTH ends — falls below it; CC still merges all three
+    val base = (1 to 100).map(i => s"t$i")
+    val a = ((1 to 7).map(i => s"A$i") ++ base.drop(7)).mkString(" ")
+    val b = base.mkString(" ")
+    val c = (base.take(93) ++ (1 to 7).map(i => s"C$i")).mkString(" ")
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val sh = Dedup.shinglesOf(docs).localCheckpoint()
+    val jacs = Dedup.verifyJaccard(sh, None, 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(jacs((1L, 2L)) >= 0.8 && jacs((2L, 3L)) >= 0.8, s"chain legs too weak: $jacs")
+    assert(jacs((1L, 3L)) < 0.8, s"chain ends must NOT be direct dups: $jacs")
+    val pairs = Dedup.verifyJaccard(sh, Some(Dedup.minhashCandidates(sh)), 0.8)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val labels = Dedup.connectedComponents(pairs)
+    val coh = Dedup.clusterCohesion(sh, labels).collect()
+    assert(coh.length === 1, "all three docs must chain into one cluster")
+    val r = coh.head
+    assert(r.getLong(1) === 3 && r.getLong(2) === 3, "3 docs, 3 audited pairs")
+    assert(r.getLong(3) < 800000L,
+      s"the A-C pair must audit below the 0.8 threshold (min_j6 ${r.getLong(3)})")
+    assert(r.getLong(4) > r.getLong(3), "avg above min: the legs are genuine dups")
+  }
 }
