@@ -791,17 +791,24 @@ object TextAnalysis {
   //
   // Scale shape: one narrow scan → TakeOrderedAndProject (per-partition
   // top-k, merged at the driver); nothing shuffles but k rows.
-  private val ResK = 50
+  private[graft] val ResK = 50
 
-  private def q134(s: SparkSession, dir: String): DataFrame = {
+  /** The A-Res priority projection `(doc_id, n_tok, pri)` — shared verbatim
+    * by q134 and the streaming cross-batch reservoir (top-k is a mergeable
+    * monoid, so streaming state that keeps the k best priorities seen so
+    * far converges to exactly this batch answer).
+    */
+  private[graft] def reservoirScores(docs: DataFrame): DataFrame = {
     val u = (conv(substring(md5(concat(lit("esam:"), col("doc_id").cast("string"))),
       1, 8), 16, 10).cast("long") + 1L) / lit(4294967296.0)
-    Fixtures.documents(s, dir)
-      .select(col("doc_id"), size(wsTokens(col("text"))).cast("long").as("n_tok"),
-        graft.functions.Rounding.stable(log(u) / size(wsTokens(col("text"))), 9).as("pri"))
+    docs.select(col("doc_id"), size(wsTokens(col("text"))).cast("long").as("n_tok"),
+      graft.functions.Rounding.stable(log(u) / size(wsTokens(col("text"))), 9).as("pri"))
+  }
+
+  private def q134(s: SparkSession, dir: String): DataFrame =
+    reservoirScores(Fixtures.documents(s, dir))
       .orderBy(col("pri").desc, col("doc_id"))
       .limit(ResK)
-  }
 
   private val q134Sql =
     s"""SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
