@@ -466,6 +466,35 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- q137
+  // Bag-of-words (order-insensitive) dedup: the multiset fingerprint
+  // md5(sorted tokens) collapses documents that differ only by token
+  // order — templated spam and field-permuted boilerplate that exact (q14) and
+  // normalized (q56) dedup both miss, while being far stricter than
+  // near-dup jaccard (exact same token multiset required). Per language:
+  // docs, distinct exact texts, distinct bags; texts − bags = reordered
+  // duplicates. Same one-aggregate plan shape as q14/q56; the shuffle
+  // carries 16-byte digests, not documents.
+  /** Per-language exact/multiset distinct counts over `(lang, text)`. */
+  private[graft] def bowCounts(docs: DataFrame): DataFrame =
+    docs
+      .select(col("lang"), md5(col("text")).as("th"),
+        md5(concat_ws(" ", sort_array(wsTokens(col("text"))))).as("bag"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("docs"),
+        countDistinct(col("th")).as("distinct_texts"),
+        countDistinct(col("bag")).as("distinct_bags"))
+      .orderBy(col("lang"))
+
+  private def q137(s: SparkSession, dir: String): DataFrame =
+    bowCounts(Fixtures.documents(s, dir))
+
+  private val q137Sql =
+    """SELECT lang, COUNT(*) AS docs,
+      |  COUNT(DISTINCT md5(text)) AS distinct_texts,
+      |  COUNT(DISTINCT md5(array_to_string(list_sort(string_split(text, ' ')), ' '))) AS distinct_bags
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   // ---------------------------------------------------------------- q135
   // Dup-cluster COHESION audit — the check that catches LSH over-merging.
   // Connected components are closed under CHAINING: a~b and b~c put a and c
@@ -1010,5 +1039,6 @@ object Dedup {
     GraftQuery("q19_dedup_ngram_jaccard", q19, Some(jaccardSql)),
     GraftQuery("q20_dedup_embedding", q20, Some(q20Sql)),
     GraftQuery("q74_chunk_dedup", q74, Some(q74Sql)),
-    GraftQuery("q135_cluster_cohesion", q135, Some(q135Sql)))
+    GraftQuery("q135_cluster_cohesion", q135, Some(q135Sql)),
+    GraftQuery("q137_bow_dedup", q137, Some(q137Sql)))
 }

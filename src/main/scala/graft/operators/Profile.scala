@@ -141,8 +141,83 @@ object Profile {
       |  END AS psi_term
       |FROM b CROSS JOIN t ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q136
+  // Exact two-sample Kolmogorov–Smirnov drift per source: for each source,
+  // D = sup_t |F_source(t) − F_rest(t)| over the document-length
+  // distribution — the bin-free complement to q121's PSI (PSI needs a
+  // binning choice and goes ±∞ on empty bins; KS is distribution-free and
+  // the classic "did this source's length profile shift?" test before
+  // mixing a new dump).
+  //
+  // EXACT INTEGER sup: D_num = max_t |cum1·n2 − cum2·n1| over the dense
+  // (source × value) grid, so the supremum and argmax are bit-exact in both
+  // engines (n1·n2 ≤ (N/2)² keeps BIGINT safe to N ≈ 6·10⁹ documents); only
+  // the final normalized d = D_num/(n1·n2) is a double, rounded 6 dp from
+  // identical integer inputs. The dense grid is |sources| × |distinct
+  // lengths| — catalog-sized, built by a constant-key broadcast join, never
+  // a corpus-scale product; the corpus itself is touched by ONE
+  // per-(source, value) aggregate.
+  private def q136(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sv = Fixtures.documents(s, dir)
+      .select(col("source"), col("n_chars").as("v"))
+      .groupBy(col("source"), col("v")).agg(count(lit(1)).as("c"))
+      .persist() // read thrice: per-value margin, per-source sizes, the grid
+    val gv = sv.groupBy(col("v")).agg(sum(col("c")).as("cv"))
+    val srcs = sv.groupBy(col("source")).agg(sum(col("c")).as("n1"))
+    val nTot = srcs.agg(sum(col("n1")).as("n"))
+    val grid = srcs.withColumn("k", lit(1))
+      .join(gv.withColumn("k", lit(1)), Seq("k")).drop("k")
+      .join(sv, Seq("source", "v"), "left")
+      .na.fill(0L, Seq("c"))
+    val w = Window.partitionBy(col("source")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid
+      .withColumn("cum1", sum(col("c")).over(w))
+      .withColumn("cumg", sum(col("cv")).over(w))
+      .crossJoin(broadcast(nTot))
+      .withColumn("stat", abs(col("cum1") * (col("n") - col("n1"))
+        - (col("cumg") - col("cum1")) * col("n1")))
+      .groupBy(col("source"), col("n1"), col("n"))
+      .agg(max(col("stat")).as("d_num"))
+      .select(col("source"), col("n1").as("n_docs"), col("d_num"),
+        graft.functions.Rounding.stable(
+          col("d_num").cast("double") / (col("n1") * (col("n") - col("n1"))).cast("double"),
+          6).as("d"))
+      .orderBy(col("source"))
+  }
+
+  private val q136Sql =
+    """WITH sv AS (
+      |  SELECT source, n_chars AS v, COUNT(*) AS c FROM documents GROUP BY 1, 2),
+      |gv AS (SELECT v, SUM(c) AS cv FROM sv GROUP BY 1),
+      |srcs AS (SELECT source, SUM(c) AS n1 FROM sv GROUP BY 1),
+      |tot AS (SELECT SUM(n1) AS n FROM srcs),
+      |grid AS (
+      |  SELECT srcs.source, gv.v, srcs.n1, gv.cv, COALESCE(sv.c, 0) AS c
+      |  FROM srcs CROSS JOIN gv
+      |  LEFT JOIN sv ON sv.source = srcs.source AND sv.v = gv.v),
+      |cum AS (
+      |  SELECT source, n1,
+      |    SUM(c) OVER (PARTITION BY source ORDER BY v
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+      |    SUM(cv) OVER (PARTITION BY source ORDER BY v
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumg
+      |  FROM grid),
+      |stat AS (
+      |  SELECT source, n1,
+      |    abs(cum1 * ((SELECT n FROM tot) - n1) - (cumg - cum1) * n1) AS st
+      |  FROM cum)
+      |SELECT source, CAST(n1 AS BIGINT) AS n_docs,
+      |  CAST(MAX(st) AS BIGINT) AS d_num,
+      |  floor(CAST(MAX(st) AS DOUBLE)
+      |        / CAST(n1 * ((SELECT n FROM tot) - n1) AS DOUBLE) * 1000000.0 + 0.5)
+      |    / 1000000.0 AS d
+      |FROM stat GROUP BY source, n1 ORDER BY source""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q71_profile", q71, Some(q71Sql)),
     GraftQuery("q90_histogram", q90, Some(q90Sql)),
-    GraftQuery("q121_drift_psi", q121, Some(q121Sql)))
+    GraftQuery("q121_drift_psi", q121, Some(q121Sql)),
+    GraftQuery("q136_ks_drift", q136, Some(q136Sql)))
 }

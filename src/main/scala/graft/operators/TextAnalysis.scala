@@ -817,6 +817,57 @@ object TextAnalysis {
        |FROM documents
        |ORDER BY pri DESC, doc_id LIMIT $ResK""".stripMargin
 
+  // ---------------------------------------------------------------- q138
+  // Per-document token entropy — the information-density quality signal
+  // (Shannon entropy of the doc's own unigram distribution): low-entropy
+  // documents are repetitive boilerplate/keyword-stuffing that the q66
+  // repetition RULES only catch for their specific patterns, and high
+  // entropy on a short doc flags hash-like noise. H = ln(n) − (Σ c·ln c)/n
+  // over per-doc token counts c.
+  //
+  // Determinism: ln(c) is evaluated once per DISTINCT count value via a
+  // broadcast LUT of floor-scaled 1e-6 integers (count values are tiny —
+  // bounded by the longest document — so the LUT is O(max doc len) rows),
+  // making the per-doc Σ c·s6 an exact BIGINT sum; only the final
+  // ln(n) − S/(n·10⁶) is a double, 6-dp floor-rounded (the q132 risk
+  // class). One per-(doc, token) aggregate touches the corpus; everything
+  // after is doc-keyed.
+  private def q138(s: SparkSession, dir: String): DataFrame = {
+    val dt = Fixtures.documents(s, dir)
+      .select(col("doc_id"), explode(wsTokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    val lut = dt.select(col("c")).distinct()
+      .select(col("c"), floor(log(col("c").cast("double")) * 1e6 + 0.5)
+        .cast("long").as("s6"))
+    dt.join(broadcast(lut), Seq("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tok"), count(lit(1)).as("n_unique"),
+        sum(col("c") * col("s6")).as("slog"))
+      .select(col("doc_id"), col("n_tok"), col("n_unique"),
+        graft.functions.Rounding.stable(
+          log(col("n_tok").cast("double"))
+            - col("slog").cast("double") / (col("n_tok") * 1000000.0), 6).as("h"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q138Sql =
+    """WITH dt AS (
+      |  SELECT doc_id, tok, COUNT(*) AS c FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY 1, 2),
+      |lut AS (
+      |  SELECT c, CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS s6
+      |  FROM (SELECT DISTINCT c FROM dt)),
+      |pd AS (
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+      |    CAST(COUNT(*) AS BIGINT) AS n_unique,
+      |    CAST(SUM(c * s6) AS BIGINT) AS slog
+      |  FROM dt JOIN lut USING (c) GROUP BY 1)
+      |SELECT doc_id, n_tok, n_unique,
+      |  floor((ln(CAST(n_tok AS DOUBLE)) - CAST(slog AS DOUBLE) / (n_tok * 1000000.0))
+      |        * 1000000.0 + 0.5) / 1000000.0 AS h
+      |FROM pd ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q115
   // Mixed-language detection — chunk-level langid disagreement: documents
   // whose 32-token chunks do not all predict the same language (code-mixed
@@ -1078,6 +1129,7 @@ object TextAnalysis {
     GraftQuery("q131_oov_rate", q131, Some(q131Sql)),
     GraftQuery("q132_dsir_resample", q132, Some(q132Sql)),
     GraftQuery("q134_weighted_reservoir", q134, Some(q134Sql)),
+    GraftQuery("q138_token_entropy", q138, Some(q138Sql)),
     GraftQuery("q122_pmi_collocations", q122, Some(q122Sql)),
     GraftQuery("q115_lang_consistency", q115, Some(q115Sql)),
     GraftQuery("q116_tokenizer_fertility", q116, Some(q116Sql)),

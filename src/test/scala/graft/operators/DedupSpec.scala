@@ -130,6 +130,19 @@ class DedupSpec extends AnyFunSuite {
     assert(split.values.toSet.size > 1)
   }
 
+  test("q137 bag fingerprint collapses reordered token multisets, not distinct ones") {
+    import spark.implicits._
+    val docs = Seq(
+      ("en", "a b b c"), ("en", "c b a b"), // same multiset, different order
+      ("en", "a b c c"),                    // different multiset
+      ("de", "x y"), ("de", "x y"))         // exact dup: both counts collapse
+      .toDF("lang", "text")
+    val got = Dedup.bowCounts(docs)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("en") === ((3L, 3L, 2L)), "reordered pair must share one bag")
+    assert(got("de") === ((2L, 1L, 1L)))
+  }
+
   test("q135 cohesion flags CC chaining: the chained pair audits below the merge threshold") {
     import spark.implicits._
     // planted chain: A ≈ B and B ≈ C pass jaccard ≥ 0.8, but A vs C —

@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.{Fixtures, SparkEntry, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Engine pins for the distribution-signal operators (q136 exact KS drift,
+  * q138 token entropy) beyond their value oracles.
+  */
+class TextSignalsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sf0001
+
+  test("q138 entropy equals a sequential mirror of the LUT formula on every doc") {
+    val got = SparkEntry.queries("q138_token_entropy")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.nonEmpty)
+    val texts = Fixtures.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    for ((id, text) <- texts) {
+      val counts = text.split(" ", -1).groupBy(identity).map(_._2.length.toLong)
+      val n = counts.sum
+      val slog = counts.map(c => c * math.floor(math.log(c.toDouble) * 1e6 + 0.5).toLong).sum
+      val h = math.floor((math.log(n.toDouble) - slog.toDouble / (n * 1000000.0)) * 1e6 + 0.5) / 1e6
+      val (gn, gu, gh) = got(id)
+      assert(gn === n && gu === counts.size, s"doc $id counts mismatch")
+      assert(gh === h, s"doc $id entropy $gh != reference $h")
+    }
+  }
+
+  test("q138 entropy bounds: 0 <= h <= ln(n_unique), uniform docs hit the top") {
+    val rows = SparkEntry.queries("q138_token_entropy")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    for ((id, n, u, h) <- rows) {
+      assert(h >= -1e-6, s"doc $id negative entropy $h")
+      assert(h <= math.log(u.toDouble) + 1e-5, s"doc $id h=$h exceeds ln(n_unique=$u)")
+      if (n == u) // every token distinct -> exactly maximal
+        assert(math.abs(h - math.floor(math.log(n.toDouble) * 1e6 + 0.5) / 1e6) < 1e-9)
+    }
+  }
+
+  test("q136 KS: D is the true sup over thresholds (sequential reference, every source)") {
+    val got = SparkEntry.queries("q136_ks_drift")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val rows = Fixtures.documents(spark, dir)
+      .select(col("source"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val n = rows.length.toLong
+    val values = rows.map(_._2).distinct.sorted
+    for ((src, (n1, dNum, d)) <- got) {
+      val mine = rows.filter(_._1 == src).map(_._2)
+      assert(n1 === mine.length.toLong)
+      val n2 = n - n1
+      val ref = values.map { t =>
+        val c1 = mine.count(_ <= t).toLong
+        val cg = rows.count(_._2 <= t).toLong
+        math.abs(c1 * n2 - (cg - c1) * n1)
+      }.max
+      assert(dNum === ref, s"$src D_num $dNum != reference $ref")
+      assert(d === math.floor(ref.toDouble / (n1 * n2).toDouble * 1e6 + 0.5) / 1e6)
+    }
+  }
+}
