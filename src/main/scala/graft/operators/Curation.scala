@@ -348,6 +348,91 @@ object Curation {
        |GROUP BY 1 HAVING CAST(SUM(CASE WHEN s.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) > 0
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q139
+  // Curation funnel v2 — the modern end-to-end keep/drop pipeline composed
+  // from the round-8 signals, where q63's funnel uses the classic ones:
+  //   1. length gate: 20 ≤ n_tok ≤ 95;
+  //   2. entropy floor: 6-dp-rounded token entropy h ≥ 2.0 (q138) — drops
+  //      repetitive boilerplate the rule-based q66 patterns miss;
+  //   3. bag-of-words dedup: keep the smallest doc_id per sorted-token
+  //      multiset (q137's fingerprint as a DROP rule, not just a count);
+  //   4. duplicated-span gate: drop docs with ≥ half their 16-token
+  //      windows duplicated across the corpus (q102's signal; the exact
+  //      2·n_dup ≥ n_win integer form, no rounding at the threshold).
+  // Gates 3–4 are computed over the FULL corpus (membership in a dup
+  // group does not depend on the other gates) — the declared semantics,
+  // mirrored in the oracle. Output: per (lang, source) in/out accounting
+  // plus surviving token mass — the report a mixture rebalance consumes.
+  //
+  // Scale shape: each gate is one of the already-audited linear passes
+  // (entropy aggregate, bag hash aggregate, window-fp aggregate) joined
+  // back on doc_id; no new join patterns, no pairwise work.
+  private def q139(s: SparkSession, dir: String): DataFrame = {
+    val docs = Fixtures.documents(s, dir)
+    val ent = TextAnalysis.entropyPerDoc(docs)
+    val bags = docs.select(col("doc_id"),
+      md5(concat_ws(" ", sort_array(wsTokens(col("text"))))).as("bag"))
+    val keeper = bags.groupBy(col("bag")).agg(min(col("doc_id")).as("keep_id"))
+    val bagKeep = bags.join(keeper, Seq("bag"))
+      .select(col("doc_id"), (col("doc_id") === col("keep_id")).as("bag_keep"))
+    val wins = windowFps(docs)
+      .persist() // read twice (per-fp counts + join back), q102's shape
+    val perFp = wins.groupBy(col("fp")).agg(count(lit(1)).as("nd"))
+    val spanDrop = wins.join(perFp, Seq("fp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_win"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), (col("n_dup") * 2 >= col("n_win")).as("span_drop"))
+    docs.select(col("doc_id"), col("lang"), col("source"))
+      .join(ent, Seq("doc_id"))
+      .join(bagKeep, Seq("doc_id"))
+      .join(spanDrop, Seq("doc_id"), "left")
+      .na.fill(false, Seq("span_drop")) // short docs have no windows
+      .withColumn("kept",
+        col("n_tok").between(20, 95) && col("h") >= 2.0 &&
+          col("bag_keep") && !col("span_drop"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("docs_in"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("docs_kept"),
+        sum(when(col("kept"), col("n_tok")).otherwise(0L)).as("tokens_kept"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  private val q139Sql =
+    s"""WITH ${TextAnalysis.entropyCte},
+       |bags AS (
+       |  SELECT doc_id,
+       |    md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS bag
+       |  FROM documents),
+       |keeper AS (SELECT bag, MIN(doc_id) AS keep_id FROM bags GROUP BY 1),
+       |bk AS (
+       |  SELECT bags.doc_id, bags.doc_id = keeper.keep_id AS bag_keep
+       |  FROM bags JOIN keeper USING (bag)),
+       |w AS (
+       |  SELECT DISTINCT doc_id,
+       |    ('0x' || substr(md5(array_to_string(list_slice(toks, start + 1, start + $SubWidth), ' ')), 1, 15))::BIGINT AS fp
+       |  FROM (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - $SubWidth)) AS start
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+       |        WHERE len(toks) >= $SubWidth)),
+       |pf AS (SELECT fp, COUNT(*) AS nd FROM w GROUP BY 1),
+       |sd AS (
+       |  SELECT w.doc_id,
+       |    SUM(CASE WHEN pf.nd >= 2 THEN 1 ELSE 0 END) * 2 >= COUNT(*) AS span_drop
+       |  FROM w JOIN pf USING (fp) GROUP BY 1),
+       |verdict AS (
+       |  SELECT d.lang, d.source, ent.n_tok,
+       |    (ent.n_tok BETWEEN 20 AND 95) AND ent.h >= 2.0
+       |      AND bk.bag_keep AND NOT COALESCE(sd.span_drop, FALSE) AS kept
+       |  FROM documents d
+       |  JOIN ent ON ent.doc_id = d.doc_id
+       |  JOIN bk ON bk.doc_id = d.doc_id
+       |  LEFT JOIN sd ON sd.doc_id = d.doc_id)
+       |SELECT lang, source,
+       |  CAST(COUNT(*) AS BIGINT) AS docs_in,
+       |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+       |  CAST(SUM(CASE WHEN kept THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_kept
+       |FROM verdict GROUP BY 1, 2 ORDER BY lang, source""".stripMargin
+
   // ---------------------------------------------------------------- q130
   // Cross-source duplicated-span matrix: which SOURCE pairs share exact
   // SubWidth-token windows, and how many distinct windows each pair shares.
@@ -839,5 +924,6 @@ object Curation {
     GraftQuery("q105_span_scrub", q105, Some(q105Sql)),
     GraftQuery("q124_cdc_dedup", q124, Some(q124Sql)),
     GraftQuery("q127_mixture_schedule", q127, Some(q127Sql)),
-    GraftQuery("q130_source_span_matrix", q130, Some(q130Sql)))
+    GraftQuery("q130_source_span_matrix", q130, Some(q130Sql)),
+    GraftQuery("q139_curation_funnel_v2", q139, Some(q139Sql)))
 }

@@ -832,8 +832,11 @@ object TextAnalysis {
   // ln(n) − S/(n·10⁶) is a double, 6-dp floor-rounded (the q132 risk
   // class). One per-(doc, token) aggregate touches the corpus; everything
   // after is doc-keyed.
-  private def q138(s: SparkSession, dir: String): DataFrame = {
-    val dt = Fixtures.documents(s, dir)
+  /** Per-doc `(doc_id, n_tok, n_unique, h)` — the q138 entropy chain,
+    * shared with the q139 curation funnel.
+    */
+  private[graft] def entropyPerDoc(docs: DataFrame): DataFrame = {
+    val dt = docs
       .select(col("doc_id"), explode(wsTokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
     val lut = dt.select(col("c")).distinct()
@@ -847,26 +850,34 @@ object TextAnalysis {
         graft.functions.Rounding.stable(
           log(col("n_tok").cast("double"))
             - col("slog").cast("double") / (col("n_tok") * 1000000.0), 6).as("h"))
-      .orderBy(col("doc_id"))
   }
 
-  private val q138Sql =
-    """WITH dt AS (
+  private def q138(s: SparkSession, dir: String): DataFrame =
+    entropyPerDoc(Fixtures.documents(s, dir))
+      .orderBy(col("doc_id"))
+
+  /** Oracle CTE producing `ent(doc_id, n_tok, n_unique, h)` — shared with
+    * the q139 funnel's oracle.
+    */
+  private[graft] val entropyCte =
+    """dt AS (
       |  SELECT doc_id, tok, COUNT(*) AS c FROM (
       |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
       |  GROUP BY 1, 2),
       |lut AS (
       |  SELECT c, CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS s6
       |  FROM (SELECT DISTINCT c FROM dt)),
-      |pd AS (
+      |ent AS (
       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
       |    CAST(COUNT(*) AS BIGINT) AS n_unique,
-      |    CAST(SUM(c * s6) AS BIGINT) AS slog
-      |  FROM dt JOIN lut USING (c) GROUP BY 1)
-      |SELECT doc_id, n_tok, n_unique,
-      |  floor((ln(CAST(n_tok AS DOUBLE)) - CAST(slog AS DOUBLE) / (n_tok * 1000000.0))
-      |        * 1000000.0 + 0.5) / 1000000.0 AS h
-      |FROM pd ORDER BY doc_id""".stripMargin
+      |    floor((ln(CAST(SUM(c) AS DOUBLE))
+      |           - CAST(SUM(c * s6) AS DOUBLE) / (CAST(SUM(c) AS DOUBLE) * 1000000.0))
+      |          * 1000000.0 + 0.5) / 1000000.0 AS h
+      |  FROM dt JOIN lut USING (c) GROUP BY 1)""".stripMargin
+
+  private val q138Sql =
+    s"""WITH $entropyCte
+       |SELECT doc_id, n_tok, n_unique, h FROM ent ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q115
   // Mixed-language detection — chunk-level langid disagreement: documents

@@ -207,4 +207,22 @@ class CurationSpec extends AnyFunSuite {
       col("n_dup") > col("n_chunks")).isEmpty)
     assert(out.count() === Fixtures.documents(spark, dir).count())
   }
+
+  test("q139 funnel v2: accounting is consistent and every gate actually fires on the fixture") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q139_curation_funnel_v2")(spark, dir)
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    for ((_, _, in, kept, tok) <- rows) {
+      assert(kept >= 0 && kept <= in)
+      assert((kept == 0) == (tok == 0L) || tok >= kept * 20,
+        "kept docs are >= 20 tokens each by the length gate")
+    }
+    val (totIn, totKept) = (rows.map(_._3).sum, rows.map(_._4).sum)
+    assert(totIn === Fixtures.documents(spark, dir).count())
+    assert(totKept > 0 && totKept < totIn, s"funnel must thin ($totKept/$totIn)")
+    // the length gate binds: no kept doc can carry fewer than 20 tokens
+    val tokensPerKept = rows.filter(_._4 > 0)
+    assert(tokensPerKept.forall(r => r._5 >= 20 * r._4 && r._5 <= 95 * r._4))
+  }
 }
