@@ -309,7 +309,9 @@ class PlanSpec extends AnyFunSuite {
       "q121_drift_psi",          // 1-row (t_base, t_cur) window totals
       "q122_pmi_collocations",   // 1-row corpus bigram/unigram totals
       "q123_kmeans",             // corpus × k-row centroid model (k bounded by design)
-      "q132_dsir_resample")      // 1-row (n_pool, n_tgt, v) LM totals
+      "q132_dsir_resample",      // 1-row (n_pool, n_tgt, v) LM totals
+      "q136_ks_drift")           // dense CDF grid = sources × distinct lengths
+                                 // (catalog-sized by design) + 1-row N total
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, TestSpark.sf0001).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"),

@@ -66,4 +66,20 @@ class SqlApiSpec extends AnyFunSuite {
     assert(rows.forall(_.getDouble(1) === 11.0))
     assert(rows.forall(r => { val b = r.getAs[Any](2).toString.toLong; b >= 0 && b < 100 }))
   }
+
+  test("md5_hash60/word_ngrams via spark.sql equal the Column-API primitives") {
+    viewsOnce()
+    val viaSql = spark.sql(
+      """SELECT lang, COUNT(DISTINCT md5_hash60(text)) AS n_hash,
+        |       SUM(size(word_ngrams(text, 3))) AS n_shingles
+        |FROM sql_documents GROUP BY lang ORDER BY lang""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val viaDf = Fixtures.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(countDistinct(functions.TextFunctions.hash60(col("text"))).as("n_hash"),
+        sum(size(functions.WordNGrams.distinctNGrams(col("text"), 3))).as("n_shingles"))
+      .orderBy(col("lang"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viaSql === viaDf)
+  }
 }
