@@ -163,8 +163,61 @@ object TimeSeries {
       |WHERE d.user_id <> 1
       |GROUP BY 1 ORDER BY dist, user_id LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------- q140
+  // Rolling z-score anomaly detection, EXACT-INTEGER formulation: flag an
+  // event whose value deviates > 3σ from the trailing AnomWin events of its
+  // type (window EXCLUDES the current row, so an outlier cannot mask
+  // itself). The test runs entirely in BIGINT cents:
+  //   (n·x − S)² > 9·(n·Q − S²)   with S = Σc, Q = Σc² over the frame
+  // — algebraically (x − μ)² > (3σ)² scaled by n², with no division and no
+  // floating point, so both engines agree bit-for-bit (a float stddev over
+  // a running frame would depend on each engine's accumulation algorithm —
+  // the exact nondeterminism class this repo bans from outputs). Magnitude
+  // audit: c ≤ 10⁶ cents keeps every product < 2⁶² at AnomWin ≤ 10³.
+  //
+  // Scale shape: one shuffle partitions by event_type; the ROWS frame is
+  // O(AnomWin) state per key; output carries only the flagged rows.
+  private val AnomWin = 50
+
+  private def q140(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-AnomWin, -1)
+    Fixtures.events(s, dir)
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("c"), col("ts"))
+      .withColumn("s", sum(col("c")).over(w))
+      .withColumn("q", sum(col("c") * col("c")).over(w))
+      .withColumn("n", count(lit(1)).over(w))
+      .filter(col("n") === AnomWin &&
+        (col("n") * col("c") - col("s")) * (col("n") * col("c") - col("s"))
+          > lit(9L) * (col("n") * col("q") - col("s") * col("s")))
+      .select(col("event_id"), col("event_type"), col("c").as("cents"),
+        ((col("n") * col("c") - col("s")) * (col("n") * col("c") - col("s"))).as("dev2"),
+        (lit(9L) * (col("n") * col("q") - col("s") * col("s"))).as("bound"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q140Sql =
+    s"""WITH e AS (
+       |  SELECT event_id, event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c, ts
+       |  FROM events),
+       |w AS (
+       |  SELECT event_id, event_type, c,
+       |    SUM(c) OVER win AS s, SUM(c * c) OVER win AS q, COUNT(*) OVER win AS n
+       |  FROM e WINDOW win AS (
+       |    PARTITION BY event_type ORDER BY ts, event_id
+       |    ROWS BETWEEN $AnomWin PRECEDING AND 1 PRECEDING))
+       |SELECT event_id, event_type, c AS cents,
+       |  CAST((n * c - s) * (n * c - s) AS BIGINT) AS dev2,
+       |  CAST(9 * (n * q - s * s) AS BIGINT) AS bound
+       |FROM w
+       |WHERE n = $AnomWin AND (n * c - s) * (n * c - s) > 9 * (n * q - s * s)
+       |ORDER BY event_id""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q91_resample_ffill", q91, Some(q91Sql)),
     GraftQuery("q95_rolling_window", q95, Some(q95Sql)),
-    GraftQuery("q96_series_paa_knn", q96, Some(q96Sql)))
+    GraftQuery("q96_series_paa_knn", q96, Some(q96Sql)),
+    GraftQuery("q140_rolling_anomaly", q140, Some(q140Sql)))
 }

@@ -34,6 +34,31 @@ class TimeSeriesSpec extends AnyFunSuite {
       ("b", "2026-01-02 00:00:00.0", 99.0)))
   }
 
+  test("q140 anomalies equal a sequential integer z-test reference over every event type") {
+    val got = SparkEntry.queries("q140_rolling_anomaly")(spark, TestSpark.sf0001)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    val events = graft.Fixtures.events(spark, TestSpark.sf0001)
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("c"), col("ts"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getTimestamp(3).getTime))
+    val ref = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    for ((_, group) <- events.groupBy(_._2)) {
+      val ordered = group.sortBy(e => (e._4, e._1))
+      for (i <- ordered.indices if i >= 50) {
+        val win = ordered.slice(i - 50, i)
+        val (cs, n) = (win.map(_._3), 50L)
+        val s = cs.sum; val q = cs.map(c => c * c).sum
+        val x = ordered(i)._3
+        val dev2 = (n * x - s) * (n * x - s)
+        val bound = 9L * (n * q - s * s)
+        if (dev2 > bound) ref(ordered(i)._1) = (dev2, bound)
+      }
+    }
+    assert(got.nonEmpty, "fixture must contain 3-sigma outliers")
+    assert(got === ref.toMap)
+  }
+
   test("q91 grid is dense and fully filled: one row per day per user, no nulls") {
     val out = SparkEntry.queries("q91_resample_ffill")(spark, TestSpark.sf0001)
     assert(out.filter(col("v_fill").isNull).count() === 0,
