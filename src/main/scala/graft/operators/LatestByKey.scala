@@ -137,9 +137,42 @@ object LatestByKey {
       |  MAX_BY(value, event_id) AS last_value, MAX(event_id) AS last_event_id
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q141
+  // SCD type-2 interval table from the changelog — the HISTORY counterpart
+  // to q4's latest-value fold: where the latest-by-key table answers "what
+  // is the value now", the SCD2 build answers "what was the value at any
+  // time t" (the warehouse dimension every temporal/as-of consumer joins
+  // against; q31's as-of join is its query-side twin). Each purchase event
+  // opens a validity interval [ts, next-event ts); the open interval
+  // (valid_to NULL) is the current row — exactly the changelog→dimension
+  // materialization a CDC pipeline ships.
+  //
+  // Scale shape: one user-keyed shuffle + a LEAD window (O(1) frame state);
+  // the type filter pushes into the parquet scan. Values pass through
+  // unchanged — no arithmetic to diverge between engines; event_id rides
+  // along as the deterministic tiebreak for same-timestamp events.
+  private def q141(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("valid_from"), col("event_id"))
+    Fixtures.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("valid_from"), col("value"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+  }
+
+  private val q141Sql =
+    """SELECT event_id, user_id, ts AS valid_from, value,
+      |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+      |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+      |FROM events WHERE event_type = 'purchase'
+      |ORDER BY user_id, valid_from, event_id""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q4_latest_by_key", q4, Some(q4Sql)),
     GraftQuery("q5_enrich_join", q5, Some(q5Sql)),
     GraftQuery("q6_multiget", q6, Some(q6Sql)),
-    GraftQuery("q35_partitioned_latest", q35, Some(q35Sql)))
+    GraftQuery("q35_partitioned_latest", q35, Some(q35Sql)),
+    GraftQuery("q141_scd2_intervals", q141, Some(q141Sql)))
 }

@@ -43,4 +43,26 @@ class LatestByKeyPropSpec extends AnyFunSuite {
       assert(got == naive, s"seed $seed")
     }
   }
+
+  test("q141 SCD2 intervals tile each user's purchase history: contiguous, one current row") {
+    val rows = graft.SparkEntry.queries("q141_scd2_intervals")(spark, TestSpark.sf0001)
+      .collect()
+      .map(r => (r.getLong(1), r.getTimestamp(2),
+        Option(r.getTimestamp(4)), r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    for ((user, byUser) <- rows.groupBy(_._1)) {
+      val ordered = byUser.sortBy(_._2.getTime)
+      // exactly the LAST interval is open/current
+      assert(ordered.count(_._3.isEmpty) === 1, s"user $user: open intervals != 1")
+      assert(ordered.last._3.isEmpty && ordered.last._4, s"user $user: last not current")
+      // each interval closes exactly where the next opens (tiling, no gaps)
+      for (pair <- ordered.sliding(2) if pair.length == 2) {
+        val (a, b) = (pair(0), pair(1))
+        assert(a._3.contains(b._2), s"user $user: interval gap/overlap at ${a._3}")
+      }
+      // and the latest-by-key view agrees with the current SCD2 row count
+    }
+    // total current rows == distinct purchasing users
+    assert(rows.count(_._4) === rows.map(_._1).distinct.length)
+  }
 }
