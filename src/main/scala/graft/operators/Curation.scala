@@ -368,14 +368,39 @@ object Curation {
   // (entropy aggregate, bag hash aggregate, window-fp aggregate) joined
   // back on doc_id; no new join patterns, no pairwise work.
   private def q139(s: SparkSession, dir: String): DataFrame = {
-    val docs = Fixtures.documents(s, dir)
-    val ent = TextAnalysis.entropyPerDoc(docs)
-    val bags = docs.select(col("doc_id"),
-      md5(concat_ws(" ", sort_array(wsTokens(col("text"))))).as("bag"))
+    // ONE corpus read: the tokenized base is cached and every gate derives
+    // from it (a naive composition would re-scan the 100 TB corpus once
+    // per gate — 4 reads; PlanSpec pins the single parquet scan). The
+    // per-gate token-level shapes are the audited q138/q137/q102 chains,
+    // inlined over the shared `toks` array.
+    val base = Fixtures.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        wsTokens(col("text")).as("toks"))
+      .persist()
+    val dt = base
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    val lut = dt.select(col("c")).distinct()
+      .select(col("c"), floor(log(col("c").cast("double")) * 1e6 + 0.5)
+        .cast("long").as("s6"))
+    val ent = dt.join(broadcast(lut), Seq("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tok"),
+        sum(col("c") * col("s6")).as("slog"))
+      .select(col("doc_id"), col("n_tok"),
+        Rounding.stable(log(col("n_tok").cast("double"))
+          - col("slog").cast("double") / (col("n_tok") * 1000000.0), 6).as("h"))
+    val bags = base.select(col("doc_id"),
+      md5(concat_ws(" ", sort_array(col("toks")))).as("bag"))
     val keeper = bags.groupBy(col("bag")).agg(min(col("doc_id")).as("keep_id"))
     val bagKeep = bags.join(keeper, Seq("bag"))
       .select(col("doc_id"), (col("doc_id") === col("keep_id")).as("bag_keep"))
-    val wins = windowFps(docs)
+    val wins = base
+      .filter(size(col("toks")) >= SubWidth)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("toks")) - SubWidth),
+        i => xxhash64(slice(col("toks"), i + 1, lit(SubWidth))))).as("fp"))
+      .distinct()
       .persist() // read twice (per-fp counts + join back), q102's shape
     val perFp = wins.groupBy(col("fp")).agg(count(lit(1)).as("nd"))
     val spanDrop = wins.join(perFp, Seq("fp"))
@@ -383,7 +408,7 @@ object Curation {
       .agg(count(lit(1)).as("n_win"),
         sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
       .select(col("doc_id"), (col("n_dup") * 2 >= col("n_win")).as("span_drop"))
-    docs.select(col("doc_id"), col("lang"), col("source"))
+    base.select(col("doc_id"), col("lang"), col("source"))
       .join(ent, Seq("doc_id"))
       .join(bagKeep, Seq("doc_id"))
       .join(spanDrop, Seq("doc_id"), "left")

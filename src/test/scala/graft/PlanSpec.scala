@@ -371,6 +371,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q139: every funnel gate reads the cached tokenized base, not the corpus") {
+    // base (doc_id, lang, source, toks) is persisted and entropy/bag/span
+    // gates plus the final verdict all consume it — ≥5 InMemoryTableScans
+    // (4 base consumers + the cached window-fp branch); the corpus
+    // materializes once. (No parquet-scan string count: every IMTS render
+    // nests the cached child subtree, so that count is presentation-only.)
+    spark.catalog.clearCache()
+    val p = planOf("q139_curation_funnel_v2")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 5,
+      s"funnel gates must share the cached tokenized base:\n${p.take(1500)}")
+  }
+
   test("q131: vocab side broadcasts; corpus aggregated once behind the cache") {
     val p = planOf("q131_oov_rate")
     assert(p.contains("BroadcastHashJoin"),
