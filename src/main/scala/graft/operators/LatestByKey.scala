@@ -169,10 +169,69 @@ object LatestByKey {
       |FROM events WHERE event_type = 'purchase'
       |ORDER BY user_id, valid_from, event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q142
+  // Snapshot diff / reconciliation: the keyed state AS OF a baseline
+  // instant vs AS OF now, classified per key into added / changed /
+  // unchanged — the audit a CDC pipeline runs after a replay or migration
+  // ("did the rebuilt table converge to the source?") and the summary
+  // behind q141's interval history. BOTH snapshots fold out of ONE scan:
+  // per user, max(struct(ts, event_id, value)) with the baseline side
+  // CASE-gated — max ignores the NULLed-out rows, so each snapshot is a
+  // conditional argmax and a 100 TB changelog is read once, not twice.
+  // value_delta sums in DECIMAL (order-free) and is emitted 2-dp DOUBLE.
+  /** Per-key classification + delta of the state at `cutoff` vs now, from
+    * one scan of a changelog `(user_id, ts, event_id, value)`.
+    */
+  private[graft] def snapshotDiff(changelog: DataFrame, cutoff: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+    changelog
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(col("ts") < cutoff,
+          struct(col("ts"), col("event_id"), col("value")))).as("s1"),
+        max(struct(col("ts"), col("event_id"), col("value"))).as("s2"))
+      .withColumn("status",
+        when(col("s1").isNull, "added")
+          .when(col("s1.value") =!= col("s2.value"), "changed")
+          .otherwise("unchanged"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_users"),
+        round(sum((col("s2.value") - coalesce(col("s1.value"), lit(0.0)))
+          .cast(dec)), 2).cast("double").as("value_delta"))
+      .orderBy(col("status"))
+  }
+
+  // The fixture's users are all active from day one, so the declared
+  // baseline sits late (30 Jan 20:00) and the fixture exercises
+  // changed + unchanged; the `added` branch is pinned on a synthetic
+  // changelog in LatestByKeyPropSpec.
+  private def q142(s: SparkSession, dir: String): DataFrame =
+    snapshotDiff(Fixtures.events(s, dir),
+      lit("2024-01-30 20:00:00").cast("timestamp"))
+
+  private val q142Sql =
+    """WITH snap AS (
+      |  SELECT user_id,
+      |    MAX(CASE WHEN ts < TIMESTAMP '2024-01-30 20:00:00'
+      |        THEN struct_pack(ts := ts, e := event_id, v := value) END) AS s1,
+      |    MAX(struct_pack(ts := ts, e := event_id, v := value)) AS s2
+      |  FROM events GROUP BY 1),
+      |cls AS (
+      |  SELECT user_id,
+      |    CASE WHEN s1 IS NULL THEN 'added'
+      |         WHEN s1.v <> s2.v THEN 'changed'
+      |         ELSE 'unchanged' END AS status,
+      |    s2.v - COALESCE(s1.v, 0.0) AS delta
+      |  FROM snap)
+      |SELECT status, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(ROUND(SUM(CAST(delta AS DECIMAL(18,4))), 2) AS DOUBLE) AS value_delta
+      |FROM cls GROUP BY 1 ORDER BY status""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q4_latest_by_key", q4, Some(q4Sql)),
     GraftQuery("q5_enrich_join", q5, Some(q5Sql)),
     GraftQuery("q6_multiget", q6, Some(q6Sql)),
     GraftQuery("q35_partitioned_latest", q35, Some(q35Sql)),
-    GraftQuery("q141_scd2_intervals", q141, Some(q141Sql)))
+    GraftQuery("q141_scd2_intervals", q141, Some(q141Sql)),
+    GraftQuery("q142_snapshot_diff", q142, Some(q142Sql)))
 }

@@ -65,4 +65,23 @@ class LatestByKeyPropSpec extends AnyFunSuite {
     // total current rows == distinct purchasing users
     assert(rows.count(_._4) === rows.map(_._1).distinct.length)
   }
+
+  test("q142 snapshot diff classifies added/changed/unchanged on a synthetic changelog") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-02 00:00:00") // baseline cutoff
+    val t2 = java.sql.Timestamp.valueOf("2024-01-03 00:00:00")
+    val log = Seq(
+      (1L, t0, 10L, 5.0), (1L, t2, 11L, 8.0),  // changed (+3.00)
+      (2L, t0, 20L, 4.0),                       // unchanged
+      (3L, t2, 30L, 7.5))                       // added (first event after cutoff)
+      .toDF("user_id", "ts", "event_id", "value")
+    val got = LatestByKey.snapshotDiff(log, lit(t1))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got === Map(
+      "added" -> ((1L, 7.5)),
+      "changed" -> ((1L, 3.0)),
+      "unchanged" -> ((1L, 0.0))))
+  }
 }
