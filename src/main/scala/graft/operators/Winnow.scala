@@ -28,8 +28,12 @@ import org.apache.spark.sql.functions._
   * tokens — fine for LLM-corpus shards, and the cap is a declared constant,
   * not a silent truncation), selected key per window = MIN over a
   * doc-partitioned ROWS window. MIN-of-packed-key = leftmost occurrence of
-  * the minimal v40 — the classic "robust winnowing" tie rule, mirrored
-  * verbatim by the oracle's window SUM…MIN SQL.
+  * the minimal v40 — a deterministic tie-break variant (robust winnowing
+  * proper, Schleimer et al. §2.3, breaks ties toward the RIGHTMOST minimal
+  * hash, preferring the previously-selected fingerprint to shrink the index
+  * further); the shared-fingerprint guarantee is value-based, so it holds
+  * under either rule. The rule is mirrored verbatim by the oracle's window
+  * SUM…MIN SQL.
   *
   * Scale shape: one narrow token-scale pass (k-gram explode → one codegen'd
   * digest per k-gram → doc-partitioned ROWS-window MIN → distinct), then all

@@ -42,7 +42,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       new FunctionIdentifier("md5_hash60"),
       new ExpressionInfo(classOf[Md5Hash60].getName, "md5_hash60"),
-      (exprs: Seq[Expression]) => Md5Hash60(exprs.head)))
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"md5_hash60(s) takes 1 argument, got ${exprs.length}")
+        Md5Hash60(exprs.head)
+      }))
     // single-pass distinct word n-grams: word_ngrams(text, n) with a
     // literal n (the shingle width is plan-time structure, not data)
     e.injectFunction((

@@ -26,6 +26,17 @@ import org.apache.spark.sql.functions._
   * partitions are an audit trail of the sample's evolution; a janitor can
   * drop all but the latest.
   *
+  * CHECKPOINT LOSS is detected, not silently mis-folded: with a fresh
+  * checkpoint dir, batch ids restart at 0 while higher-numbered partitions
+  * remain, so `latestBefore(batch < 0)` would ignore all prior state and
+  * later batches would read the STALE old max-batch partition. The fold
+  * therefore fails loudly when a partition with `batch > batchId` exists
+  * (strictly greater: an at-least-once re-delivery of batch N legitimately
+  * sees its own `batch = N` partition and rewrites it). Recovery: either
+  * delete `stateDir/res` and restream, or keep the sample by renaming the
+  * latest partition to `batch=-1` (negative ids sort below every fresh
+  * batch, so the new stream's batch 0 folds on top of it).
+  *
   * Scale shape: per batch the work is one narrow scoring projection over
   * the batch + a top-k over (k + |batch|) rows — TakeOrderedAndProject,
   * nothing shuffles but k rows, state size is k regardless of stream
@@ -45,10 +56,17 @@ object ReservoirStream {
     // INT) — normalize to long before comparing
     val all = spark.read.parquet(resDir)
       .withColumn("batch", col("batch").cast("long"))
-      .filter(col("batch") < lit(batchId))
-    val last = all.agg(max(col("batch"))).head()
+    val bounds = all.agg(max(col("batch")).as("mx")).head()
+    if (!bounds.isNullAt(0) && bounds.getLong(0) > batchId)
+      throw new IllegalStateException(
+        s"reservoir state at $resDir has partition batch=${bounds.getLong(0)} > " +
+          s"current batch $batchId: the streaming checkpoint was reset without " +
+          "clearing reservoir state. Delete the res dir (restream), or rename " +
+          "the latest partition to batch=-1 to seed the fresh stream with it.")
+    val prior = all.filter(col("batch") < lit(batchId))
+    val last = prior.agg(max(col("batch"))).head()
     if (last.isNullAt(0)) None
-    else Some(all.filter(col("batch") === last.getLong(0))
+    else Some(prior.filter(col("batch") === last.getLong(0))
       .select(col("doc_id"), col("n_tok"), col("pri")))
   }
 
@@ -64,9 +82,15 @@ object ReservoirStream {
       case None => scored
     }
     val next = merged
-      .dropDuplicates("doc_id") // re-streamed doc must not fill two slots;
-                                // its priority is deterministic, so either
-                                // copy is the same row
+      // a re-delivered doc must not fill two slots. Collisions resolve
+      // DETERMINISTICALLY to the max-(pri, n_tok) copy — under the declared
+      // identical-re-delivery contract both copies are the same row anyway,
+      // but if an updated document is ever re-streamed under its old id the
+      // persisted state still converges to one well-defined winner (vs
+      // dropDuplicates keeping whichever partition answered first)
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("pri"), col("n_tok"))).as("m"))
+      .select(col("doc_id"), col("m.n_tok").as("n_tok"), col("m.pri").as("pri"))
       .orderBy(col("pri").desc, col("doc_id"))
       .limit(k)
       .localCheckpoint() // consumed twice (write + return); also decouples

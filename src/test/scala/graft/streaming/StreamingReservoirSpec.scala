@@ -84,5 +84,15 @@ class StreamingReservoirSpec extends AnyFunSuite {
     val again = ReservoirStream.reservoir(spark, stateDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(again === got, "re-delivered batch must leave the reservoir unchanged")
+
+    // checkpoint loss is detected, not silently mis-folded: a fresh
+    // checkpoint restarts batch ids at 0 while batch=2 state remains —
+    // folding batch 0 against that state must fail loudly (scaladoc's
+    // recovery contract), never read the stale max partition
+    val ex = intercept[IllegalStateException] {
+      ReservoirStream.sampleBatch(lastDocs, stateDir,
+        graft.operators.TextAnalysis.ResK, batchId = 0L)
+    }
+    assert(ex.getMessage.contains("checkpoint"), ex.getMessage)
   }
 }
