@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Fixtures, GraftQuery}
-import graft.functions.Rounding
+import graft.functions.{BloomFilters, Rounding}
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -307,6 +307,10 @@ object Curation {
     * as the q17 minhash internals, which likewise never face the oracle).
     * The array hash is also strictly more faithful than the joined string:
     * ["a b","c"] vs ["a","b c"] collide as strings but not as arrays.
+    *
+    * Registry queries read this signal through [[SignalStore.winFps]] (one
+    * materialization per run shared by q102/q105/q130/q139); this direct
+    * form stays for ad-hoc frames (streaming span gate, specs).
     */
   private[graft] def windowFps(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), wsTokens(col("text")).as("toks"))
@@ -317,9 +321,8 @@ object Curation {
       .distinct() // within-doc repeats count once
 
   private def q102(s: SparkSession, dir: String): DataFrame = {
-    val wins = windowFps(Fixtures.documents(s, dir))
-      .persist() // read twice (per-fp counts + join back): the per-window
-                 // fingerprint pass is the expensive narrow stage — never twice
+    val wins = SignalStore.winFps(s, dir) // shared persisted signal, read
+                                          // twice (per-fp counts + join back)
     val perFp = wins.groupBy(col("fp")).agg(count(lit(1)).as("nd"))
     wins.join(perFp, Seq("fp"))
       .groupBy(col("doc_id"))
@@ -368,15 +371,12 @@ object Curation {
   // (entropy aggregate, bag hash aggregate, window-fp aggregate) joined
   // back on doc_id; no new join patterns, no pairwise work.
   private def q139(s: SparkSession, dir: String): DataFrame = {
-    // ONE corpus read: the tokenized base is cached and every gate derives
-    // from it (a naive composition would re-scan the 100 TB corpus once
-    // per gate — 4 reads; PlanSpec pins the single parquet scan). The
-    // per-gate token-level shapes are the audited q138/q137/q102 chains,
-    // inlined over the shared `toks` array.
-    val base = Fixtures.documents(s, dir)
-      .select(col("doc_id"), col("lang"), col("source"),
-        wsTokens(col("text")).as("toks"))
-      .persist()
+    // ONE corpus read: the tokenized base is the run-shared SignalStore
+    // cache and every gate derives from it (a naive composition would
+    // re-scan the 100 TB corpus once per gate — 4 reads; PlanSpec pins the
+    // cached base). The per-gate token-level shapes are the audited
+    // q138/q137/q102 chains, inlined over the shared `toks` array.
+    val base = SignalStore.tokens(s, dir)
     val dt = base
       .select(col("doc_id"), explode(col("toks")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
@@ -395,13 +395,8 @@ object Curation {
     val keeper = bags.groupBy(col("bag")).agg(min(col("doc_id")).as("keep_id"))
     val bagKeep = bags.join(keeper, Seq("bag"))
       .select(col("doc_id"), (col("doc_id") === col("keep_id")).as("bag_keep"))
-    val wins = base
-      .filter(size(col("toks")) >= SubWidth)
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(0), size(col("toks")) - SubWidth),
-        i => xxhash64(slice(col("toks"), i + 1, lit(SubWidth))))).as("fp"))
-      .distinct()
-      .persist() // read twice (per-fp counts + join back), q102's shape
+    val wins = SignalStore.winFps(s, dir) // q102's signal, shared — read
+                                          // twice (per-fp counts + join back)
     val perFp = wins.groupBy(col("fp")).agg(count(lit(1)).as("nd"))
     val spanDrop = wins.join(perFp, Seq("fp"))
       .groupBy(col("doc_id"))
@@ -474,9 +469,9 @@ object Curation {
   // all-pairs document work anywhere. Fingerprints feed counts/joins only
   // (xxhash64 here, md5 in the oracle — the q102 accepted-risk class).
   private def q130(s: SparkSession, dir: String): DataFrame = {
-    val docs = Fixtures.documents(s, dir)
-    val srcFps = windowFps(docs)
-      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val srcFps = SignalStore.winFps(s, dir)
+      .join(SignalStore.tokens(s, dir).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
       .select(col("source"), col("fp")).distinct()
     srcFps.as("a").join(srcFps.as("b"),
         col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
@@ -659,18 +654,13 @@ object Curation {
   // SubWidth rows per duplicated window. This is the heavyweight corpus
   // rewrite; it runs once per snapshot, after q102 says how much it'll cut.
   private def q105(s: SparkSession, dir: String): DataFrame = {
-    val docs = Fixtures.documents(s, dir)
-      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
+    val docs = SignalStore.tokens(s, dir)
+      .select(col("doc_id"), col("toks"))
       .filter(size(col("toks")) >= SubWidth)
-    // fp array built per doc in one projection (see windowFps: xxhash64 on
-    // the slice array — match-only values, oracle keeps md5); posexplode's
-    // index IS the window start
-    val wins = docs
-      .select(col("doc_id"), posexplode(transform(
-        sequence(lit(0), size(col("toks")) - SubWidth),
-        i => xxhash64(slice(col("toks"), i + 1, lit(SubWidth)))))
-        .as(Seq("start", "fp")))
-      .persist() // read twice (dup-fp derivation + coverage expansion)
+    // position-bearing window fps — the run-shared signal (posexplode's
+    // index IS the window start; match-only values, oracle keeps md5),
+    // read twice (dup-fp derivation + coverage expansion)
+    val wins = SignalStore.winFpsPos(s, dir)
     val dupFps = wins.select(col("doc_id"), col("fp")).distinct()
       .groupBy(col("fp")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2).select(col("fp"))
@@ -736,35 +726,62 @@ object Curation {
   // this is the asymmetric eval→train direction q59's phrase check and
   // q102's symmetric span detector don't cover.
   //
-  // Scale shape: train fingerprints are one distinct 64-bit-key set (~one
-  // row per train token); the verdict is a single left join on fp + a
-  // per-eval-doc fold — linear, no self-join. At 100 TB the train-fp set
-  // would ride a bloom filter (q77's plumbing) so the eval side never
-  // shuffles against the full set; the exact join here is the oracle shape.
+  // Scale shape: ONE corpus scan+tokenize — both splits derive from one
+  // persisted window inventory (q139's shared-base pattern; the previous
+  // form scanned and tokenized the corpus once per split, and the md5
+  // bucket predicate prunes nothing at the scan). Train fingerprints are
+  // one 64-bit-key set (~one row per train token); the verdict join rides
+  // a bloom prefilter built from them (q77's plumbing): n_win folds per
+  // eval doc BEFORE the filter, then only bloom-surviving eval windows —
+  // ≈ the truly contaminated ones + fpp — reach the exact confirm
+  // semi-join, so the shuffled eval side shrinks from every-window to
+  // ~hits. Blooms have no false negatives and the semi-join removes the
+  // false positives, so the answer is EXACT (CurationSpec pins ≡ the
+  // plain-join form); the oracle keeps the plain left join.
   private val DecontamWidth = 8
-  private def q104(s: SparkSession, dir: String): DataFrame = {
-    val docs = Fixtures.documents(s, dir)
-      .select(col("doc_id"), md5Bucket(col("doc_id")).as("bucket"),
-        wsTokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= DecontamWidth)
+
+  /** q104 body; `bloom = false` is the plain exact-join reference shape the
+    * spec pins the bloom path against.
+    */
+  private[graft] def decontam(s: SparkSession, dir: String,
+      bloom: Boolean): DataFrame = {
     // match-only fingerprints (see windowFps): xxhash64 on the slice array,
-    // fp array built per doc in one projection; oracle keeps md5
-    def wins(df: DataFrame): DataFrame = df
-      .select(col("doc_id"), explode(transform(
+    // fp array built per doc in one projection; oracle keeps md5. Buckets
+    // 90–94 feed neither split — pruned before the explode.
+    val wins = SignalStore.tokens(s, dir)
+      .select(col("doc_id"), md5Bucket(col("doc_id")).as("bucket"), col("toks"))
+      .filter(size(col("toks")) >= DecontamWidth)
+      .filter(col("bucket") < 90 || col("bucket") >= 95)
+      .select(col("doc_id"), col("bucket"), explode(transform(
         sequence(lit(0), size(col("toks")) - DecontamWidth),
         i => xxhash64(slice(col("toks"), i + 1, lit(DecontamWidth))))).as("fp"))
       .distinct()
-    val trainFp = wins(docs.filter(col("bucket") < 90))
-      .select(col("fp")).distinct().withColumn("hit", lit(1L))
-    wins(docs.filter(col("bucket") >= 95))
-      .join(trainFp, Seq("fp"), "left")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_win"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
-      .filter(col("n_hit") > 0)
+      .persist() // read thrice: train fps (+ bloom build) and both eval folds
+    // per-doc dups don't matter to a semi-join or a bloom insert, so the
+    // train side skips the distinct-on-fp shuffle entirely
+    val trainFp = wins.filter(col("bucket") < 90).select(col("fp"))
+    val evalW = wins.filter(col("bucket") >= 95).select(col("doc_id"), col("fp"))
+    val nWin = evalW.groupBy(col("doc_id")).agg(count(lit(1)).as("n_win"))
+    val evalPre =
+      if (!bloom) evalW
+      else {
+        // sizing count + build both ride the persisted inventory; the
+        // (doc, fp)-pair count only oversizes the filter (fewer fp)
+        val bytes = BloomFilters.build(trainFp, col("fp"),
+          numItems = math.max(1L, trainFp.count()))
+        if (bytes == null) evalW // empty train split: nothing to prefilter
+        else evalW.filter(BloomFilters.mightContain(bytes, col("fp")))
+      }
+    evalPre.join(trainFp, Seq("fp"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+      .join(nWin, Seq("doc_id")) // inner: only docs with ≥1 confirmed hit
       .select(col("doc_id"), col("n_win"), col("n_hit"),
         Rounding.stable(col("n_hit") / col("n_win"), 4).as("contam_frac"))
       .orderBy(col("doc_id"))
   }
+
+  private def q104(s: SparkSession, dir: String): DataFrame =
+    decontam(s, dir, bloom = true)
 
   private val q104Sql =
     s"""WITH d AS (

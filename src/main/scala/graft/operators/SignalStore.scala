@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.Fixtures
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Per-run cache of the shared corpus-derived signals — the pipeline-stage
+  * materialization the window-fingerprint family (q102/q104/q105/q130/q139)
+  * reads instead of each query re-scanning and re-tokenizing the corpus.
+  *
+  * The tokenize pass and the per-window fingerprint projection are the
+  * expensive narrow stages of every span-level operator: before this store,
+  * one bench run paid them ~5× (once per consumer query). Here each signal
+  * materializes ONCE per (signal, sf-dir) and every consumer reads the
+  * persisted frame — the in-session analogue of writing the signal to a
+  * pipeline-stage parquet (DedupStream's externalized signature index is the
+  * cross-engine form of the same idea; at 100 TB a scheduler would persist
+  * these between pipeline stages rather than holding them in cluster
+  * memory).
+  *
+  * Derivation chain: `tokens` (one corpus scan) → `winFpsPos` (one hash
+  * projection, position-bearing) → `winFps` (distinct doc-level). Each layer
+  * persists, so a consumer of a later layer never recomputes an earlier one.
+  *
+  * Entries are keyed by (session, signal, dir); `spark.catalog.clearCache()`
+  * (used by plan-shape tests) unpersists the frames, so accessors re-persist
+  * when the storage level has been dropped — the cache degrades to
+  * recompute-once, never to silent per-query rescans.
+  */
+object SignalStore {
+
+  private val cache =
+    scala.collection.concurrent.TrieMap[(Int, String, String), DataFrame]()
+
+  private def cached(s: SparkSession, key: String, dir: String)
+      (build: => DataFrame): DataFrame = {
+    val df = cache.getOrElseUpdate(
+      (System.identityHashCode(s), key, dir), build.persist())
+    if (df.storageLevel == StorageLevel.NONE) df.persist()
+    df
+  }
+
+  /** `(doc_id, lang, source, toks)` — the tokenized corpus, one scan. */
+  def tokens(s: SparkSession, dir: String): DataFrame =
+    cached(s, "tokens", dir) {
+      Fixtures.documents(s, dir).select(col("doc_id"), col("lang"),
+        col("source"), wsTokens(col("text")).as("toks"))
+    }
+
+  /** `(doc_id, start, fp)`: every [[Curation.SubWidth]]-token window
+    * fingerprint at every offset (within-doc repeats kept — `start` is the
+    * window's token offset). The fp is the codegen'd xxhash64 slice-array
+    * hash of `Curation.windowFps` (match-only values; oracles keep md5).
+    */
+  def winFpsPos(s: SparkSession, dir: String): DataFrame =
+    cached(s, "winFpsPos", dir) {
+      tokens(s, dir)
+        .filter(size(col("toks")) >= Curation.SubWidth)
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(0), size(col("toks")) - Curation.SubWidth),
+          i => xxhash64(slice(col("toks"), i + 1, lit(Curation.SubWidth)))))
+          .as(Seq("start", "fp")))
+    }
+
+  /** Distinct `(doc_id, fp)` — the doc-level window-fingerprint inventory
+    * (within-doc repeats count once).
+    */
+  def winFps(s: SparkSession, dir: String): DataFrame =
+    cached(s, "winFps", dir) {
+      winFpsPos(s, dir).select(col("doc_id"), col("fp")).distinct()
+    }
+}

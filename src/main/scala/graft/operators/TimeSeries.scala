@@ -175,15 +175,34 @@ object TimeSeries {
   // the exact nondeterminism class this repo bans from outputs). Magnitude
   // audit: c ≤ 10⁶ cents keeps every product < 2⁶² at AnomWin ≤ 10³.
   //
-  // Scale shape: one shuffle partitions by event_type; the ROWS frame is
-  // O(AnomWin) state per key; output carries only the flagged rows.
+  // Scale shape: the naive plan partitions the window by event_type alone —
+  // cardinality = |event types| (a handful), so the whole events table
+  // sorts inside that many tasks: a parallelism ceiling at 100×. The
+  // shipped plan is the overlapping-chunk decomposition: a dense global
+  // per-type position is computed scalably (per-(type, day) local
+  // row_number — parallel — plus a catalog-sized cumulative day-offset
+  // table broadcast back), rows are chunked by position so every chunk
+  // holds exactly AnomChunk rows, each chunk is prefixed with a REPLICA of
+  // the previous chunk's last AnomWin rows, and the ROWS frame runs per
+  // (event_type, chunk) — parallelism = rows/AnomChunk, replication
+  // overhead AnomWin/AnomChunk. Position-based chunking (not time-based)
+  // guarantees the frame never needs more than the replica prefix, with no
+  // assumptions about event density; replicas only ever FEED frames (their
+  // own frame rows are dropped), so the result is row-identical to the
+  // single-partition-per-type form (TimeSeriesSpec pins the equality, the
+  // oracle keeps the naive window SQL).
   private val AnomWin = 50
+  private[graft] val AnomChunk = 200 // ≥ AnomWin; at cluster scale this is
+                                     // ~millions (state per task, not rows)
 
-  private def q140(s: SparkSession, dir: String): DataFrame = {
+  /** Single-partition-per-type reference form — the oracle's plan shape;
+    * the spec pins the chunked plan against it.
+    */
+  private[graft] def rollingAnomalyPerType(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("event_type"))
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(-AnomWin, -1)
-    Fixtures.events(s, dir)
+    events
       .select(col("event_id"), col("event_type"),
         floor(col("value") * 100 + 0.5).cast("long").as("c"), col("ts"))
       .withColumn("s", sum(col("c")).over(w))
@@ -197,6 +216,54 @@ object TimeSeries {
         (lit(9L) * (col("n") * col("q") - col("s") * col("s"))).as("bound"))
       .orderBy(col("event_id"))
   }
+
+  /** Chunk-parallel rolling anomaly (see q140 scaladoc). Exact: every own
+    * row's trailing-AnomWin frame is fully contained in its chunk's replica
+    * prefix + own predecessors, because chunks are position-dense.
+    */
+  private[graft] def rollingAnomaly(events: DataFrame, chunkRows: Int): DataFrame = {
+    require(chunkRows >= AnomWin,
+      s"chunk must cover the frame: $chunkRows < $AnomWin")
+    val e = events
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("c"), col("ts"))
+      .withColumn("tb", to_date(col("ts"))) // tb = date(ts) ⇒ ordering by
+                                            // (tb, ts) ≡ ordering by ts
+    val wLocal = Window.partitionBy(col("event_type"), col("tb"))
+      .orderBy(col("ts"), col("event_id"))
+    val local = e.withColumn("lr", row_number().over(wLocal).cast("long"))
+    // cumulative rows before each (type, day): |types|·|days| rows — a
+    // catalog-sized table, broadcast back to make positions global
+    val wOff = Window.partitionBy(col("event_type")).orderBy(col("tb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = local.groupBy(col("event_type"), col("tb"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+      .select(col("event_type"), col("tb"), col("off"))
+    val g = local.join(broadcast(offs), Seq("event_type", "tb"))
+      .withColumn("gpos", col("off") + col("lr"))
+      .withColumn("chunk", floor((col("gpos") - 1) / chunkRows))
+    // last AnomWin rows of each chunk also feed the NEXT chunk's frames
+    val reps = g.filter(pmod(col("gpos") - 1, lit(chunkRows)) >= chunkRows - AnomWin)
+      .withColumn("chunk", col("chunk") + 1)
+    val wFrame = Window.partitionBy(col("event_type"), col("chunk"))
+      .orderBy(col("gpos")).rowsBetween(-AnomWin, -1)
+    g.withColumn("replica", lit(false))
+      .unionByName(reps.withColumn("replica", lit(true)))
+      .withColumn("s", sum(col("c")).over(wFrame))
+      .withColumn("q", sum(col("c") * col("c")).over(wFrame))
+      .withColumn("n", count(lit(1)).over(wFrame))
+      .filter(!col("replica") && col("n") === AnomWin &&
+        (col("n") * col("c") - col("s")) * (col("n") * col("c") - col("s"))
+          > lit(9L) * (col("n") * col("q") - col("s") * col("s")))
+      .select(col("event_id"), col("event_type"), col("c").as("cents"),
+        ((col("n") * col("c") - col("s")) * (col("n") * col("c") - col("s"))).as("dev2"),
+        (lit(9L) * (col("n") * col("q") - col("s") * col("s"))).as("bound"))
+      .orderBy(col("event_id"))
+  }
+
+  private def q140(s: SparkSession, dir: String): DataFrame =
+    rollingAnomaly(Fixtures.events(s, dir), AnomChunk)
 
   private val q140Sql =
     s"""WITH e AS (

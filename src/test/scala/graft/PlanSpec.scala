@@ -383,6 +383,30 @@ class PlanSpec extends AnyFunSuite {
       s"funnel gates must share the cached tokenized base:\n${p.take(1500)}")
   }
 
+  test("q104: both splits read ONE persisted window inventory; bloom prefilter is in-plan") {
+    // the decontamination corpus scan+tokenize+fingerprint pass materializes
+    // once (train fps, eval n_win fold, eval prefilter+confirm all read the
+    // cache — ≥3 InMemoryTableScans), and the eval side is prefiltered by
+    // the train-fp bloom (might_contain) before the exact confirm semi-join
+    spark.catalog.clearCache()
+    val p = planOf("q104_decontamination")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3,
+      s"both splits must share the cached window inventory:\n${p.take(1500)}")
+    assert(p.contains("might_contain"),
+      s"bloom prefilter must appear in the physical plan:\n${p.take(1500)}")
+  }
+
+  test("q140: anomaly window partitions by (event_type, chunk), never by type alone") {
+    // the rolling frame's shuffle key must include the position chunk —
+    // partitioning by event_type alone caps parallelism at |types| and
+    // funnels the whole table through that many sort tasks at 100×
+    val p = planOf("q140_rolling_anomaly")
+    assert("hashpartitioning\\(event_type#\\d+, chunk#\\d+".r.findAllIn(p).nonEmpty,
+      s"frame shuffle key must be (event_type, chunk):\n${p.take(1500)}")
+    assert(!p.contains("SinglePartition"),
+      s"anomaly frame must not plan a global window:\n${p.take(1200)}")
+  }
+
   test("q131: vocab side broadcasts; corpus aggregated once behind the cache") {
     val p = planOf("q131_oov_rate")
     assert(p.contains("BroadcastHashJoin"),

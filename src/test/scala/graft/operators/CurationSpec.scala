@@ -120,6 +120,18 @@ class CurationSpec extends AnyFunSuite {
       "flagged docs must all be in the test split")
   }
 
+  test("bloom-prefiltered decontamination equals the plain exact join, row for row") {
+    // blooms have no false negatives and the confirm semi-join removes the
+    // false positives, so the prefiltered path must be EXACT — this is the
+    // contract that lets q104 ship the bloom as its default plan
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val withBloom = Curation.decontam(spark, dir, bloom = true).collect().map(key)
+    val exact = Curation.decontam(spark, dir, bloom = false).collect().map(key)
+    assert(withBloom.nonEmpty, "fixture must exercise the contaminated path")
+    assert(withBloom.toSeq === exact.toSeq)
+  }
+
   test("CDC chunks partition every document: contiguous indices, token counts sum exactly") {
     import spark.implicits._
     val docs = Fixtures.documents(spark, dir).select(col("doc_id"), col("text"))

@@ -59,6 +59,26 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got === ref.toMap)
   }
 
+  test("chunked rolling anomaly ≡ the per-type-partition form, even at minimal chunk size") {
+    // the shipped q140 plan chunks each type's timeline into fixed-row
+    // chunks with an AnomWin replica prefix; it must be ROW-IDENTICAL to
+    // the naive one-partition-per-type window. chunkRows = 50 (== AnomWin,
+    // every row is also a replica) is the adversarial boundary case.
+    val events = graft.Fixtures.events(spark, TestSpark.sf0001)
+    val ref = TimeSeries.rollingAnomalyPerType(events).collect().map(_.toString).toSeq
+    assert(ref.nonEmpty)
+    for (chunkRows <- Seq(50, 64, TimeSeries.AnomChunk)) {
+      val got = TimeSeries.rollingAnomaly(events, chunkRows).collect().map(_.toString).toSeq
+      assert(got === ref, s"chunkRows=$chunkRows diverged from the per-type form")
+    }
+    // the equality only means something if the fixture crosses chunk
+    // boundaries: ≥2 chunks at the default size, ≥4 at the adversarial 50
+    val maxPerType = events.groupBy(col("event_type")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    assert(maxPerType > TimeSeries.AnomChunk && maxPerType > 200L,
+      s"fixture too small to exercise chunk boundaries ($maxPerType rows)")
+  }
+
   test("q91 grid is dense and fully filled: one row per day per user, no nulls") {
     val out = SparkEntry.queries("q91_resample_ffill")(spark, TestSpark.sf0001)
     assert(out.filter(col("v_fill").isNull).count() === 0,
