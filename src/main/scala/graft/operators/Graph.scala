@@ -183,7 +183,7 @@ object Graph {
   // one map-side-combinable aggregate; top-20 is a TakeOrderedAndProject.
   // Rank packs as deg·10⁹ + node (node ids < 10⁹), a single BIGINT both
   // engines order identically.
-  private val TriCap = 20
+  private[graft] val TriCap = 20
 
   /** Per-node triangle counts over an undirected edge list `(x, y)` with
     * x < y, distinct, no self-loops. Degree-oriented exactly-once counting
@@ -213,17 +213,29 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
   }
 
-  private def q133(s: SparkSession, dir: String): DataFrame = {
+  /** q133 body over raw bipartite `(p, c)` rows (part, customer; dups
+    * fine — the per-part collect_set dedups). Exposed so the spec can
+    * plant a hot part and read the guardrail metric.
+    *
+    * NO SILENT CAPS: the TriCap exclusion is observable — the parts
+    * aggregate carries an `observe("q133_guardrail", ...)` with the count
+    * of excluded hot parts and the hottest part's buyer count, so a 100×
+    * run can SEE what the projection dropped (via
+    * `queryExecution.observedMetrics` / any QueryExecutionListener)
+    * instead of discovering a silently thinner graph.
+    */
+  private[graft] def coPurchaseTriangles(pc: DataFrame): DataFrame = {
     // Bipartite projection WITHOUT a self-join: one collect_set aggregate
     // per part (the same shuffle the cap filter needs anyway), then the
     // ≤ TriCap² ordered pairs per part unfold in a narrow HOF projection —
     // per-part work is cap-bounded by construction, so the lambda is safe
     // from the q124 HOF-collapse trap and the only remaining shuffle is the
     // cross-part edge distinct.
-    val parts = Fixtures.lineitem(s, dir).select(col("l_partkey").as("p"), col("l_orderkey"))
-      .join(Fixtures.orders(s, dir).select(col("o_orderkey"), col("o_custkey").as("c")),
-        col("l_orderkey") === col("o_orderkey"))
+    val parts = pc
       .groupBy(col("p")).agg(sort_array(collect_set(col("c").cast("long"))).as("cs"))
+      .observe("q133_guardrail",
+        sum(when(size(col("cs")) > TriCap, 1L).otherwise(0L)).as("n_excluded_parts"),
+        max(size(col("cs"))).as("max_part_buyers"))
       .filter(size(col("cs")) >= 2 && size(col("cs")) <= TriCap)
     val edges = parts.select(explode(flatten(transform(
         sequence(lit(0), size(col("cs")) - 2),
@@ -235,6 +247,13 @@ object Graph {
       .orderBy(col("n_tri").desc, col("node"))
       .limit(20)
   }
+
+  private def q133(s: SparkSession, dir: String): DataFrame =
+    coPurchaseTriangles(
+      Fixtures.lineitem(s, dir).select(col("l_partkey").as("p"), col("l_orderkey"))
+        .join(Fixtures.orders(s, dir).select(col("o_orderkey"), col("o_custkey").as("c")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("p"), col("c")))
 
   private val q133Sql =
     s"""WITH pc AS (

@@ -123,4 +123,20 @@ class GraphSpec extends AnyFunSuite {
     val star = (1L to 6L).map(i => (0L, i))
     assert(triOf(star) === Map.empty[Long, Long])
   }
+
+  test("q133 guardrail is observable: a planted hot part is excluded AND counted") {
+    import spark.implicits._
+    // part 100: TriCap+1 buyers (hot — must be dropped, silently thinning
+    // the graph unless the metric reports it); parts 200/201/202 build a
+    // triangle among customers 1/2/3
+    val hot = (1L to (Graph.TriCap + 1L)).map(c => (100L, c))
+    val tri = Seq((200L, 1L), (200L, 2L), (201L, 2L), (201L, 3L), (202L, 1L), (202L, 3L))
+    val df = Graph.coPurchaseTriangles((hot ++ tri).toDF("p", "c"))
+    val rows = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hot-part-only pairs (e.g. customers 4..21) contributed no edges
+    assert(rows === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    val m = df.queryExecution.observedMetrics("q133_guardrail")
+    assert(m.getAs[Long]("n_excluded_parts") === 1L)
+    assert(m.getAs[Int]("max_part_buyers") === Graph.TriCap + 1)
+  }
 }
