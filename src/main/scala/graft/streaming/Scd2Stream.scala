@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming._
+
+/** Changelog record for the SCD2 fold (`ts` is the event time that opens a
+  * validity interval; `event_id` plays the Kafka offset — unique and
+  * monotone per key, FIXTURES.md).
+  */
+case class Scd2Event(event_id: Long, user_id: Long, ts: java.sql.Timestamp,
+    value: Double)
+
+/** One validity interval of the type-2 dimension. `valid_to == null` marks
+  * the open (current) row; a closed row is FINAL — it is never revised by
+  * later input.
+  */
+case class Scd2Row(event_id: Long, user_id: Long, valid_from: java.sql.Timestamp,
+    value: Double, valid_to: java.sql.Timestamp, is_current: Boolean)
+
+/** Streaming SCD type-2 interval maintenance — the HISTORY-PRESERVING form
+  * of the reference's changelog fold (`Tables.persistent.*`,
+  * /root/reference/src/main/scala/com/iravid/fs2/kafka/streams/
+  * Tables.scala:110-139): where [[LatestValueProcessor]] keeps only the
+  * last write per key (q4's table), this keeps the OPEN validity interval
+  * per key and, on each update, closes it (`valid_to` = the new row's
+  * `valid_from`, emitted once, final) and opens the successor — completing
+  * the latest(q4) / history(q141) / snapshot(q142) triad. State per key is
+  * O(1): one open interval, NOT the interval history — the history lives in
+  * the emitted stream (the downstream SCD2 table), exactly like a CDC
+  * changelog feeding a warehouse dimension.
+  *
+  * Ordering contract = the reference's: offset order is authority (Kafka
+  * delivers per-partition in order), so a row at or before the open
+  * interval's (ts, event_id) is treated as an at-least-once RE-DELIVERY and
+  * skipped — the same idempotent-replay rule as [[LatestValueProcessor]]'s
+  * `event_id > last_event_id` check (a fold that threw instead would abort
+  * on every replayed epoch). Within a micro-batch rows are sorted by
+  * (ts, event_id), so intra-batch arrival order never matters.
+  * Scd2StreamSpec pins streaming ≡ batch q141 after full replay and after
+  * a mid-stream checkpoint restart.
+  */
+class Scd2Processor extends StatefulProcessor[Long, Scd2Event, Scd2Row] {
+  @transient private var open: ValueState[Scd2Event] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    open = getHandle.getValueState[Scd2Event]("open",
+      Encoders.product[Scd2Event], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[Scd2Event],
+      timerValues: TimerValues): Iterator[Scd2Row] = {
+    val ordered = rows.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+    val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Row]
+    var cur = if (open.exists()) open.get() else null
+    var touched = false
+    ordered.foreach { e =>
+      val fresh = cur == null || e.ts.getTime > cur.ts.getTime ||
+        (e.ts.getTime == cur.ts.getTime && e.event_id > cur.event_id)
+      if (fresh) {
+        if (cur != null) // close the open interval; this row is final
+          out += Scd2Row(cur.event_id, key, cur.ts, cur.value, e.ts,
+            is_current = false)
+        cur = e
+        touched = true
+      } // else: re-delivered row, already folded — skip (idempotence)
+    }
+    if (!touched) Iterator.empty
+    else {
+      open.update(cur)
+      out += Scd2Row(cur.event_id, key, cur.ts, cur.value, null,
+        is_current = true)
+      out.iterator
+    }
+  }
+}
+
+object Scd2Stream {
+  /** Fold a (streaming or batch) purchase changelog into the SCD2 interval
+    * update stream. Update mode: per touched key per epoch, the newly
+    * closed rows (final) plus the current open row (superseded by the next
+    * epoch's emission for the same event_id).
+    */
+  def intervals(events: Dataset[Scd2Event]): Dataset[Scd2Row] = {
+    implicit val enc = Encoders.product[Scd2Row]
+    implicit val keyEnc = Encoders.scalaLong
+    events.groupByKey(_.user_id)
+      .transformWithState(new Scd2Processor, TimeMode.None(), OutputMode.Update())
+  }
+}
