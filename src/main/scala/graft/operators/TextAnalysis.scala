@@ -1135,7 +1135,68 @@ object TextAnalysis {
        |FROM st LEFT JOIN v ON v.tok = st.tok
        |GROUP BY 1 ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q143
+  // Corpus n-gram diversity per source — the type-token ratio at unigram
+  // and trigram granularity (distinct grams / total gram occurrences).
+  // This is the corpus-LEVEL repetition audit behind modern curation
+  // recipes: a source whose trigram TTR collapses is template/boilerplate
+  // farmland even when per-document signals (q66 rules, q138 entropy)
+  // look healthy, and the number is what a dedup pass is expected to RAISE
+  // — the before/after gauge for q102/q14-style interventions.
+  //
+  // Scale shape: reads the shared tokenized base (SignalStore); totals are
+  // one narrow map-side-combinable aggregate; each distinct-gram count is
+  // one linear (source, 8-byte xxhash64 gram-key) distinct shuffle — the
+  // windowFps profile at width 1 and 3, never a string-keyed shuffle.
+  // Distinct counts ride the hash, so a collision would undercount by one
+  // (≈n²/2⁶⁵ — the q102 accepted-risk class, here visible in an output
+  // count; the oracle counts raw grams and agrees unless a hash collides).
+  private def q143(s: SparkSession, dir: String): DataFrame = {
+    val base = SignalStore.tokens(s, dir).select(col("source"), col("toks"))
+    val tot = base.groupBy(col("source"))
+      .agg(sum(size(col("toks"))).cast("long").as("n_tok"),
+        sum(greatest(size(col("toks")) - 2, lit(0))).cast("long").as("n_tri_total"))
+    val uni = base.select(col("source"), explode(col("toks")).as("t"))
+      .select(col("source"), xxhash64(col("t")).as("g")).distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("n_uni_distinct"))
+    val tri = base.filter(size(col("toks")) >= 3)
+      .select(col("source"), explode(transform(
+        sequence(lit(0), size(col("toks")) - 3),
+        i => xxhash64(slice(col("toks"), i + 1, lit(3))))).as("g"))
+      .distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("n_tri_distinct"))
+    tot.join(uni, Seq("source")).join(tri, Seq("source"))
+      .select(col("source"), col("n_tok"), col("n_uni_distinct"),
+        col("n_tri_total"), col("n_tri_distinct"),
+        graft.functions.Rounding.stable(
+          col("n_uni_distinct") / col("n_tok"), 4).as("uni_ttr"),
+        graft.functions.Rounding.stable(
+          col("n_tri_distinct") / col("n_tri_total"), 4).as("tri_ttr"))
+      .orderBy(col("source"))
+  }
+
+  private val q143Sql =
+    """WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+      |tot AS (
+      |  SELECT source, CAST(SUM(len(toks)) AS BIGINT) AS n_tok,
+      |    CAST(SUM(GREATEST(len(toks) - 2, 0)) AS BIGINT) AS n_tri_total
+      |  FROM t GROUP BY 1),
+      |uni AS (
+      |  SELECT source, CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_uni_distinct
+      |  FROM (SELECT source, unnest(toks) AS tok FROM t) GROUP BY 1),
+      |tri AS (
+      |  SELECT source, CAST(COUNT(DISTINCT g) AS BIGINT) AS n_tri_distinct
+      |  FROM (SELECT source, array_to_string(list_slice(toks, i + 1, i + 3), ' ') AS g
+      |        FROM (SELECT source, toks, unnest(generate_series(0, len(toks) - 3)) AS i
+      |              FROM t WHERE len(toks) >= 3)) GROUP BY 1)
+      |SELECT source, n_tok, n_uni_distinct, n_tri_total, n_tri_distinct,
+      |  floor(n_uni_distinct * 1.0 / n_tok * 10000.0 + 0.5) / 10000.0 AS uni_ttr,
+      |  floor(n_tri_distinct * 1.0 / n_tri_total * 10000.0 + 0.5) / 10000.0 AS tri_ttr
+      |FROM tot JOIN uni USING (source) JOIN tri USING (source)
+      |ORDER BY source""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q143_ngram_diversity", q143, Some(q143Sql)),
     GraftQuery("q120_source_overlap", q120, Some(q120Sql)),
     GraftQuery("q131_oov_rate", q131, Some(q131Sql)),
     GraftQuery("q132_dsir_resample", q132, Some(q132Sql)),

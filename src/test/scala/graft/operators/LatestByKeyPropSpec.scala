@@ -66,6 +66,32 @@ class LatestByKeyPropSpec extends AnyFunSuite {
     assert(rows.count(_._4) === rows.map(_._1).distinct.length)
   }
 
+  test("q141 point-in-time lookup through the intervals equals the q31 as-of sweep") {
+    // the SCD2 dimension's query-side contract: joining a probe against the
+    // interval table with valid_from <= t < valid_to (open interval = no
+    // upper bound) must give exactly the as-of answer — the intervals ARE
+    // "latest purchase at-or-before t" reified as ranges
+    import org.apache.spark.sql.functions._
+    val dim = graft.SparkEntry.queries("q141_scd2_intervals")(spark, TestSpark.sf0001)
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("valid_from"), col("valid_to"))
+    val clicks = graft.Fixtures.events(spark, TestSpark.sf0001)
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id").as("u"), col("ts"))
+    val viaIntervals = clicks.join(dim,
+        clicks("u") === dim("user_id") && dim("valid_from") <= clicks("ts") &&
+          (dim("valid_to").isNull || clicks("ts") < dim("valid_to")), "left")
+      .select(col("event_id"), col("purchase_id"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val viaAsOf = graft.SparkEntry.queries("q31_asof_join")(spark, TestSpark.sf0001)
+      .select(col("event_id"), col("purchase_id"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(viaIntervals.nonEmpty && viaIntervals.exists(_._2.nonEmpty))
+    assert(viaIntervals === viaAsOf)
+  }
+
   test("q142 snapshot diff classifies added/changed/unchanged on a synthetic changelog") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -11,6 +11,29 @@ class TextSignalsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = TestSpark.sf0001
 
+  test("q143 n-gram diversity equals a sequential set count per source") {
+    val got = SparkEntry.queries("q143_ngram_diversity")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    assert(got.nonEmpty)
+    val docs = Fixtures.documents(spark, dir)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ").toSeq))
+    for ((src, byS) <- docs.groupBy(_._1)) {
+      val toks = byS.map(_._2)
+      val nTok = toks.map(_.length.toLong).sum
+      val triTotal = toks.map(t => math.max(0, t.length - 2).toLong).sum
+      val uniD = toks.flatten.toSet.size.toLong
+      val triD = toks.flatMap(_.sliding(3).filter(_.length == 3).map(_.mkString(" "))).toSet.size.toLong
+      val (gTok, gUni, gTriT, gTriD, uttr, tttr) = got(src)
+      assert((gTok, gUni, gTriT, gTriD) === ((nTok, uniD, triTotal, triD)), s"source $src")
+      assert(uttr === math.floor(uniD.toDouble / nTok * 1e4 + 0.5) / 1e4, s"source $src uni_ttr")
+      assert(tttr === math.floor(triD.toDouble / triTotal * 1e4 + 0.5) / 1e4, s"source $src tri_ttr")
+      assert(uttr > 0 && uttr <= 1 && tttr > 0 && tttr <= 1)
+    }
+  }
+
   test("q138 entropy equals a sequential mirror of the LUT formula on every doc") {
     val got = SparkEntry.queries("q138_token_entropy")(spark, dir)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
