@@ -1195,8 +1195,42 @@ object TextAnalysis {
       |FROM tot JOIN uni USING (source) JOIN tri USING (source)
       |ORDER BY source""".stripMargin
 
+  /** Approximate twin of q143 — the shape that actually ships at 100 TB:
+    * each distinct-gram count becomes one mergeable HLL aggregate
+    * (`approx_count_distinct`, rsd 2%) over the exploded gram hashes, so
+    * there is NO (source, gram) distinct exchange at all — partial sketches
+    * fold map-side and only |sources| sketches merge. The q10_approx
+    * pattern: declared-approximate (no oracle, rows-only driver check);
+    * TextSignalsSpec pins every count within 5% of exact q143 and totals
+    * bit-identical (totals are exact sums in both).
+    */
+  private def q143Approx(s: SparkSession, dir: String): DataFrame = {
+    val base = SignalStore.tokens(s, dir).select(col("source"), col("toks"))
+    val tot = base.groupBy(col("source"))
+      .agg(sum(size(col("toks"))).cast("long").as("n_tok"),
+        sum(greatest(size(col("toks")) - 2, lit(0))).cast("long").as("n_tri_total"))
+    val uni = base.select(col("source"), explode(col("toks")).as("t"))
+      .groupBy(col("source"))
+      .agg(approx_count_distinct(xxhash64(col("t")), 0.02).as("n_uni_distinct"))
+    val tri = base.filter(size(col("toks")) >= 3)
+      .select(col("source"), explode(transform(
+        sequence(lit(0), size(col("toks")) - 3),
+        i => xxhash64(slice(col("toks"), i + 1, lit(3))))).as("g"))
+      .groupBy(col("source"))
+      .agg(approx_count_distinct(col("g"), 0.02).as("n_tri_distinct"))
+    tot.join(uni, Seq("source")).join(tri, Seq("source"))
+      .select(col("source"), col("n_tok"), col("n_uni_distinct"),
+        col("n_tri_total"), col("n_tri_distinct"),
+        graft.functions.Rounding.stable(
+          col("n_uni_distinct") / col("n_tok"), 4).as("uni_ttr"),
+        graft.functions.Rounding.stable(
+          col("n_tri_distinct") / col("n_tri_total"), 4).as("tri_ttr"))
+      .orderBy(col("source"))
+  }
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q143_ngram_diversity", q143, Some(q143Sql)),
+    GraftQuery("q143_approx_diversity", q143Approx, None),
     GraftQuery("q120_source_overlap", q120, Some(q120Sql)),
     GraftQuery("q131_oov_rate", q131, Some(q131Sql)),
     GraftQuery("q132_dsir_resample", q132, Some(q132Sql)),

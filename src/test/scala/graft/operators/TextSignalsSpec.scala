@@ -34,6 +34,22 @@ class TextSignalsSpec extends AnyFunSuite {
     }
   }
 
+  test("q143 approx diversity: totals exact, distinct counts within 5% of the exact twin") {
+    val exact = SparkEntry.queries("q143_ngram_diversity")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val approx = SparkEntry.queries("q143_approx_diversity")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(approx.keySet === exact.keySet)
+    for ((src, (nTok, uniD, triT, triD)) <- exact) {
+      val (aTok, aUni, aTriT, aTriD) = approx(src)
+      assert(aTok === nTok && aTriT === triT, s"$src: totals must be exact")
+      assert(math.abs(aUni - uniD) <= 0.05 * uniD, s"$src: uni $aUni vs $uniD")
+      assert(math.abs(aTriD - triD) <= 0.05 * triD, s"$src: tri $aTriD vs $triD")
+    }
+  }
+
   test("q138 entropy equals a sequential mirror of the LUT formula on every doc") {
     val got = SparkEntry.queries("q138_token_entropy")(spark, dir)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
