@@ -79,6 +79,30 @@ class TimeSeriesSpec extends AnyFunSuite {
       s"fixture too small to exercise chunk boundaries ($maxPerType rows)")
   }
 
+  test("chunked rolling anomaly ≡ per-type form on random streams with heavy ts ties (5 seeds)") {
+    // adversarial generator: few event types (low parallelism in the naive
+    // form), many equal timestamps (stresses the (ts, event_id) tie-break
+    // that makes the global position well-defined), values with planted
+    // spikes, day-boundary crossings (stresses the local-rank + offset
+    // composition). chunkRows = 50 = AnomWin maximizes boundary traffic.
+    import spark.implicits._
+    val rnd = new scala.util.Random(0)
+    for (seed <- 1 to 5) {
+      rnd.setSeed(seed * 7919L)
+      val n = 400 + rnd.nextInt(200)
+      val rows = (0 until n).map { i =>
+        val t = new Timestamp(ts("2024-01-01 00:00:00").getTime +
+          rnd.nextInt(4) * 86400000L + rnd.nextInt(20) * 1000L) // many ties
+        val v = if (rnd.nextInt(60) == 0) 5000.0 else 10.0 + rnd.nextInt(5)
+        (i.toLong, s"t${rnd.nextInt(3)}", v, t)
+      }
+      val df = rows.toDF("event_id", "event_type", "value", "ts")
+      val ref = TimeSeries.rollingAnomalyPerType(df).collect().map(_.toString).toSeq
+      val got = TimeSeries.rollingAnomaly(df, 50).collect().map(_.toString).toSeq
+      assert(got === ref, s"seed $seed diverged")
+    }
+  }
+
   test("q91 grid is dense and fully filled: one row per day per user, no nulls") {
     val out = SparkEntry.queries("q91_resample_ffill")(spark, TestSpark.sf0001)
     assert(out.filter(col("v_fill").isNull).count() === 0,
