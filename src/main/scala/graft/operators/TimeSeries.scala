@@ -191,7 +191,7 @@ object TimeSeries {
   // own frame rows are dropped), so the result is row-identical to the
   // single-partition-per-type form (TimeSeriesSpec pins the equality, the
   // oracle keeps the naive window SQL).
-  private val AnomWin = 50
+  private[graft] val AnomWin = 50
   private[graft] val AnomChunk = 200 // ≥ AnomWin; at cluster scale this is
                                      // ~millions (state per task, not rows)
 
