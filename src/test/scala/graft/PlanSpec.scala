@@ -407,6 +407,15 @@ class PlanSpec extends AnyFunSuite {
       s"anomaly frame must not plan a global window:\n${p.take(1200)}")
   }
 
+  test("q143: totals and both gram aggregates read the cached tokenized base") {
+    // three consumers (totals, unigram distinct, trigram distinct) must
+    // share the one SignalStore materialization, not re-scan the corpus
+    spark.catalog.clearCache()
+    val p = planOf("q143_ngram_diversity")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3,
+      s"diversity consumers must share the cached base:\n${p.take(1500)}")
+  }
+
   test("q131: vocab side broadcasts; corpus aggregated once behind the cache") {
     val p = planOf("q131_oov_rate")
     assert(p.contains("BroadcastHashJoin"),
