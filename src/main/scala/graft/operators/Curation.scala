@@ -742,6 +742,13 @@ object Curation {
 
   /** q104 body; `bloom = false` is the plain exact-join reference shape the
     * spec pins the bloom path against.
+    *
+    * NOTE: the bloom path runs two jobs EAGERLY at frame-construction time
+    * (the sizing count and the filter build — `BloomFilterAggregate` needs
+    * `numItems` as a literal, so neither can ride the final plan). This is
+    * the same driver hop as q77's `BloomFilters.semiJoin` and Spark's own
+    * `InjectRuntimeFilter` scalar subquery; both jobs read the persisted
+    * inventory, so plan-only callers pay one materialization of it.
     */
   private[graft] def decontam(s: SparkSession, dir: String,
       bloom: Boolean): DataFrame = {

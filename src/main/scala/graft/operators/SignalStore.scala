@@ -31,16 +31,29 @@ import org.apache.spark.storage.StorageLevel
   */
 object SignalStore {
 
+  // keyed by the SESSION REFERENCE (SparkSession does not override equals,
+  // so tuple equality is reference equality — no hash-recycling collision
+  // can hand one session another session's frame). Entries live for the
+  // owning JVM: the expected runtimes here are one-session-per-JVM
+  // (Verify/Bench/tests); a multi-session host would call evict() on
+  // session stop.
   private val cache =
-    scala.collection.concurrent.TrieMap[(Int, String, String), DataFrame]()
+    scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]()
 
   private def cached(s: SparkSession, key: String, dir: String)
       (build: => DataFrame): DataFrame = {
-    val df = cache.getOrElseUpdate(
-      (System.identityHashCode(s), key, dir), build.persist())
+    val df = cache.getOrElseUpdate((s, key, dir), build.persist())
     if (df.storageLevel == StorageLevel.NONE) df.persist()
     df
   }
+
+  /** Drop (and unpersist) every signal owned by `s` — for hosts that stop
+    * sessions mid-JVM.
+    */
+  def evict(s: SparkSession): Unit =
+    cache.keys.filter(_._1 eq s).foreach { k =>
+      cache.remove(k).foreach(df => df.unpersist())
+    }
 
   /** `(doc_id, lang, source, toks)` — the tokenized corpus, one scan. */
   def tokens(s: SparkSession, dir: String): DataFrame =

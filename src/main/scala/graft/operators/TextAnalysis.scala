@@ -1151,21 +1151,25 @@ object TextAnalysis {
   // Distinct counts ride the hash, so a collision would undercount by one
   // (≈n²/2⁶⁵ — the q102 accepted-risk class, here visible in an output
   // count; the oracle counts raw grams and agrees unless a hash collides).
-  private def q143(s: SparkSession, dir: String): DataFrame = {
+  /** Shared q143 body: everything but the distinct-count strategy — the
+    * exact and approx twins differ ONLY in how a `(source, g)` gram frame
+    * folds to a per-source count, so a change to the gram shape, rounding,
+    * or join structure cannot drift between them.
+    */
+  private def diversity(s: SparkSession, dir: String,
+      distinctCount: (DataFrame, String) => DataFrame): DataFrame = {
     val base = SignalStore.tokens(s, dir).select(col("source"), col("toks"))
     val tot = base.groupBy(col("source"))
       .agg(sum(size(col("toks"))).cast("long").as("n_tok"),
         sum(greatest(size(col("toks")) - 2, lit(0))).cast("long").as("n_tri_total"))
-    val uni = base.select(col("source"), explode(col("toks")).as("t"))
-      .select(col("source"), xxhash64(col("t")).as("g")).distinct()
-      .groupBy(col("source")).agg(count(lit(1)).as("n_uni_distinct"))
-    val tri = base.filter(size(col("toks")) >= 3)
+    val uniG = base.select(col("source"), explode(col("toks")).as("t"))
+      .select(col("source"), xxhash64(col("t")).as("g"))
+    val triG = base.filter(size(col("toks")) >= 3)
       .select(col("source"), explode(transform(
         sequence(lit(0), size(col("toks")) - 3),
         i => xxhash64(slice(col("toks"), i + 1, lit(3))))).as("g"))
-      .distinct()
-      .groupBy(col("source")).agg(count(lit(1)).as("n_tri_distinct"))
-    tot.join(uni, Seq("source")).join(tri, Seq("source"))
+    tot.join(distinctCount(uniG, "n_uni_distinct"), Seq("source"))
+      .join(distinctCount(triG, "n_tri_distinct"), Seq("source"))
       .select(col("source"), col("n_tok"), col("n_uni_distinct"),
         col("n_tri_total"), col("n_tri_distinct"),
         graft.functions.Rounding.stable(
@@ -1174,6 +1178,10 @@ object TextAnalysis {
           col("n_tri_distinct") / col("n_tri_total"), 4).as("tri_ttr"))
       .orderBy(col("source"))
   }
+
+  private def q143(s: SparkSession, dir: String): DataFrame =
+    diversity(s, dir, (grams, alias) =>
+      grams.distinct().groupBy(col("source")).agg(count(lit(1)).as(alias)))
 
   private val q143Sql =
     """WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
@@ -1204,29 +1212,10 @@ object TextAnalysis {
     * TextSignalsSpec pins every count within 5% of exact q143 and totals
     * bit-identical (totals are exact sums in both).
     */
-  private def q143Approx(s: SparkSession, dir: String): DataFrame = {
-    val base = SignalStore.tokens(s, dir).select(col("source"), col("toks"))
-    val tot = base.groupBy(col("source"))
-      .agg(sum(size(col("toks"))).cast("long").as("n_tok"),
-        sum(greatest(size(col("toks")) - 2, lit(0))).cast("long").as("n_tri_total"))
-    val uni = base.select(col("source"), explode(col("toks")).as("t"))
-      .groupBy(col("source"))
-      .agg(approx_count_distinct(xxhash64(col("t")), 0.02).as("n_uni_distinct"))
-    val tri = base.filter(size(col("toks")) >= 3)
-      .select(col("source"), explode(transform(
-        sequence(lit(0), size(col("toks")) - 3),
-        i => xxhash64(slice(col("toks"), i + 1, lit(3))))).as("g"))
-      .groupBy(col("source"))
-      .agg(approx_count_distinct(col("g"), 0.02).as("n_tri_distinct"))
-    tot.join(uni, Seq("source")).join(tri, Seq("source"))
-      .select(col("source"), col("n_tok"), col("n_uni_distinct"),
-        col("n_tri_total"), col("n_tri_distinct"),
-        graft.functions.Rounding.stable(
-          col("n_uni_distinct") / col("n_tok"), 4).as("uni_ttr"),
-        graft.functions.Rounding.stable(
-          col("n_tri_distinct") / col("n_tri_total"), 4).as("tri_ttr"))
-      .orderBy(col("source"))
-  }
+  private def q143Approx(s: SparkSession, dir: String): DataFrame =
+    diversity(s, dir, (grams, alias) =>
+      grams.groupBy(col("source"))
+        .agg(approx_count_distinct(col("g"), 0.02).as(alias)))
 
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q143_ngram_diversity", q143, Some(q143Sql)),

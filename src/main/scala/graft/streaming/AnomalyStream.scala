@@ -10,11 +10,13 @@ case class AnomEvent(event_id: Long, event_type: String, ts: java.sql.Timestamp,
     value: Double)
 
 /** Trailing-window state per event type: the last `win` integer cents in
-  * arrival order plus the (ts, event_id) high-water mark for idempotent
-  * replay. O(win) state per key — the streaming analogue of the batch ROWS
-  * frame.
+  * arrival order, their RUNNING sum and sum-of-squares (so the 3σ test is
+  * O(1) per event — add the newcomer, subtract the evicted head), plus the
+  * (ts, event_id) high-water mark for idempotent replay. O(win) state per
+  * key — the streaming analogue of the batch ROWS frame.
   */
-case class AnomTrail(cents: Seq[Long], last_ts: Long, last_id: Long)
+case class AnomTrail(cents: Seq[Long], s: Long, q: Long, last_ts: Long,
+    last_id: Long)
 
 /** A flagged 3σ outlier — identical columns to batch q140's output. */
 case class AnomFlag(event_id: Long, event_type: String, cents: Long,
@@ -28,12 +30,16 @@ case class AnomFlag(event_id: Long, event_type: String, cents: Long,
   * stream out the moment the event arrives instead of waiting for a batch
   * recompute.
   *
-  * Ordering contract = the SCD2 fold's: per-key offset order is authority
-  * (within a micro-batch rows sort by (ts, event_id); rows at or before
-  * the state's high-water mark are at-least-once re-deliveries and are
-  * skipped idempotently). AnomalyStreamSpec pins streaming ≡ batch q140
-  * after replay and after a mid-stream restart with overlapping
-  * re-delivery.
+  * Ordering contract = the SCD2 fold's: offset order detects REPLAYS (a
+  * row with `event_id` at or below the high-water mark is an at-least-once
+  * re-delivery, skipped idempotently), event time (ts, event_id) orders
+  * the window — so the contract requires ts monotone in offset per key,
+  * and a row that is new by offset but regresses in event time FAILS
+  * LOUDLY (its trailing window would differ from batch q140's; a silent
+  * drop would mask the divergence). Within a micro-batch rows sort by
+  * (ts, event_id) first. AnomalyStreamSpec pins streaming ≡ batch q140
+  * after multi-batch replay and after a mid-stream restart with
+  * overlapping re-delivery, plus the loud out-of-order failure.
   *
   * Scale note: streaming state parallelism is |event types| — the SAME
   * ceiling the batch per-type window had, but here it is inherent to the
@@ -52,28 +58,49 @@ class RollingAnomalyProcessor(win: Int)
   override def handleInputRows(key: String, rows: Iterator[AnomEvent],
       timerValues: TimerValues): Iterator[AnomFlag] = {
     val ordered = rows.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+    // intra-batch contract check (see Scd2Processor): under ts-monotone-in-
+    // offset the event-time sort is also offset-ascending
+    ordered.iterator.sliding(2).withPartial(false).foreach { w =>
+      if (w(0).event_id > w(1).event_id)
+        throw new IllegalStateException(
+          s"out-of-order events for type $key: ${w(0).event_id} and " +
+            s"${w(1).event_id} arrive with event time regressing against " +
+            "offset order; the anomaly fold requires ts monotone in offset per key")
+    }
     var st = if (trail.exists()) trail.get()
-             else AnomTrail(Vector.empty, Long.MinValue, Long.MinValue)
+             else AnomTrail(Vector.empty, 0L, 0L, Long.MinValue, Long.MinValue)
     var buf = st.cents.toVector
+    var s = st.s
+    var q = st.q
     val out = scala.collection.mutable.ArrayBuffer.empty[AnomFlag]
     var touched = false
     ordered.foreach { e =>
       val t = e.ts.getTime
-      val fresh = t > st.last_ts || (t == st.last_ts && e.event_id > st.last_id)
-      if (fresh) {
+      if (e.event_id > st.last_id) { // new by offset
+        if (t < st.last_ts) // equal ts with a higher offset is a legal tie
+          throw new IllegalStateException(
+            s"out-of-order events for type $key: event ${e.event_id} at ${e.ts} " +
+              s"is newer by offset but older by event time than the high-water " +
+              s"mark (${st.last_id}); the anomaly fold requires ts monotone " +
+              "in offset per key")
         val c = math.floor(e.value * 100 + 0.5).toLong
         if (buf.length == win) {
-          val s = buf.sum
-          val q = buf.map(x => x * x).sum
           val dev = win * c - s
           val bound = 9L * (win * q - s * s)
           if (dev * dev > bound)
             out += AnomFlag(e.event_id, key, c, dev * dev, bound)
+          val evicted = buf.head
+          buf = buf.tail :+ c
+          s += c - evicted
+          q += c * c - evicted * evicted
+        } else {
+          buf = buf :+ c
+          s += c
+          q += c * c
         }
-        buf = (buf :+ c).takeRight(win)
-        st = AnomTrail(buf, t, e.event_id)
+        st = AnomTrail(buf, s, q, t, e.event_id)
         touched = true
-      } // else: re-delivered row, already folded — skip (idempotence)
+      } // else: offset ≤ high-water ⇒ re-delivered row — skip (idempotence)
     }
     if (touched) trail.update(st)
     out.iterator

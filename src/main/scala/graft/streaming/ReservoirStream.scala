@@ -56,17 +56,18 @@ object ReservoirStream {
     // INT) — normalize to long before comparing
     val all = spark.read.parquet(resDir)
       .withColumn("batch", col("batch").cast("long"))
-    val bounds = all.agg(max(col("batch")).as("mx")).head()
+    // ONE pass over the (ever-growing) state dir yields both bounds: the
+    // global max (checkpoint-loss guard) and the latest prior partition
+    val bounds = all.agg(max(col("batch")).as("mx"),
+      max(when(col("batch") < lit(batchId), col("batch"))).as("prior_mx")).head()
     if (!bounds.isNullAt(0) && bounds.getLong(0) > batchId)
       throw new IllegalStateException(
         s"reservoir state at $resDir has partition batch=${bounds.getLong(0)} > " +
           s"current batch $batchId: the streaming checkpoint was reset without " +
           "clearing reservoir state. Delete the res dir (restream), or rename " +
           "the latest partition to batch=-1 to seed the fresh stream with it.")
-    val prior = all.filter(col("batch") < lit(batchId))
-    val last = prior.agg(max(col("batch"))).head()
-    if (last.isNullAt(0)) None
-    else Some(prior.filter(col("batch") === last.getLong(0))
+    if (bounds.isNullAt(1)) None
+    else Some(all.filter(col("batch") === bounds.getLong(1))
       .select(col("doc_id"), col("n_tok"), col("pri")))
   }
 

@@ -29,15 +29,21 @@ case class Scd2Row(event_id: Long, user_id: Long, valid_from: java.sql.Timestamp
   * the emitted stream (the downstream SCD2 table), exactly like a CDC
   * changelog feeding a warehouse dimension.
   *
-  * Ordering contract = the reference's: offset order is authority (Kafka
-  * delivers per-partition in order), so a row at or before the open
-  * interval's (ts, event_id) is treated as an at-least-once RE-DELIVERY and
-  * skipped — the same idempotent-replay rule as [[LatestValueProcessor]]'s
-  * `event_id > last_event_id` check (a fold that threw instead would abort
-  * on every replayed epoch). Within a micro-batch rows are sorted by
-  * (ts, event_id), so intra-batch arrival order never matters.
-  * Scd2StreamSpec pins streaming ≡ batch q141 after full replay and after
-  * a mid-stream checkpoint restart.
+  * Ordering contract: offset order is authority for REPLAY detection (a
+  * row with `event_id` at or below the open interval's is an at-least-once
+  * re-delivery and is skipped — [[LatestValueProcessor]]'s idempotence
+  * rule; throwing there would abort every replayed epoch), and event time
+  * (ts, event_id) orders the intervals, exactly as batch q141 sorts. The
+  * contract therefore requires ts monotone in offset per key (true of any
+  * producer stamping time at send; FIXTURES.md data satisfies it). A row
+  * that VIOLATES it — new by offset but older by event time than the open
+  * interval — cannot be folded without revising already-emitted final
+  * rows, so it fails loudly instead of being silently dropped (batch q141
+  * would place it differently; silence would mask the divergence). Within
+  * a micro-batch rows are sorted by (ts, event_id), so intra-batch arrival
+  * order never matters. Scd2StreamSpec pins streaming ≡ batch q141 after
+  * full replay and after a mid-stream checkpoint restart, plus the loud
+  * out-of-order failure.
   */
 class Scd2Processor extends StatefulProcessor[Long, Scd2Event, Scd2Row] {
   @transient private var open: ValueState[Scd2Event] = _
@@ -49,19 +55,37 @@ class Scd2Processor extends StatefulProcessor[Long, Scd2Event, Scd2Row] {
   override def handleInputRows(key: Long, rows: Iterator[Scd2Event],
       timerValues: TimerValues): Iterator[Scd2Row] = {
     val ordered = rows.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+    // under the contract (ts monotone in offset) the event-time sort is
+    // also offset-ascending; a descending offset here is the intra-batch
+    // form of the violation the fold below detects across batches
+    ordered.iterator.sliding(2).withPartial(false).foreach { w =>
+      if (w(0).event_id > w(1).event_id)
+        throw new IllegalStateException(
+          s"out-of-order changelog for key $key: events ${w(0).event_id} and " +
+            s"${w(1).event_id} arrive with event time regressing against " +
+            "offset order; the SCD2 fold requires ts monotone in offset per key")
+    }
     val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Row]
     var cur = if (open.exists()) open.get() else null
     var touched = false
     ordered.foreach { e =>
-      val fresh = cur == null || e.ts.getTime > cur.ts.getTime ||
-        (e.ts.getTime == cur.ts.getTime && e.event_id > cur.event_id)
-      if (fresh) {
+      if (cur == null || e.event_id > cur.event_id) {
+        // new by OFFSET. It must also be new by event time, or the fold
+        // would have to revise an already-final closed row — contract
+        // violation, fail loudly (see scaladoc).
+        if (cur != null && e.ts.getTime < cur.ts.getTime)
+          // equal ts with a higher offset is a legal tie (orders by offset)
+          throw new IllegalStateException(
+            s"out-of-order changelog for key $key: event ${e.event_id} at " +
+              s"${e.ts} is newer by offset but older by event time than the " +
+              s"open interval (${cur.event_id} at ${cur.ts}); the SCD2 fold " +
+              "requires ts monotone in offset per key")
         if (cur != null) // close the open interval; this row is final
           out += Scd2Row(cur.event_id, key, cur.ts, cur.value, e.ts,
             is_current = false)
         cur = e
         touched = true
-      } // else: re-delivered row, already folded — skip (idempotence)
+      } // else: offset ≤ open ⇒ re-delivered row, already folded — skip
     }
     if (!touched) Iterator.empty
     else {

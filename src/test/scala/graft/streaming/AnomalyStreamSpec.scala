@@ -65,6 +65,20 @@ class AnomalyStreamSpec extends AnyFunSuite {
     assert(acc.toMap === expected)
   }
 
+  test("out-of-order events (ts regressing against offset) fail loudly") {
+    import spark.implicits._
+    val bad = Seq(
+      AnomEvent(1, "t1", java.sql.Timestamp.valueOf("2024-01-01 10:00:05"), 1.0),
+      AnomEvent(2, "t1", java.sql.Timestamp.valueOf("2024-01-01 10:00:01"), 2.0)).toDS()
+    val ex = intercept[Throwable] {
+      AnomalyStream.flags(bad, graft.operators.TimeSeries.AnomWin).collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + msgs(t.getCause)
+    assert(msgs(ex).contains("out-of-order"),
+      s"contract violation must fail loudly, got: ${msgs(ex).take(400)}")
+  }
+
   test("mid-stream restart + overlapping re-delivery still flag exactly the batch set") {
     val replayDir = Files.createTempDirectory("graft-anom-replay2").toString
     val ckpt = Files.createTempDirectory("graft-anom-ckpt2").toString

@@ -87,17 +87,38 @@ class Scd2StreamSpec extends AnyFunSuite {
     assert(acc.toMap === expected)
   }
 
-  test("closed rows are final: no later epoch revises an emitted closed interval") {
+  test("out-of-order changelog (ts regressing against offset) fails loudly") {
     import spark.implicits._
-    // fold the same changelog in two sequential batch calls through the
-    // processor (batch mode exercises handleInputRows directly)
-    val first = Scd2Stream.intervals(purchases(0, 500)).collect()
-    val closed = first.filter(!_.is_current).map(r => r.event_id -> r).toMap
-    val again = Scd2Stream.intervals(purchases(0, 500)).collect()
-      .filter(!_.is_current).map(r => r.event_id -> r).toMap
-    assert(closed.keySet === again.keySet)
-    closed.foreach { case (id, r) =>
-      assert(String.valueOf(r.valid_to) === String.valueOf(again(id).valid_to), s"event $id")
+    val bad = Seq(
+      Scd2Event(1, 7, java.sql.Timestamp.valueOf("2024-01-01 10:00:05"), 1.0),
+      Scd2Event(2, 7, java.sql.Timestamp.valueOf("2024-01-01 10:00:01"), 2.0)).toDS()
+    val ex = intercept[Throwable] { Scd2Stream.intervals(bad).collect() }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + msgs(t.getCause)
+    assert(msgs(ex).contains("out-of-order"),
+      s"contract violation must fail loudly, got: ${msgs(ex).take(400)}")
+  }
+
+  test("closed rows are final: the second epoch folds over state without revising them") {
+    // genuinely two epochs over ONE checkpointed state: the first run
+    // closes intervals and leaves opens; the second run's new events close
+    // those opens — every row closed in epoch 1 must re-appear (if at all)
+    // byte-identical, never with a revised valid_to
+    val replayDir = Files.createTempDirectory("graft-scd2-replay3").toString
+    val ckpt = Files.createTempDirectory("graft-scd2-ckpt3").toString
+    val acc = TrieMap.empty[Long, Key]
+    writeReplayChunk(replayDir, 0, 500)
+    runStream(replayDir, ckpt, acc)
+    val closedAfterFirst = acc.toMap.filter { case (_, k) => !k._6 }
+    assert(closedAfterFirst.nonEmpty, "epoch 1 must close some intervals")
+    writeReplayChunk(replayDir, 500, Long.MaxValue)
+    runStream(replayDir, ckpt, acc)
+    closedAfterFirst.foreach { case (id, row) =>
+      assert(acc(id) === row, s"closed interval of event $id was revised by epoch 2")
     }
+    // and epoch 2 did close previously-open intervals (state actually folded)
+    val reclosed = acc.toMap.filter { case (id, k) =>
+      !k._6 && !closedAfterFirst.contains(id) && id < 500 }
+    assert(reclosed.nonEmpty, "epoch 2 must close epoch-1 open intervals")
   }
 }
