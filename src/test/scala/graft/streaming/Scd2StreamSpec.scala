@@ -65,7 +65,11 @@ class Scd2StreamSpec extends AnyFunSuite {
   test("replayed purchase changelog converges to the batch q141 interval table") {
     val replayDir = Files.createTempDirectory("graft-scd2-replay").toString
     val ckpt = Files.createTempDirectory("graft-scd2-ckpt").toString
-    writeReplayChunk(replayDir, 0, Long.MaxValue)
+    // three chunks → ≥3 micro-batches (2 files each, maxFilesPerTrigger=2),
+    // so intervals genuinely close across batch boundaries
+    writeReplayChunk(replayDir, 0, 300)
+    writeReplayChunk(replayDir, 300, 700)
+    writeReplayChunk(replayDir, 700, Long.MaxValue)
     val acc = TrieMap.empty[Long, Key]
     runStream(replayDir, ckpt, acc)
     val expected = batchAnswer()

@@ -70,7 +70,11 @@ class SnapshotDiffStreamSpec extends AnyFunSuite {
   test("replayed changelog's latest per-key verdicts aggregate to batch q142") {
     val replayDir = Files.createTempDirectory("graft-snap-replay").toString
     val ckpt = Files.createTempDirectory("graft-snap-ckpt").toString
-    writeReplayChunk(replayDir, 0, Long.MaxValue)
+    // three chunks → ≥3 micro-batches, so both snapshot states genuinely
+    // fold across batch boundaries
+    writeReplayChunk(replayDir, 0, 300)
+    writeReplayChunk(replayDir, 300, 700)
+    writeReplayChunk(replayDir, 700, Long.MaxValue)
     val acc = TrieMap.empty[Long, (String, Double)]
     runStream(replayDir, ckpt, acc)
     val expected = batchAnswer()
