@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.{Curation, Layout}
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end curation run — the library's USER-FACING entry: evaluate the
+  * q139 funnel gates ONCE, materialize the kept corpus hash-sharded to
+  * parquet, and write the two artifacts a production run ships alongside
+  * it: the shard manifest (q126's layout contract, computed over exactly
+  * the kept corpus) and the per-(lang, source) keep report (q139's
+  * rollup from the SAME verdicts — report and corpus cannot disagree).
+  *
+  * Layout: `outDir/corpus/shard=N/` (Hive-partitioned by the same
+  * md5-prefix shard key the manifest describes, so a reader can prune to a
+  * shard and the manifest row tells it what it will find),
+  * `outDir/manifest/`, `outDir/report/`. Overwrite semantics: a re-run is
+  * idempotent (all inputs and the md5 shard key are deterministic).
+  *
+  * Scale shape: one gate evaluation over the shared tokenized base, one
+  * shuffle-free sharded write (the shard key is a narrow projection; files
+  * per shard = upstream partitions — at 100 TB you'd `repartition(shard)`
+  * first to get one file per shard, traded against the extra exchange),
+  * manifest + report each one small aggregate.
+  */
+object Pipeline {
+
+  /** Counts + artifact paths returned by [[curate]]. */
+  final case class CurationRun(docsIn: Long, docsKept: Long, tokensKept: Long,
+      corpusPath: String, manifestPath: String, reportPath: String)
+
+  def curate(spark: SparkSession, sfDir: String, outDir: String,
+      numShards: Int = 16): CurationRun = {
+    val verdicts = Curation.funnelVerdicts(spark, sfDir)
+      .persist() // consumed thrice: corpus write, report, counts
+    val kept = verdicts.filter(col("kept"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tok"))
+      .join(Fixtures.documents(spark, sfDir).select(col("doc_id"), col("text")),
+        Seq("doc_id"))
+    // the SAME shard key shardManifest derives, so manifest rows describe
+    // the written partitions exactly
+    val sharded = kept.withColumn("shard",
+      (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % numShards).cast("int"))
+    val corpusPath = s"$outDir/corpus"
+    sharded.write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(corpusPath)
+    val manifestPath = s"$outDir/manifest"
+    Layout.shardManifest(kept.select(col("doc_id"), col("text")), numShards)
+      .write.mode(SaveMode.Overwrite).parquet(manifestPath)
+    val reportPath = s"$outDir/report"
+    verdicts
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("docs_in"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("docs_kept"),
+        sum(when(col("kept"), col("n_tok")).otherwise(0L)).as("tokens_kept"))
+      .orderBy(col("lang"), col("source"))
+      .write.mode(SaveMode.Overwrite).parquet(reportPath)
+    val totals = verdicts.agg(count(lit(1)),
+      sum(when(col("kept"), 1L).otherwise(0L)),
+      sum(when(col("kept"), col("n_tok")).otherwise(0L))).head()
+    CurationRun(totals.getLong(0), totals.getLong(1), totals.getLong(2),
+      corpusPath, manifestPath, reportPath)
+  }
+}

@@ -370,7 +370,12 @@ object Curation {
   // Scale shape: each gate is one of the already-audited linear passes
   // (entropy aggregate, bag hash aggregate, window-fp aggregate) joined
   // back on doc_id; no new join patterns, no pairwise work.
-  private def q139(s: SparkSession, dir: String): DataFrame = {
+  /** Per-document funnel verdicts `(doc_id, lang, source, n_tok, kept)` —
+    * q139's gate composition before the per-(lang, source) rollup, exposed
+    * so [[graft.Pipeline]] can materialize the kept corpus from the same
+    * verdicts the report aggregates (one gate evaluation, two consumers).
+    */
+  private[graft] def funnelVerdicts(s: SparkSession, dir: String): DataFrame = {
     // ONE corpus read: the tokenized base is the run-shared SignalStore
     // cache and every gate derives from it (a naive composition would
     // re-scan the 100 TB corpus once per gate — 4 reads; PlanSpec pins the
@@ -411,12 +416,16 @@ object Curation {
       .withColumn("kept",
         col("n_tok").between(20, 95) && col("h") >= 2.0 &&
           col("bag_keep") && !col("span_drop"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tok"), col("kept"))
+  }
+
+  private def q139(s: SparkSession, dir: String): DataFrame =
+    funnelVerdicts(s, dir)
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("docs_in"),
         sum(when(col("kept"), 1L).otherwise(0L)).as("docs_kept"),
         sum(when(col("kept"), col("n_tok")).otherwise(0L)).as("tokens_kept"))
       .orderBy(col("lang"), col("source"))
-  }
 
   private val q139Sql =
     s"""WITH ${TextAnalysis.entropyCte},

@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The end-to-end curation run's three artifacts must be mutually
+  * consistent and agree with the oracle-verified queries they compose:
+  * corpus ≡ the q139-kept doc set, manifest ≡ q126's manifest recomputed
+  * over the corpus as written, report ≡ q139 — and a re-run is idempotent.
+  */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sf0001
+
+  test("curate writes a corpus/manifest/report that agree with q139/q126 and each other") {
+    val out = Files.createTempDirectory("graft-pipeline").toString
+    val run = Pipeline.curate(spark, dir, out)
+
+    // counts: in = corpus size, kept = written docs, tokens match report
+    val q139 = SparkEntry.queries("q139_curation_funnel_v2")(spark, dir).collect()
+    assert(run.docsIn === Fixtures.documents(spark, dir).count())
+    assert(run.docsKept === q139.map(_.getLong(3)).sum)
+    assert(run.tokensKept === q139.map(_.getLong(4)).sum)
+    assert(run.docsKept > 0 && run.docsKept < run.docsIn,
+      "fixture must exercise both keep and drop")
+
+    // corpus: exactly the kept doc ids, with text and the manifest's shard key
+    val corpus = spark.read.parquet(run.corpusPath)
+    assert(corpus.count() === run.docsKept)
+    val keptIds = graft.operators.Curation.funnelVerdicts(spark, dir)
+      .filter(col("kept")).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(corpus.select(col("doc_id")).collect().map(_.getLong(0)).toSet === keptIds)
+
+    // manifest rows describe the corpus AS WRITTEN: recompute from the
+    // written files and compare value-for-value (incl. the order fp)
+    val manifest = spark.read.parquet(run.manifestPath)
+      .orderBy(col("shard")).collect().map(_.toString).toSeq
+    val recomputed = graft.operators.Layout
+      .shardManifest(corpus.select(col("doc_id"), col("text")))
+      .collect().map(_.toString).toSeq
+    assert(manifest === recomputed)
+    // and the written Hive partitions match the manifest's doc counts
+    val partCounts = corpus.groupBy(col("shard")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    spark.read.parquet(run.manifestPath).collect().foreach { r =>
+      assert(partCounts(r.getInt(0)) === r.getLong(1), s"shard ${r.getInt(0)}")
+    }
+
+    // report parquet ≡ the oracle-verified q139 rows
+    val report = spark.read.parquet(run.reportPath)
+      .orderBy(col("lang"), col("source")).collect().map(_.toString).toSeq
+    assert(report === q139.map(_.toString).toSeq)
+
+    // idempotent overwrite: second run produces identical artifacts
+    // (materialize BEFORE the re-run — overwrite replaces the files the
+    // first DataFrame's scan listed)
+    val corpusRows = corpus.orderBy(col("doc_id")).collect().map(_.toString).toSeq
+    val again = Pipeline.curate(spark, dir, out)
+    assert(again === run)
+    val corpus2 = spark.read.parquet(run.corpusPath)
+      .orderBy(col("doc_id")).collect().map(_.toString).toSeq
+    assert(corpus2 === corpusRows)
+  }
+}
