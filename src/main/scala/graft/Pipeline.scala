@@ -61,4 +61,27 @@ object Pipeline {
     CurationRun(totals.getLong(0), totals.getLong(1), totals.getLong(2),
       corpusPath, manifestPath, reportPath)
   }
+
+  /** Post-copy/post-migration audit: recompute the shard manifest from the
+    * corpus AS ON DISK and diff it against the stored manifest. Returns the
+    * mismatching rows `(shard, manifest, actual)` — empty means every
+    * shard's doc count, token mass, key range, and order fingerprint still
+    * match what the run wrote (the q142 reconciliation idea applied to the
+    * corpus layout; lost or corrupted shard files surface as a non-null
+    * `manifest` with a null or differing `actual`).
+    */
+  def validateCorpus(spark: SparkSession, outDir: String,
+      numShards: Int = 16): org.apache.spark.sql.DataFrame = {
+    val fields = Seq("n_docs", "n_tokens", "first_key", "last_key", "order_fp")
+    val stored = spark.read.parquet(s"$outDir/manifest").as("m")
+    val actual = Layout.shardManifest(
+      spark.read.parquet(s"$outDir/corpus").select(col("doc_id"), col("text")),
+      numShards).as("a")
+    val mSide = struct(fields.map(f => col(s"m.$f").as(f)): _*)
+    val aSide = struct(fields.map(f => col(s"a.$f").as(f)): _*)
+    stored.join(actual, Seq("shard"), "full_outer")
+      .select(col("shard"), mSide.as("manifest"), aSide.as("actual"))
+      .filter(!(col("manifest") <=> col("actual")))
+      .orderBy(col("shard"))
+  }
 }

@@ -760,11 +760,18 @@ object Curation {
     * inventory, so plan-only callers pay one materialization of it.
     */
   private[graft] def decontam(s: SparkSession, dir: String,
-      bloom: Boolean): DataFrame = {
+      bloom: Boolean): DataFrame =
+    decontamOver(SignalStore.tokens(s, dir).select(col("doc_id"), col("toks")),
+      bloom)
+
+  /** q104 over any `(doc_id, toks)` frame — exposed so CurationPropSpec can
+    * sweep random corpora for the bloom ≡ exact contract beyond the fixture.
+    */
+  private[graft] def decontamOver(tokens: DataFrame, bloom: Boolean): DataFrame = {
     // match-only fingerprints (see windowFps): xxhash64 on the slice array,
     // fp array built per doc in one projection; oracle keeps md5. Buckets
     // 90–94 feed neither split — pruned before the explode.
-    val wins = SignalStore.tokens(s, dir)
+    val wins = tokens
       .select(col("doc_id"), md5Bucket(col("doc_id")).as("bucket"), col("toks"))
       .filter(size(col("toks")) >= DecontamWidth)
       .filter(col("bucket") < 90 || col("bucket") >= 95)

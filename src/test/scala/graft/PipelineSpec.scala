@@ -63,4 +63,24 @@ class PipelineSpec extends AnyFunSuite {
       .orderBy(col("doc_id")).collect().map(_.toString).toSeq
     assert(corpus2 === corpusRows)
   }
+
+  test("validateCorpus passes on an intact run and flags exactly a lost shard") {
+    val out = Files.createTempDirectory("graft-pipeline-val").toString
+    val run = Pipeline.curate(spark, dir, out)
+    assert(Pipeline.validateCorpus(spark, out).isEmpty,
+      "intact corpus must validate clean")
+    // lose one populated shard's files (the post-copy corruption case)
+    val shardDirs = Files.list(java.nio.file.Paths.get(run.corpusPath))
+      .toArray.map(_.toString).filter(_.contains("shard=")).sorted
+    assert(shardDirs.nonEmpty)
+    val victim = shardDirs.head
+    val victimShard = victim.split("shard=").last.toInt
+    Files.walk(java.nio.file.Paths.get(victim)).toArray
+      .map(_.asInstanceOf[java.nio.file.Path]).sortBy(-_.getNameCount)
+      .foreach(Files.delete)
+    val bad = Pipeline.validateCorpus(spark, out).collect()
+    assert(bad.map(_.getInt(0)).toSeq === Seq(victimShard))
+    // the stored side survives; the recomputed side misses the shard
+    assert(bad.head.getStruct(1) != null)
+  }
 }
