@@ -37,27 +37,33 @@ object Pipeline {
       .select(col("doc_id"), col("lang"), col("source"), col("n_tok"))
       .join(Fixtures.documents(spark, sfDir).select(col("doc_id"), col("text")),
         Seq("doc_id"))
-    // the SAME shard key shardManifest derives, so manifest rows describe
-    // the written partitions exactly
-    val sharded = kept.withColumn("shard",
-      (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-        .cast("long") % numShards).cast("int"))
-    val corpusPath = s"$outDir/corpus"
-    sharded.write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(corpusPath)
-    val manifestPath = s"$outDir/manifest"
-    Layout.shardManifest(kept.select(col("doc_id"), col("text")), numShards)
-      .write.mode(SaveMode.Overwrite).parquet(manifestPath)
-    val reportPath = s"$outDir/report"
-    verdicts
-      .groupBy(col("lang"), col("source"))
-      .agg(count(lit(1)).as("docs_in"),
-        sum(when(col("kept"), 1L).otherwise(0L)).as("docs_kept"),
-        sum(when(col("kept"), col("n_tok")).otherwise(0L)).as("tokens_kept"))
-      .orderBy(col("lang"), col("source"))
-      .write.mode(SaveMode.Overwrite).parquet(reportPath)
     val totals = verdicts.agg(count(lit(1)),
-      sum(when(col("kept"), 1L).otherwise(0L)),
-      sum(when(col("kept"), col("n_tok")).otherwise(0L))).head()
+      coalesce(sum(when(col("kept"), 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(col("kept"), col("n_tok")).otherwise(0L)), lit(0L))).head()
+    // Layout.shardKey is the ONE copy of the shard formula, so manifest
+    // rows describe the written partitions by construction
+    val corpusPath = s"$outDir/corpus"
+    kept.withColumn("shard", Layout.shardKey(col("doc_id"), numShards))
+      .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(corpusPath)
+    // manifest from the corpus AS WRITTEN (read back): describes the bytes
+    // on disk, and costs a read of the kept corpus instead of a second
+    // tokenize of the full-text join. An all-dropped corpus writes no
+    // partition files (nothing to infer a schema from), so the empty
+    // manifest folds from the empty kept frame instead.
+    val manifestPath = s"$outDir/manifest"
+    val manifestSrc =
+      if (totals.getLong(1) == 0L) kept.select(col("doc_id"), col("text"))
+      else spark.read.parquet(corpusPath).select(col("doc_id"), col("text"))
+    Layout.shardManifest(manifestSrc, numShards)
+      .write.mode(SaveMode.Overwrite).parquet(manifestPath)
+    // run parameters ride their own tiny artifact so the audit can never
+    // be called with the wrong shard count
+    spark.range(1).select(lit(numShards).as("num_shards"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/meta")
+    val reportPath = s"$outDir/report"
+    Curation.funnelRollup(verdicts)
+      .write.mode(SaveMode.Overwrite).parquet(reportPath)
+    verdicts.unpersist()
     CurationRun(totals.getLong(0), totals.getLong(1), totals.getLong(2),
       corpusPath, manifestPath, reportPath)
   }
@@ -68,10 +74,13 @@ object Pipeline {
     * shard's doc count, token mass, key range, and order fingerprint still
     * match what the run wrote (the q142 reconciliation idea applied to the
     * corpus layout; lost or corrupted shard files surface as a non-null
-    * `manifest` with a null or differing `actual`).
+    * `manifest` with a null or differing `actual`). The shard count comes
+    * from the run's own `meta` artifact, so the audit can never silently
+    * re-bucket with the wrong parameter.
     */
-  def validateCorpus(spark: SparkSession, outDir: String,
-      numShards: Int = 16): org.apache.spark.sql.DataFrame = {
+  def validateCorpus(spark: SparkSession, outDir: String): org.apache.spark.sql.DataFrame = {
+    val numShards = spark.read.parquet(s"$outDir/meta")
+      .head().getAs[Int]("num_shards")
     val fields = Seq("n_docs", "n_tokens", "first_key", "last_key", "order_fp")
     val stored = spark.read.parquet(s"$outDir/manifest").as("m")
     val actual = Layout.shardManifest(

@@ -419,13 +419,20 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("source"), col("n_tok"), col("kept"))
   }
 
-  private def q139(s: SparkSession, dir: String): DataFrame =
-    funnelVerdicts(s, dir)
+  /** The per-(lang, source) rollup over funnel verdicts — ONE copy shared
+    * by the oracle-pinned q139 and [[graft.Pipeline]]'s shipped report, so
+    * the report can never drift from the verified query.
+    */
+  private[graft] def funnelRollup(verdicts: DataFrame): DataFrame =
+    verdicts
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("docs_in"),
         sum(when(col("kept"), 1L).otherwise(0L)).as("docs_kept"),
         sum(when(col("kept"), col("n_tok")).otherwise(0L)).as("tokens_kept"))
       .orderBy(col("lang"), col("source"))
+
+  private def q139(s: SparkSession, dir: String): DataFrame =
+    funnelRollup(funnelVerdicts(s, dir))
 
   private val q139Sql =
     s"""WITH ${TextAnalysis.entropyCte},

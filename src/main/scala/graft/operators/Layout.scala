@@ -89,14 +89,22 @@ object Layout {
   // fingerprint — hash-matches the oracle end to end.
   private val NumShards = 16
 
+  /** The manifest's shard assignment for a doc id — ONE copy of the
+    * cross-engine-sensitive md5-prefix formula, shared by the manifest and
+    * by [[graft.Pipeline]]'s corpus writer so written partitions and
+    * manifest rows can never drift.
+    */
+  def shardKey(idCol: org.apache.spark.sql.Column, numShards: Int): org.apache.spark.sql.Column =
+    (conv(substring(md5(idCol.cast("string")), 1, 4), 16, 10)
+      .cast("long") % numShards).cast("int")
+
   /** Manifest over any (doc_id, text) corpus view; see q126 scaladoc. */
   def shardManifest(docs: DataFrame, numShards: Int = NumShards): DataFrame = {
     val key = md5(col("doc_id").cast("string"))
     docs
       .select(col("doc_id"), key.as("k"),
         size(graft.functions.TextFunctions.wsTokens(col("text"))).cast("long").as("nt"))
-      .withColumn("shard",
-        (conv(substring(col("k"), 1, 4), 16, 10).cast("long") % numShards).cast("int"))
+      .withColumn("shard", shardKey(col("doc_id"), numShards))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
         min(col("k")).as("first_key"), max(col("k")).as("last_key"),

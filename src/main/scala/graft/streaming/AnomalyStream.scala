@@ -14,6 +14,12 @@ case class AnomEvent(event_id: Long, event_type: String, ts: java.sql.Timestamp,
   * O(1) per event — add the newcomer, subtract the evicted head), plus the
   * (ts, event_id) high-water mark for idempotent replay. O(win) state per
   * key — the streaming analogue of the batch ROWS frame.
+  *
+  * Schema note: adding the running sums was a STATE-SCHEMA change; a
+  * checkpoint written by a pre-running-sums build does not restart against
+  * this encoder (transformWithState schema compatibility) — restart such a
+  * job from a fresh checkpoint and replay, like any stateful-schema
+  * migration.
   */
 case class AnomTrail(cents: Seq[Long], s: Long, q: Long, last_ts: Long,
     last_id: Long)
@@ -100,7 +106,16 @@ class RollingAnomalyProcessor(win: Int)
         }
         st = AnomTrail(buf, s, q, t, e.event_id)
         touched = true
-      } // else: offset ≤ high-water ⇒ re-delivered row — skip (idempotence)
+      } else {
+        // a true re-delivery carries ts ≤ the high-water mark; a NEWER ts
+        // at an old offset is the converse contract violation — fail loudly
+        if (t > st.last_ts)
+          throw new IllegalStateException(
+            s"out-of-order events for type $key: event ${e.event_id} at " +
+              s"${e.ts} re-delivers an offset at/below the high-water mark " +
+              s"(${st.last_id}) with a NEWER event time; the anomaly fold " +
+              "requires ts monotone in offset per key")
+      }
     }
     if (touched) trail.update(st)
     out.iterator

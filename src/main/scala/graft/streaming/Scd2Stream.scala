@@ -85,7 +85,17 @@ class Scd2Processor extends StatefulProcessor[Long, Scd2Event, Scd2Row] {
             is_current = false)
         cur = e
         touched = true
-      } // else: offset ≤ open ⇒ re-delivered row, already folded — skip
+      } else {
+        // offset ≤ open ⇒ a re-delivery of an already-folded row, which
+        // must carry ts ≤ the open interval's; a NEWER ts at an old offset
+        // is the converse contract violation — fail loudly, don't mask it
+        if (e.ts.getTime > cur.ts.getTime)
+          throw new IllegalStateException(
+            s"out-of-order changelog for key $key: event ${e.event_id} at " +
+              s"${e.ts} re-delivers an offset at/below the open interval " +
+              s"(${cur.event_id}) with a NEWER event time than ${cur.ts}; " +
+              "the SCD2 fold requires ts monotone in offset per key")
+      }
     }
     if (!touched) Iterator.empty
     else {

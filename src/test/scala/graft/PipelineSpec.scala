@@ -64,6 +64,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(corpus2 === corpusRows)
   }
 
+  test("curate on an empty corpus returns zero counts and writes empty artifacts") {
+    val emptyDir = Files.createTempDirectory("graft-pipeline-empty").toString
+    Fixtures.documents(spark, dir).limit(0)
+      .write.parquet(s"$emptyDir/documents.parquet")
+    val out = Files.createTempDirectory("graft-pipeline-empty-out").toString
+    val run = Pipeline.curate(spark, emptyDir, out)
+    assert(run === Pipeline.CurationRun(0L, 0L, 0L,
+      s"$out/corpus", s"$out/manifest", s"$out/report"))
+    assert(spark.read.parquet(run.manifestPath).isEmpty)
+    assert(spark.read.parquet(run.reportPath).isEmpty)
+  }
+
   test("validateCorpus passes on an intact run and flags exactly a lost shard") {
     val out = Files.createTempDirectory("graft-pipeline-val").toString
     val run = Pipeline.curate(spark, dir, out)

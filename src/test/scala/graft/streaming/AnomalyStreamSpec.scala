@@ -79,6 +79,23 @@ class AnomalyStreamSpec extends AnyFunSuite {
       s"contract violation must fail loudly, got: ${msgs(ex).take(400)}")
   }
 
+  test("cross-epoch violation (old offset re-delivered with a NEWER ts) fails loudly") {
+    import spark.implicits._
+    val replayDir = Files.createTempDirectory("graft-anom-viol").toString
+    val ckpt = Files.createTempDirectory("graft-anom-viol-ckpt").toString
+    def chunk(rows: Seq[AnomEvent]): Unit =
+      rows.toDS().coalesce(1).write.mode("append").parquet(replayDir)
+    chunk(Seq(AnomEvent(5, "t1", java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0)))
+    val acc = TrieMap.empty[Long, (String, Long, Long, Long)]
+    runStream(replayDir, ckpt, acc) // epoch 1 sets the high-water mark (id 5)
+    chunk(Seq(AnomEvent(3, "t1", java.sql.Timestamp.valueOf("2024-01-01 10:00:05"), 2.0)))
+    val ex = intercept[Throwable] { runStream(replayDir, ckpt, acc) }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + msgs(t.getCause)
+    assert(msgs(ex).contains("out-of-order"),
+      s"old-offset/newer-ts must fail loudly, got: ${msgs(ex).take(400)}")
+  }
+
   test("mid-stream restart + overlapping re-delivery still flag exactly the batch set") {
     val replayDir = Files.createTempDirectory("graft-anom-replay2").toString
     val ckpt = Files.createTempDirectory("graft-anom-ckpt2").toString

@@ -103,6 +103,23 @@ class Scd2StreamSpec extends AnyFunSuite {
       s"contract violation must fail loudly, got: ${msgs(ex).take(400)}")
   }
 
+  test("cross-epoch violation (old offset re-delivered with a NEWER ts) fails loudly") {
+    import spark.implicits._
+    val replayDir = Files.createTempDirectory("graft-scd2-viol").toString
+    val ckpt = Files.createTempDirectory("graft-scd2-viol-ckpt").toString
+    def chunk(rows: Seq[Scd2Event]): Unit =
+      rows.toDS().coalesce(1).write.mode("append").parquet(replayDir)
+    chunk(Seq(Scd2Event(5, 1, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0)))
+    val acc = TrieMap.empty[Long, Key]
+    runStream(replayDir, ckpt, acc) // epoch 1 sets the open interval (id 5)
+    chunk(Seq(Scd2Event(3, 1, java.sql.Timestamp.valueOf("2024-01-01 10:00:05"), 2.0)))
+    val ex = intercept[Throwable] { runStream(replayDir, ckpt, acc) }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + msgs(t.getCause)
+    assert(msgs(ex).contains("out-of-order"),
+      s"old-offset/newer-ts must fail loudly, got: ${msgs(ex).take(400)}")
+  }
+
   test("closed rows are final: the second epoch folds over state without revising them") {
     // genuinely two epochs over ONE checkpointed state: the first run
     // closes intervals and leaves opens; the second run's new events close
