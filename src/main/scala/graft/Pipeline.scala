@@ -83,14 +83,45 @@ object Pipeline {
       .head().getAs[Int]("num_shards")
     val fields = Seq("n_docs", "n_tokens", "first_key", "last_key", "order_fp")
     val stored = spark.read.parquet(s"$outDir/manifest").as("m")
-    val actual = Layout.shardManifest(
-      spark.read.parquet(s"$outDir/corpus").select(col("doc_id"), col("text")),
-      numShards).as("a")
+    // an all-dropped run writes NO partition files (curate's own manifest
+    // special case) — schema inference on the bare dir would throw, so the
+    // 'actual' side folds from an empty frame instead. Decided by what's ON
+    // DISK, not by the stored manifest: a nonempty manifest over a fileless
+    // corpus must still surface as mismatches (stored vs null), never
+    // rubber-stamp as empty≡empty.
+    val corpusOnDisk = hasDataFiles(spark, s"$outDir/corpus")
+    val corpusView =
+      if (corpusOnDisk)
+        spark.read.parquet(s"$outDir/corpus").select(col("doc_id"), col("text"))
+      else
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("text",
+              org.apache.spark.sql.types.StringType))))
+    val actual = Layout.shardManifest(corpusView, numShards).as("a")
     val mSide = struct(fields.map(f => col(s"m.$f").as(f)): _*)
     val aSide = struct(fields.map(f => col(s"a.$f").as(f)): _*)
     stored.join(actual, Seq("shard"), "full_outer")
       .select(col("shard"), mSide.as("manifest"), aSide.as("actual"))
       .filter(!(col("manifest") <=> col("actual")))
       .orderBy(col("shard"))
+  }
+
+  /** True iff `dir` holds at least one data file (recursively, skipping
+    * `_SUCCESS`/hidden markers) — the "did this write land any parquet"
+    * probe behind [[validateCorpus]]'s empty-corpus handling.
+    */
+  private def hasDataFiles(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return false
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val name = it.next().getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) return true
+    }
+    false
   }
 }

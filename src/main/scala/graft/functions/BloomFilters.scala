@@ -59,6 +59,28 @@ object BloomFilters {
       ColumnBridge.expression(lit(filterBytes)),
       ColumnBridge.expression(xxhash64(key))))
 
+  /** Predicate Column whose bloom side is a SCALAR SUBQUERY over the build
+    * frame — fully LAZY: constructing it schedules no job, and the filter
+    * build runs as a subquery stage of whatever query consumes the
+    * predicate (exactly the plan shape Spark's `InjectRuntimeFilter` emits;
+    * `BloomFilterMightContain` accepts a scalar subquery or a constant, by
+    * design). Contrast [[mightContain]], whose `build` collects the bytes
+    * in a separate driver-side job at construction time.
+    *
+    * `numItems` must still be a foldable literal, so the lazy form sizes
+    * from a caller-supplied ESTIMATE rather than a count. Mis-sizing is
+    * benign when the predicate is paired with an exact confirm join:
+    * oversizing costs filter bytes, undersizing costs false-positive rate
+    * (prefilter selectivity) — a bloom never false-negatives.
+    */
+  def mightContainLazy(buildSide: DataFrame, buildKey: Column, probeKey: Column,
+      numItems: Long, numBits: Long = -1L): Column = {
+    val bf = buildSide.agg(bloomAgg(buildKey, numItems, numBits).as("bf")).scalar()
+    ColumnBridge.column(BloomFilterMightContain(
+      ColumnBridge.expression(bf),
+      ColumnBridge.expression(xxhash64(probeKey))))
+  }
+
   /** Bloom-accelerated left-semi join: prefilter `big` with the build
     * side's bloom filter, then confirm with the exact semi-join (removes
     * the false positives). Same answer as `big.join(small, cond,

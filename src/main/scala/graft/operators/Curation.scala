@@ -313,12 +313,8 @@ object Curation {
     * form stays for ad-hoc frames (streaming span gate, specs).
     */
   private[graft] def windowFps(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), wsTokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= SubWidth)
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(0), size(col("toks")) - SubWidth),
-        i => xxhash64(slice(col("toks"), i + 1, lit(SubWidth))))).as("fp"))
-      .distinct() // within-doc repeats count once
+    winFpsOver(docs.select(col("doc_id"), wsTokens(col("text")).as("toks")),
+      SubWidth)
 
   private def q102(s: SparkSession, dir: String): DataFrame = {
     val wins = SignalStore.winFps(s, dir) // shared persisted signal, read
@@ -754,39 +750,69 @@ object Curation {
   // ~hits. Blooms have no false negatives and the semi-join removes the
   // false positives, so the answer is EXACT (CurationSpec pins ≡ the
   // plain-join form); the oracle keeps the plain left join.
-  private val DecontamWidth = 8
+  private[graft] val DecontamWidth = 8
+
+  /** Conservative sizing constant for q104's LAZY bloom build (4 Mi keys →
+    * a 4 MB filter at 8 bits/key). `BloomFilterAggregate` needs `numItems`
+    * as a foldable literal, so an in-plan (scalar-subquery) build cannot
+    * count the train split first; a CONSTANT keeps construction job-free.
+    * Mis-sizing is benign by construction: oversizing costs filter bytes,
+    * undersizing costs prefilter selectivity (higher fpp) — never
+    * correctness, because the exact confirm semi-join removes every false
+    * positive. At a larger corpus the caller passes its own estimate.
+    */
+  private[graft] val DecontamBloomItems = 4L << 20
+
+  /** Distinct `(doc_id, bucket, fp)` decontamination window inventory over
+    * a `(doc_id, toks)` frame: match-only width-[[DecontamWidth]] xxhash64
+    * fps (see [[windowFps]]; oracle keeps md5) for the train (< 90) and
+    * eval (≥ 95) md5 buckets — 90–94 feed neither split, pruned before the
+    * explode. Registry q104 reads this through [[SignalStore.decontamWins]]
+    * (store-owned persist, shared across constructions); this direct form
+    * stays for ad-hoc frames (CurationPropSpec's random corpora).
+    */
+  private[graft] def decontamWins(tokens: DataFrame): DataFrame =
+    winFpsOver(
+      tokens.select(col("doc_id"), md5Bucket(col("doc_id")).as("bucket"),
+          col("toks"))
+        .filter(col("bucket") < 90 || col("bucket") >= 95),
+      DecontamWidth, extra = Seq("bucket"))
+
+  /** Distinct `(doc_id[, extra...], fp)` window fingerprints at `width`
+    * over a tokenized frame — the ONE copy of the slice-hash formula behind
+    * the width-[[SubWidth]] span signals ([[windowFps]]) and the
+    * width-[[DecontamWidth]] decontamination inventories (batch q104 and
+    * [[graft.streaming.DecontamStream]]'s probe side).
+    */
+  private[graft] def winFpsOver(tokens: DataFrame, width: Int,
+      extra: Seq[String] = Nil): DataFrame = {
+    val keep = (Seq("doc_id") ++ extra).map(col)
+    tokens.filter(size(col("toks")) >= width)
+      .select(keep :+ explode(transform(
+        sequence(lit(0), size(col("toks")) - width),
+        i => xxhash64(slice(col("toks"), i + 1, lit(width))))).as("fp"): _*)
+      .distinct() // within-doc repeats count once
+  }
 
   /** q104 body; `bloom = false` is the plain exact-join reference shape the
-    * spec pins the bloom path against.
-    *
-    * NOTE: the bloom path runs two jobs EAGERLY at frame-construction time
-    * (the sizing count and the filter build — `BloomFilterAggregate` needs
-    * `numItems` as a literal, so neither can ride the final plan). This is
-    * the same driver hop as q77's `BloomFilters.semiJoin` and Spark's own
-    * `InjectRuntimeFilter` scalar subquery; both jobs read the persisted
-    * inventory, so plan-only callers pay one materialization of it.
+    * spec pins the bloom path against. Construction is fully LAZY: the
+    * bloom build rides the final plan as a scalar subquery
+    * ([[BloomFilters.mightContainLazy]] — the `InjectRuntimeFilter` plan
+    * shape), so EXPLAIN/planOf/bench construction schedule no jobs.
     */
   private[graft] def decontam(s: SparkSession, dir: String,
       bloom: Boolean): DataFrame =
-    decontamOver(SignalStore.tokens(s, dir).select(col("doc_id"), col("toks")),
-      bloom)
+    decontamFromWins(SignalStore.decontamWins(s, dir), bloom)
 
   /** q104 over any `(doc_id, toks)` frame — exposed so CurationPropSpec can
-    * sweep random corpora for the bloom ≡ exact contract beyond the fixture.
+    * sweep random corpora for the bloom ≡ exact contract beyond the
+    * fixture. Spec path: the inventory is UNPERSISTED here (recomputed per
+    * fold at spec scale); production rides the store-owned cache.
     */
-  private[graft] def decontamOver(tokens: DataFrame, bloom: Boolean): DataFrame = {
-    // match-only fingerprints (see windowFps): xxhash64 on the slice array,
-    // fp array built per doc in one projection; oracle keeps md5. Buckets
-    // 90–94 feed neither split — pruned before the explode.
-    val wins = tokens
-      .select(col("doc_id"), md5Bucket(col("doc_id")).as("bucket"), col("toks"))
-      .filter(size(col("toks")) >= DecontamWidth)
-      .filter(col("bucket") < 90 || col("bucket") >= 95)
-      .select(col("doc_id"), col("bucket"), explode(transform(
-        sequence(lit(0), size(col("toks")) - DecontamWidth),
-        i => xxhash64(slice(col("toks"), i + 1, lit(DecontamWidth))))).as("fp"))
-      .distinct()
-      .persist() // read thrice: train fps (+ bloom build) and both eval folds
+  private[graft] def decontamOver(tokens: DataFrame, bloom: Boolean): DataFrame =
+    decontamFromWins(decontamWins(tokens), bloom)
+
+  private def decontamFromWins(wins: DataFrame, bloom: Boolean): DataFrame = {
     // per-doc dups don't matter to a semi-join or a bloom insert, so the
     // train side skips the distinct-on-fp shuffle entirely
     val trainFp = wins.filter(col("bucket") < 90).select(col("fp"))
@@ -794,21 +820,24 @@ object Curation {
     val nWin = evalW.groupBy(col("doc_id")).agg(count(lit(1)).as("n_win"))
     val evalPre =
       if (!bloom) evalW
-      else {
-        // sizing count + build both ride the persisted inventory; the
-        // (doc, fp)-pair count only oversizes the filter (fewer fp)
-        val bytes = BloomFilters.build(trainFp, col("fp"),
-          numItems = math.max(1L, trainFp.count()))
-        if (bytes == null) evalW // empty train split: nothing to prefilter
-        else evalW.filter(BloomFilters.mightContain(bytes, col("fp")))
-      }
+      else evalW.filter(BloomFilters.mightContainLazy(trainFp, col("fp"),
+        col("fp"), numItems = DecontamBloomItems))
+    decontamVerdict(evalPre, trainFp, nWin)
+  }
+
+  /** The exact confirm fold shared by batch q104 and the streaming gate:
+    * semi-join the (possibly bloom-prefiltered) eval windows against the
+    * train fingerprints, then fold the per-doc contamination fraction.
+    * Inner join on `nWin`: only docs with ≥ 1 confirmed hit emit.
+    */
+  private[graft] def decontamVerdict(evalPre: DataFrame, trainFp: DataFrame,
+      nWin: DataFrame): DataFrame =
     evalPre.join(trainFp, Seq("fp"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
       .join(nWin, Seq("doc_id")) // inner: only docs with ≥1 confirmed hit
       .select(col("doc_id"), col("n_win"), col("n_hit"),
         Rounding.stable(col("n_hit") / col("n_win"), 4).as("contam_frac"))
       .orderBy(col("doc_id"))
-  }
 
   private def q104(s: SparkSession, dir: String): DataFrame =
     decontam(s, dir, bloom = true)

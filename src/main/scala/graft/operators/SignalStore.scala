@@ -33,27 +33,64 @@ object SignalStore {
 
   // keyed by the SESSION REFERENCE (SparkSession does not override equals,
   // so tuple equality is reference equality — no hash-recycling collision
-  // can hand one session another session's frame). Entries live for the
-  // owning JVM: the expected runtimes here are one-session-per-JVM
-  // (Verify/Bench/tests); a multi-session host would call evict() on
-  // session stop.
+  // can hand one session another session's frame). Lifecycle: the first
+  // cached() call for a session registers a context-stop listener that
+  // calls evict(s), so a host that stops its session without calling
+  // evict() still releases the entries (and their plans) instead of
+  // pinning them for the JVM lifetime. Sibling sessions sharing one
+  // SparkContext (`newSession()`) all evict when that context ends —
+  // their frames die with it anyway; a host retiring a SIBLING session
+  // mid-context calls evict() explicitly.
   private val cache =
     scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]()
 
+  // one stop listener per session; holding the listener lets the spec
+  // exercise the eviction wiring without killing the shared test context
+  private val stopHooks =
+    scala.collection.concurrent.TrieMap[SparkSession, org.apache.spark.scheduler.SparkListener]()
+
   private def cached(s: SparkSession, key: String, dir: String)
       (build: => DataFrame): DataFrame = {
+    stopHooks.getOrElseUpdate(s, {
+      val hook = new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          evict(s)
+      }
+      s.sparkContext.addSparkListener(hook)
+      hook
+    })
     val df = cache.getOrElseUpdate((s, key, dir), build.persist())
     if (df.storageLevel == StorageLevel.NONE) df.persist()
     df
   }
 
-  /** Drop (and unpersist) every signal owned by `s` — for hosts that stop
-    * sessions mid-JVM.
+  /** Drop (and unpersist) every signal owned by `s` — called automatically
+    * on context stop via the registered listener, or explicitly by hosts
+    * retiring a session mid-JVM. Unpersist failures are swallowed: on the
+    * stop path the blocks are already gone with the context.
     */
-  def evict(s: SparkSession): Unit =
+  def evict(s: SparkSession): Unit = {
+    stopHooks.remove(s) // release the session ref; the bus dies with the context
     cache.keys.filter(_._1 eq s).foreach { k =>
-      cache.remove(k).foreach(df => df.unpersist())
+      cache.remove(k).foreach { df =>
+        try df.unpersist()
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
     }
+  }
+
+  /** Number of live entries owned by `s` (spec visibility). */
+  private[graft] def entryCount(s: SparkSession): Int =
+    cache.keys.count(_._1 eq s)
+
+  /** The registered stop listener for `s`, if any (spec visibility — lets
+    * the eviction wiring be exercised without stopping the shared test
+    * context).
+    */
+  private[graft] def stopHook(
+      s: SparkSession): Option[org.apache.spark.scheduler.SparkListener] =
+    stopHooks.get(s)
 
   /** `(doc_id, lang, source, toks)` — the tokenized corpus, one scan. */
   def tokens(s: SparkSession, dir: String): DataFrame =
@@ -83,5 +120,20 @@ object SignalStore {
   def winFps(s: SparkSession, dir: String): DataFrame =
     cached(s, "winFps", dir) {
       winFpsPos(s, dir).select(col("doc_id"), col("fp")).distinct()
+    }
+
+  /** Distinct `(doc_id, bucket, fp)` — q104's width-8 decontamination
+    * window inventory over the train/eval md5 buckets
+    * ([[Curation.decontamWins]]). Separate from [[winFps]] because the
+    * decontamination window width (8) differs from the span width (16);
+    * derives from the shared [[tokens]] layer, so materializing it costs
+    * one hash projection, never a second corpus scan. Consumed by the
+    * train-fp side, the bloom build subquery, and both eval folds — the
+    * store-owned persist replaces the per-call persist the old q104 body
+    * leaked.
+    */
+  def decontamWins(s: SparkSession, dir: String): DataFrame =
+    cached(s, "decontamWins", dir) {
+      Curation.decontamWins(tokens(s, dir).select(col("doc_id"), col("toks")))
     }
 }

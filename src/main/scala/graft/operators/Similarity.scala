@@ -272,14 +272,14 @@ object Similarity {
     * interpreted work — the q20/q106 prefilter discipline applied to the
     * sign decision itself.
     */
-  private def planeBit(p: Int, bitValue: Int, dims: Int): org.apache.spark.sql.Column = {
+  private def planeBit(p: Int, bitValue: Long, dims: Int): org.apache.spark.sql.Column = {
     val signsF = array((0 until dims).map(d => lit(planeSign(p, d).toFloat)): _*)
     val signsD = array((0 until dims).map(d => lit(planeSign(p, d))): _*)
     val fast = graft.functions.VectorDot.dot(col("embedding"), signsF)
     when(fast > 1e-5, lit(bitValue))
-      .when(fast < -1e-5, lit(0))
+      .when(fast < -1e-5, lit(0L))
       .otherwise(
-        when(dotDec(col("embedding"), signsD) >= 0, lit(bitValue)).otherwise(lit(0)))
+        when(dotDec(col("embedding"), signsD) >= 0, lit(bitValue)).otherwise(lit(0L)))
   }
 
   def lshBucketsExact(e: DataFrame, nPlanes: Int, dims: Int = 64): DataFrame = {
@@ -781,17 +781,48 @@ object Similarity {
   // map-side combinable); the pairwise step is confined WITHIN cells —
   // SemDeDup's own posture: cell population is bounded by construction
   // (more planes → smaller cells), so candidates stay linear, never
-  // all-pairs. Determinism: centrality is exact integer arithmetic —
-  // components scaled to round(x·1e6) longs, products summed as
-  // DECIMAL(38,0) — divided once by a sqrt of an exact long, so both
-  // engines compare bit-identical doubles; the near-dup confirm reuses
-  // q20/q106's fast-double prefilter + exact-decimal rescore.
-  private val SemPlanes = 4
+  // all-pairs. The plane count is a PARAMETER sized to the corpus
+  // ([[semPlanesFor]]: ≈ log₂(n / target_cell_pop), so expected cell
+  // population stays constant as n grows — at 100× you add ~7 planes, the
+  // pair join's bucket key gains 2⁷× more distinct values, and both the
+  // quadratic-within-cell work and the shuffle parallelism hold); the
+  // 4-plane form is the oracle-pinned fixture shape. Adding planes only
+  // REFINES cells (bucket bits extend), so SemDedupSpec's reference
+  // equivalence + refinement property hold at any count. Determinism:
+  // centrality is exact integer arithmetic — components scaled to
+  // round(x·1e6) longs, products summed as DECIMAL(38,0) — divided once by
+  // a sqrt of an exact long, so both engines compare bit-identical
+  // doubles; the near-dup confirm reuses q20/q106's fast-double prefilter
+  // + exact-decimal rescore.
+  private[graft] val SemPlanes = 4
   private val SemPlaneBase = 128 // independent of q47 (0..15) / q106 (0..95)
-  private def q110(s: SparkSession, dir: String): DataFrame = {
+
+  /** Plane count sized so expected cell population ≈ `targetCellPop`:
+    * ⌈log₂(n / target)⌉, floored at [[SemPlanes]] (the fixture shape) and
+    * capped at 62 (the bucket key is one long).
+    */
+  private[graft] def semPlanesFor(n: Long, targetCellPop: Long = 256L): Int =
+    math.min(62, math.max(SemPlanes,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetCellPop))
+        / math.log(2.0)).toInt))
+
+  /** The scale entry: sizes the plane count from the corpus cardinality —
+    * one documented count job at construction (a production run would pass
+    * its catalog estimate to [[semDedup]] directly).
+    */
+  private[graft] def semDedupSized(s: SparkSession, dir: String,
+      targetCellPop: Long = 256L): DataFrame =
+    semDedup(s, dir, semPlanesFor(Fixtures.embeddings(s, dir).count(), targetCellPop))
+
+  private def q110(s: SparkSession, dir: String): DataFrame =
+    semDedup(s, dir, SemPlanes)
+
+  /** q110 body at any plane count (cells = `2^planes` AND-LSH buckets). */
+  private[graft] def semDedup(s: SparkSession, dir: String, planes: Int): DataFrame = {
+    require(planes >= 1 && planes <= 62, "bucket key must fit one long")
     val DEC38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val e = Fixtures.embeddings(s, dir)
-    val bits = (0 until SemPlanes).map(j => planeBit(SemPlaneBase + j, 1 << j, 64))
+    val bits = (0 until planes).map(j => planeBit(SemPlaneBase + j, 1L << j, 64))
     val r6 = transform(col("embedding"),
       x => round(x.cast("double") * lit(1000000.0)).cast("long"))
     val b = e.select(col("vec_id"), col("embedding"), r6.as("r6"),

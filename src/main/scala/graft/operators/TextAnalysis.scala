@@ -1168,14 +1168,23 @@ object TextAnalysis {
       .select(col("source"), explode(transform(
         sequence(lit(0), size(col("toks")) - 3),
         i => xxhash64(slice(col("toks"), i + 1, lit(3))))).as("g"))
-    tot.join(distinctCount(uniG, "n_uni_distinct"), Seq("source"))
-      .join(distinctCount(triG, "n_tri_distinct"), Seq("source"))
+    // LEFT joins + zero-fill: a source whose docs are all shorter than 3
+    // tokens has no trigram rows (and an all-empty-token source no unigram
+    // rows) — an inner join would silently omit exactly the degenerate
+    // sources a diversity audit most needs to show (the no-silent-caps
+    // stance). Zero-denominator TTRs are NULL, mirrored in the oracle.
+    tot.join(distinctCount(uniG, "n_uni_distinct"), Seq("source"), "left")
+      .join(distinctCount(triG, "n_tri_distinct"), Seq("source"), "left")
+      .select(col("source"), col("n_tok"),
+        coalesce(col("n_uni_distinct"), lit(0L)).as("n_uni_distinct"),
+        col("n_tri_total"),
+        coalesce(col("n_tri_distinct"), lit(0L)).as("n_tri_distinct"))
       .select(col("source"), col("n_tok"), col("n_uni_distinct"),
         col("n_tri_total"), col("n_tri_distinct"),
-        graft.functions.Rounding.stable(
-          col("n_uni_distinct") / col("n_tok"), 4).as("uni_ttr"),
-        graft.functions.Rounding.stable(
-          col("n_tri_distinct") / col("n_tri_total"), 4).as("tri_ttr"))
+        when(col("n_tok") > 0, graft.functions.Rounding.stable(
+          col("n_uni_distinct") / col("n_tok"), 4)).as("uni_ttr"),
+        when(col("n_tri_total") > 0, graft.functions.Rounding.stable(
+          col("n_tri_distinct") / col("n_tri_total"), 4)).as("tri_ttr"))
       .orderBy(col("source"))
   }
 
@@ -1197,10 +1206,17 @@ object TextAnalysis {
       |  FROM (SELECT source, array_to_string(list_slice(toks, i + 1, i + 3), ' ') AS g
       |        FROM (SELECT source, toks, unnest(generate_series(0, len(toks) - 3)) AS i
       |              FROM t WHERE len(toks) >= 3)) GROUP BY 1)
-      |SELECT source, n_tok, n_uni_distinct, n_tri_total, n_tri_distinct,
-      |  floor(n_uni_distinct * 1.0 / n_tok * 10000.0 + 0.5) / 10000.0 AS uni_ttr,
-      |  floor(n_tri_distinct * 1.0 / n_tri_total * 10000.0 + 0.5) / 10000.0 AS tri_ttr
-      |FROM tot JOIN uni USING (source) JOIN tri USING (source)
+      |SELECT source, n_tok,
+      |  CAST(COALESCE(n_uni_distinct, 0) AS BIGINT) AS n_uni_distinct,
+      |  n_tri_total,
+      |  CAST(COALESCE(n_tri_distinct, 0) AS BIGINT) AS n_tri_distinct,
+      |  CASE WHEN n_tok > 0
+      |    THEN floor(COALESCE(n_uni_distinct, 0) * 1.0 / n_tok * 10000.0 + 0.5) / 10000.0
+      |    ELSE NULL END AS uni_ttr,
+      |  CASE WHEN n_tri_total > 0
+      |    THEN floor(COALESCE(n_tri_distinct, 0) * 1.0 / n_tri_total * 10000.0 + 0.5) / 10000.0
+      |    ELSE NULL END AS tri_ttr
+      |FROM tot LEFT JOIN uni USING (source) LEFT JOIN tri USING (source)
       |ORDER BY source""".stripMargin
 
   /** Approximate twin of q143 — the shape that actually ships at 100 TB:

@@ -74,6 +74,9 @@ class PipelineSpec extends AnyFunSuite {
       s"$out/corpus", s"$out/manifest", s"$out/report"))
     assert(spark.read.parquet(run.manifestPath).isEmpty)
     assert(spark.read.parquet(run.reportPath).isEmpty)
+    // auditing the all-dropped run must return an empty diff, not throw on
+    // schema inference over the fileless corpus dir
+    assert(Pipeline.validateCorpus(spark, out).isEmpty)
   }
 
   test("validateCorpus passes on an intact run and flags exactly a lost shard") {

@@ -9,11 +9,18 @@ import scala.math.BigDecimal.RoundingMode.HALF_UP
   * long cell sums, exact-decimal pairwise cosine, dominated removal — no
   * Spark in the re-derivation, so agreement is evidence, not tautology
   * (same contract as BpeSpec / RetrievalClassifierSpec).
+  *
+  * The reference is PARAMETERIZED over the plane count and swept at 2, 4
+  * (the oracle fixture shape), and 6 planes: the no-false-drop property —
+  * every dropped vec has an exact-cosine ≥ τ same-cell partner that is more
+  * central — must hold under ANY cell granularity, and adding planes must
+  * only REFINE cells (bucket-bit prefix property), which is what makes
+  * [[Similarity.semPlanesFor]]'s corpus-sized plane count a safe scale dial
+  * rather than a semantics change.
   */
 class SemDedupSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = TestSpark.sf0001
-  private val Planes = 4
   private val PlaneBase = 128
   private val Tau = 0.35
 
@@ -34,14 +41,16 @@ class SemDedupSpec extends AnyFunSuite {
     a.indices.map(i => BigDecimal(roundN(a(i).toDouble * b(i).toDouble, 9)))
       .foldLeft(BigDecimal(0))(_ + _)
 
-  test("q110_semantic_dedup equals the sequential SemDeDup reference at sf0.001") {
+  private lazy val vecs: Seq[(Long, Array[Float])] = {
     import spark.implicits._
-    val vecs = graft.Fixtures.embeddings(spark, dir)
+    graft.Fixtures.embeddings(spark, dir)
       .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect().toSeq
+  }
 
-    // cells: AND-LSH over md5-derived hyperplanes, decimal-exact projections
-    val bucketOf = vecs.map { case (id, v) =>
-      val bits = (0 until Planes).map { j =>
+  /** Cells: AND-LSH over md5-derived hyperplanes, decimal-exact projections. */
+  private def bucketsAt(planes: Int): Map[Long, Long] =
+    vecs.map { case (id, v) =>
+      val bits = (0 until planes).map { j =>
         val p = PlaneBase + j
         val pr = v.indices.map(d =>
             BigDecimal(roundN(v(d).toDouble * planeSign(p, d), 9)))
@@ -50,6 +59,13 @@ class SemDedupSpec extends AnyFunSuite {
       }.sum
       id -> bits
     }.toMap
+
+  /** The sequential reference at `planes`: (expected dropped rows, the
+    * qualifying same-cell pair list, centrality map, bucket map).
+    */
+  private def reference(planes: Int): (Seq[(Long, Long, Double)],
+      Seq[(Long, Long)], Map[Long, Double], Map[Long, Long]) = {
+    val bucketOf = bucketsAt(planes)
 
     // centrality: dot(round(x·1e6) longs, cell component sums) / ‖x‖ — exact
     // integer arithmetic divided once in double
@@ -85,20 +101,66 @@ class SemDedupSpec extends AnyFunSuite {
     val dropped = pairs.map { case (a, b) =>
       if (centOf(a) > centOf(b) || (centOf(a) == centOf(b) && a < b)) b else a
     }.distinct.sorted
-    val expected = dropped.map(id => (id, bucketOf(id), stable6(centOf(id))))
+    (dropped.map(id => (id, bucketOf(id), stable6(centOf(id)))),
+      pairs, centOf, bucketOf)
+  }
 
-    val got = SparkEntry.queries("q110_semantic_dedup")(spark, dir)
-      .as[(Long, Long, Double)].collect().toSeq
-    assert(got == expected)
-    assert(expected.nonEmpty, "vacuous fixture: no within-cell near-dups")
+  /** The shared check: operator output ≡ reference, plus the no-false-drop
+    * invariants, at a given plane count.
+    */
+  private def checkAt(planes: Int,
+      got: Seq[(Long, Long, Double)], requireNonEmpty: Boolean): Unit = {
+    val (expected, pairs, centOf, bucketOf) = reference(planes)
+    assert(got == expected, s"planes=$planes")
+    if (requireNonEmpty)
+      assert(expected.nonEmpty, "vacuous fixture: no within-cell near-dups")
 
-    // survivor invariant: every qualifying pair lost a member, so no
-    // qualifying pair remains among survivors — and the most-central member
-    // of each cell can never drop
-    val droppedSet = dropped.toSet
-    assert(pairs.forall { case (a, b) => droppedSet(a) || droppedSet(b) })
+    // NO FALSE DROPS: every dropped vec has a same-cell exact-cosine ≥ τ
+    // partner that is more central (or an equal-centrality smaller id) —
+    // and the most-central member of each cell can never drop
+    val droppedSet = expected.map(_._1).toSet
+    val partners = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupMap(_._1)(_._2)
+    assert(droppedSet.forall { d =>
+      partners.getOrElse(d, Nil).exists(p =>
+        centOf(p) > centOf(d) || (centOf(p) == centOf(d) && p < d))
+    }, s"planes=$planes: a drop without a dominating partner is a false drop")
+    assert(pairs.forall { case (a, b) => droppedSet(a) || droppedSet(b) },
+      s"planes=$planes: every qualifying pair must lose a member")
     val best = vecs.map(_._1).groupBy(bucketOf)
       .map { case (_, ids) => ids.maxBy(id => (centOf(id), -id)) }
-    assert(best.forall(id => !droppedSet(id)))
+    assert(best.forall(id => !droppedSet(id)),
+      s"planes=$planes: a cell's most-central member dropped")
+  }
+
+  test("q110_semantic_dedup equals the sequential SemDeDup reference at sf0.001") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q110_semantic_dedup")(spark, dir)
+      .as[(Long, Long, Double)].collect().toSeq
+    checkAt(Similarity.SemPlanes, got, requireNonEmpty = true)
+  }
+
+  test("the no-false-drop property holds at other plane counts (2 and 6)") {
+    import spark.implicits._
+    for (planes <- Seq(2, 6)) {
+      val got = Similarity.semDedup(spark, dir, planes)
+        .as[(Long, Long, Double)].collect().toSeq
+      checkAt(planes, got, requireNonEmpty = false)
+    }
+  }
+
+  test("adding planes only refines cells: bucket-bit prefix property and population bound") {
+    val b2 = bucketsAt(2); val b4 = bucketsAt(4); val b6 = bucketsAt(6)
+    assert(vecs.forall { case (id, _) => (b4(id) & 3L) == b2(id) })
+    assert(vecs.forall { case (id, _) => (b6(id) & 15L) == b4(id) })
+    def maxPop(b: Map[Long, Long]): Int =
+      b.values.groupBy(identity).values.map(_.size).max
+    assert(maxPop(b4) <= maxPop(b2) && maxPop(b6) <= maxPop(b4),
+      "refinement must never grow a cell")
+    // the sizing dial: more data → more planes, never fewer; floored at the
+    // fixture shape and capped at the long-key width
+    assert(Similarity.semPlanesFor(100L) === Similarity.SemPlanes)
+    assert(Similarity.semPlanesFor(1L << 40, 256L) === 32)
+    assert(Similarity.semPlanesFor(Long.MaxValue, 1L) === 62)
   }
 }

@@ -36,4 +36,47 @@ class SignalStoreSpec extends AnyFunSuite {
     assert(t.storageLevel != StorageLevel.NONE,
       "after a global cache clear the accessor must re-persist, not run uncached")
   }
+
+  test("decontamWins equals the direct derivation and derives from the shared tokens layer") {
+    val shared = SignalStore.decontamWins(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = Curation.decontamWins(
+        SignalStore.tokens(spark, dir).select(
+          org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("toks")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(shared.nonEmpty && shared === direct)
+  }
+
+  test("evict drops exactly the retired session's entries and unpersists them") {
+    // a sibling session sharing the context stands in for a retiring host
+    // session — reference-keyed entries must not cross-talk
+    val s2 = spark.newSession()
+    val mine = SignalStore.tokens(spark, dir)
+    val theirs = SignalStore.tokens(s2, dir)
+    assert(!(mine eq theirs), "sibling sessions own distinct entries")
+    assert(SignalStore.entryCount(s2) >= 1)
+    SignalStore.evict(s2)
+    assert(SignalStore.entryCount(s2) === 0)
+    assert(theirs.storageLevel === StorageLevel.NONE,
+      "evicted entries must be unpersisted")
+    assert(SignalStore.entryCount(spark) >= 1,
+      "the surviving session's entries must be untouched")
+    assert(SignalStore.tokens(spark, dir) eq mine)
+  }
+
+  test("the registered stop listener evicts the session's entries on context end") {
+    val s2 = spark.newSession()
+    SignalStore.tokens(s2, dir)
+    val hook = SignalStore.stopHook(s2)
+    assert(hook.isDefined, "first cached access must register a stop listener")
+    // fire the hook directly — stopping the real context would kill the
+    // shared test session; the bus→listener delivery is Spark's contract
+    hook.get.onApplicationEnd(
+      org.apache.spark.scheduler.SparkListenerApplicationEnd(0L))
+    assert(SignalStore.entryCount(s2) === 0,
+      "context stop must release the stopped session's entries")
+    assert(SignalStore.stopHook(s2).isEmpty,
+      "eviction must release the session reference held by the hook map")
+  }
 }

@@ -137,4 +137,17 @@ class SketchesSpec extends AnyFunSuite {
       .head().getLong(0)
     assert(viaUnion === direct)
   }
+
+  test("q84's pair matrix is observable: the metric counts exactly the materialized pairs") {
+    // the sketch pair matrix is the engine's one non-broadcast crossJoin —
+    // |types|²-bounded, but a wide-schema run must be able to SEE the
+    // quadratic (the q133 TriCap pattern), not infer it from runtime
+    val df = SparkEntry.queries("q84_overlap_matrix")(TestSpark.spark, TestSpark.sf0001)
+    val rows = df.collect()
+    val m = df.queryExecution.observedMetrics("q84_pairs")
+    assert(m.getAs[Long]("pairs_materialized") === rows.length.toLong)
+    val nTypes = (1 + math.sqrt(1 + 8.0 * rows.length)).toLong / 2
+    assert(rows.length === (nTypes * (nTypes - 1) / 2),
+      "matrix must hold exactly one row per unordered type pair")
+  }
 }

@@ -50,6 +50,28 @@ class TextSignalsSpec extends AnyFunSuite {
     }
   }
 
+  test("q143 keeps degenerate sources: a no-trigram source appears with zero counts and NULL tri_ttr") {
+    // inner joins on the gram counts would silently omit exactly the
+    // template/short-doc sources a diversity audit exists to expose
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q143-degen").toString
+    Seq((1L, "en", "short", "one two"), (2L, "en", "short", "one"),
+        (3L, "en", "normal", "a b c d e"))
+      .toDF("doc_id", "lang", "source", "text")
+      .write.parquet(s"$tmp/documents.parquet")
+    val got = SparkEntry.queries("q143_ngram_diversity")(spark, tmp)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet === Set("short", "normal"))
+    val s = got("short")
+    assert(s.getLong(1) === 3L, "n_tok")
+    assert(s.getLong(2) === 2L, "n_uni_distinct")
+    assert(s.getLong(3) === 0L, "n_tri_total")
+    assert(s.getLong(4) === 0L, "n_tri_distinct")
+    assert(!s.isNullAt(5), "uni_ttr defined when tokens exist")
+    assert(s.isNullAt(6), "tri_ttr must be NULL, not a div-by-zero artifact")
+    assert(got("normal").getLong(4) === 3L, "normal source unaffected")
+  }
+
   test("q138 entropy equals a sequential mirror of the LUT formula on every doc") {
     val got = SparkEntry.queries("q138_token_entropy")(spark, dir)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
