@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.{Curation, Layout}
-import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** End-to-end curation run — the library's USER-FACING entry: evaluate the
@@ -67,6 +67,206 @@ object Pipeline {
     CurationRun(totals.getLong(0), totals.getLong(1), totals.getLong(2),
       corpusPath, manifestPath, reportPath)
   }
+
+  /** Per-epoch result of [[curateEpoch]] — the observability surface of an
+    * incremental run: how the corpus-global verdicts MOVED this epoch
+    * (retroactive drops are first-class, not silent).
+    */
+  final case class EpochResult(epochId: Long, docsSeen: Long, docsKept: Long,
+      added: Long, removed: Long, changedShards: Seq[Int])
+
+  /** One micro-batch epoch of the APPEND-MODE curation pipeline: fold a new
+    * chunk of documents into the same corpus/manifest/report artifacts
+    * [[curate]] writes in one shot, such that after any number of epochs
+    * the artifacts EQUAL a one-shot run over the union (PipelineIncrSpec
+    * pins corpus, manifest, and report equality, including across a
+    * mid-run restart).
+    *
+    * Why this is not a per-doc gate: funnel gates 3–4 are corpus-GLOBAL —
+    * a later epoch can deliver a smaller doc_id that displaces a bag-dedup
+    * keeper, or new window fps that push an accepted doc over the span
+    * threshold — so an already-kept document can retroactively flip to
+    * dropped. The epoch therefore (a) persists each batch's COMPACT
+    * per-doc state once — signals `(doc_id, lang, source, n_tok, h, bag)`,
+    * window fps, and text — so earlier batches' text is never re-tokenized;
+    * (b) recomputes verdicts over all seen docs from that compact state
+    * with the same [[graft.operators.Curation.verdictsFrom]] the batch
+    * funnel uses; (c) diffs against the last COMMITTED epoch's verdicts and
+    * rewrites ONLY the shards whose membership changed (dynamic partition
+    * overwrite; shards a pure-append epoch doesn't touch keep their bytes);
+    * (d) carries unchanged shards' manifest rows forward and recomputes
+    * changed shards' rows from the corpus as re-read; (e) writes the
+    * epoch's verdict set LAST as the commit marker — `state/verdicts`
+    * existing for epoch e means e's artifacts are complete, and a crash
+    * anywhere in between replays idempotently (all writes are
+    * batch/epoch-keyed overwrites, all derivations deterministic, and the
+    * delta base is always the last fully-applied verdict set).
+    *
+    * Scale shape: per epoch the new work is O(batch) (tokenize + signals)
+    * plus the verdict recompute over compact state (bag election + fp
+    * counts — token-scale aggregates, no text); the corpus write is
+    * O(changed shards). The two driver-side collects are ≤ numShards ints
+    * each. Re-delivered docs (same doc_id in several batches, same text —
+    * the at-least-once contract) collapse via state distinct.
+    */
+  def curateEpoch(batch: DataFrame, outDir: String, numShards: Int,
+      epochId: Long): EpochResult = {
+    val spark = batch.sparkSession
+    val docs = batch.select(col("doc_id"), col("lang"), col("source"), col("text"))
+      .dropDuplicates("doc_id")
+    val base = docs.select(col("doc_id"), col("lang"), col("source"),
+      graft.functions.TextFunctions.wsTokens(col("text")).as("toks"))
+      .localCheckpoint() // feeds both state writes below
+
+    // (a) compact per-batch state, each in its own batch=<id> partition
+    // (overwrite → an at-least-once retry rewrites the same bytes)
+    Curation.docSignals(base)
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/state/sigs/batch=$epochId")
+    Curation.winFpsOver(base.select(col("doc_id"), col("toks")), Curation.SubWidth)
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/state/winv/batch=$epochId")
+    docs.select(col("doc_id"), col("text"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/state/texts/batch=$epochId")
+
+    // (b) verdicts over every doc seen so far, from compact state only
+    val sigs = spark.read.parquet(s"$outDir/state/sigs")
+      .filter(col("batch") <= epochId)
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_tok"), col("h"), col("bag")).distinct()
+    val winv = spark.read.parquet(s"$outDir/state/winv")
+      .filter(col("batch") <= epochId)
+      .select(col("doc_id"), col("fp")).distinct()
+    val vNow = Curation.verdictsFrom(sigs, winv)
+      .localCheckpoint() // consumed by delta, corpus, report, commit marker
+
+    // (c) delta vs the last COMMITTED epoch (strictly earlier: a crashed
+    // attempt of THIS epoch may have left its marker, which must not
+    // become its own delta base)
+    val verdictsPath = s"$outDir/state/verdicts"
+    val prevKept: DataFrame = {
+      val p = new org.apache.hadoop.fs.Path(verdictsPath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) {
+        // `epoch` is the discovered partition column (its dir-inferred
+        // width varies — compare as long)
+        val prior = spark.read.parquet(verdictsPath)
+          .withColumn("epoch", col("epoch").cast("long"))
+          .filter(col("epoch") < epochId)
+        val last = prior.agg(max(col("epoch"))).head()
+        if (last.isNullAt(0)) prior.filter(lit(false)).select(col("doc_id"))
+        else prior.filter(col("epoch") === last.getLong(0))
+          .filter(col("kept")).select(col("doc_id"))
+      } else vNow.filter(lit(false)).select(col("doc_id"))
+    }
+    val nowKept = vNow.filter(col("kept")).select(col("doc_id"))
+    val added = nowKept.exceptAll(prevKept).localCheckpoint()
+    val removed = prevKept.exceptAll(nowKept).localCheckpoint()
+    val deltas = added.unionByName(removed)
+      .select(Layout.shardKey(col("doc_id"), numShards).as("shard"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val nAdded = added.count()
+    val nRemoved = removed.count()
+
+    // (d) rewrite only the changed shards; explicitly drop shards whose
+    // kept set emptied (dynamic overwrite never touches a partition the
+    // output frame doesn't mention)
+    val corpusPath = s"$outDir/corpus"
+    if (deltas.nonEmpty) {
+      val texts = spark.read.parquet(s"$outDir/state/texts")
+        .select(col("doc_id"), col("text")).dropDuplicates("doc_id")
+      val newContent = vNow.filter(col("kept"))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_tok"))
+        .withColumn("shard", Layout.shardKey(col("doc_id"), numShards))
+        .filter(col("shard").isInCollection(deltas))
+        .join(texts, Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_tok"),
+          col("text"), col("shard"))
+        .localCheckpoint() // written + shard-listed below
+      val writtenShards = newContent.select(col("shard")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      val mode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try newContent.write.mode(SaveMode.Overwrite)
+        .partitionBy("shard").parquet(corpusPath)
+      finally mode match {
+        case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      val fs = new org.apache.hadoop.fs.Path(corpusPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      deltas.filterNot(writtenShards).foreach { sh =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$corpusPath/shard=$sh"), true)
+      }
+    }
+
+    // (e) manifest: carry-over for untouched shards, recompute changed
+    // shards from the corpus as re-read (partition-pruned); localCheckpoint
+    // decouples the self-overwrite (manifest is both read and rewritten).
+    // The carry-over base is validated against the last COMMITTED verdicts
+    // (the manifest overwrite is the one non-partitioned artifact a crash
+    // can leave partial): its shard set must equal the shards prevKept
+    // implies — on any mismatch the epoch repairs by recomputing the FULL
+    // manifest from the corpus on disk.
+    val manifestPath = s"$outDir/manifest"
+    val prevShards: Set[Int] = prevKept
+      .select(Layout.shardKey(col("doc_id"), numShards).as("shard"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val storedManifest: Option[DataFrame] = {
+      val p = new org.apache.hadoop.fs.Path(manifestPath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) Some(spark.read.parquet(manifestPath)) else None
+    }
+    val carryOver: Option[DataFrame] = storedManifest.filter { m =>
+      m.select(col("shard")).collect().map(_.getInt(0)).toSet == prevShards
+    }
+    val fullCorpusView =
+      if (!hasDataFiles(spark, corpusPath))
+        docs.select(col("doc_id"), col("text")).limit(0)
+      else spark.read.parquet(corpusPath).select(col("doc_id"), col("text"))
+    val manifest = carryOver match {
+      case Some(prev) =>
+        val changedManifest =
+          if (deltas.isEmpty || !hasDataFiles(spark, corpusPath))
+            Layout.shardManifest(docs.select(col("doc_id"), col("text")).limit(0),
+              numShards)
+          else Layout.shardManifest(
+            spark.read.parquet(corpusPath)
+              .filter(col("shard").isInCollection(deltas))
+              .select(col("doc_id"), col("text")), numShards)
+        prev.filter(!col("shard").isInCollection(deltas))
+          .unionByName(changedManifest)
+      case None => // epoch 0, or a crash-corrupted manifest: full recompute
+        Layout.shardManifest(fullCorpusView, numShards)
+    }
+    manifest.orderBy(col("shard")).localCheckpoint()
+      .write.mode(SaveMode.Overwrite).parquet(manifestPath)
+    spark.range(1).select(lit(numShards).as("num_shards"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/meta")
+    Curation.funnelRollup(vNow)
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/report")
+
+    // commit marker LAST: epoch e's verdicts existing ⇒ e fully applied
+    // (`epoch` stays a directory-only partition key — a data column of the
+    // same name would collide with partition discovery on read)
+    vNow.write.mode(SaveMode.Overwrite).parquet(s"$verdictsPath/epoch=$epochId")
+
+    val totals = vNow.agg(count(lit(1)),
+      coalesce(sum(when(col("kept"), 1L).otherwise(0L)), lit(0L))).head()
+    EpochResult(epochId, totals.getLong(0), totals.getLong(1),
+      nAdded, nRemoved, deltas)
+  }
+
+  /** Attach the incremental pipeline to a document stream with `doc_id`,
+    * `lang`, `source`, `text`.
+    */
+  def startIncremental(docs: org.apache.spark.sql.DataFrame, outDir: String,
+      checkpoint: String, numShards: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (!b.isEmpty) { curateEpoch(b, outDir, numShards, id); () }
+      }
+      .start()
 
   /** Post-copy/post-migration audit: recompute the shard manifest from the
     * corpus AS ON DISK and diff it against the stored manifest. Returns the

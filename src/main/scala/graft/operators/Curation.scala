@@ -371,13 +371,24 @@ object Curation {
     * so [[graft.Pipeline]] can materialize the kept corpus from the same
     * verdicts the report aggregates (one gate evaluation, two consumers).
     */
-  private[graft] def funnelVerdicts(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def funnelVerdicts(s: SparkSession, dir: String): DataFrame =
     // ONE corpus read: the tokenized base is the run-shared SignalStore
     // cache and every gate derives from it (a naive composition would
     // re-scan the 100 TB corpus once per gate — 4 reads; PlanSpec pins the
     // cached base). The per-gate token-level shapes are the audited
     // q138/q137/q102 chains, inlined over the shared `toks` array.
-    val base = SignalStore.tokens(s, dir)
+    verdictsFrom(docSignals(SignalStore.tokens(s, dir)), SignalStore.winFps(s, dir))
+
+  /** Per-document funnel signals `(doc_id, lang, source, n_tok, h, bag)`
+    * over a `(doc_id, lang, source, toks)` frame — everything about a doc
+    * the funnel needs that does NOT depend on the rest of the corpus
+    * (token count, 6-dp entropy, bag-of-words md5). The ONE copy of the
+    * q138-entropy and q137-bag formulas shared by the batch funnel and
+    * [[graft.Pipeline]]'s incremental epochs, which persist these rows as
+    * compact per-batch state and re-derive corpus-global verdicts from
+    * them without ever re-reading earlier batches' text.
+    */
+  private[graft] def docSignals(base: DataFrame): DataFrame = {
     val dt = base
       .select(col("doc_id"), explode(col("toks")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
@@ -391,22 +402,33 @@ object Curation {
       .select(col("doc_id"), col("n_tok"),
         Rounding.stable(log(col("n_tok").cast("double"))
           - col("slog").cast("double") / (col("n_tok") * 1000000.0), 6).as("h"))
-    val bags = base.select(col("doc_id"),
-      md5(concat_ws(" ", sort_array(col("toks")))).as("bag"))
-    val keeper = bags.groupBy(col("bag")).agg(min(col("doc_id")).as("keep_id"))
-    val bagKeep = bags.join(keeper, Seq("bag"))
-      .select(col("doc_id"), (col("doc_id") === col("keep_id")).as("bag_keep"))
-    val wins = SignalStore.winFps(s, dir) // q102's signal, shared — read
-                                          // twice (per-fp counts + join back)
+    base.select(col("doc_id"), col("lang"), col("source"),
+        md5(concat_ws(" ", sort_array(col("toks")))).as("bag"))
+      .join(ent, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_tok"), col("h"), col("bag"))
+  }
+
+  /** The corpus-GLOBAL funnel tail over per-doc signals + the window-fp
+    * inventory: bag-keeper election (min doc_id per bag), per-fp document
+    * counts, the span-drop fold, and the composed verdict. Exposed so the
+    * incremental pipeline recomputes verdicts from compact state with the
+    * exact formulas q139 verifies — the two entries cannot drift.
+    */
+  private[graft] def verdictsFrom(sigs: DataFrame, winv: DataFrame): DataFrame = {
+    // bag-keeper election as a window min: ONE pass over sigs (a self-join
+    // on bag would re-execute the entropy aggregate feeding sigs), same
+    // bag-keyed shuffle the groupBy form pays
+    val byBag = org.apache.spark.sql.expressions.Window.partitionBy(col("bag"))
+    val wins = winv.select(col("doc_id"), col("fp"))
     val perFp = wins.groupBy(col("fp")).agg(count(lit(1)).as("nd"))
     val spanDrop = wins.join(perFp, Seq("fp"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_win"),
         sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
       .select(col("doc_id"), (col("n_dup") * 2 >= col("n_win")).as("span_drop"))
-    base.select(col("doc_id"), col("lang"), col("source"))
-      .join(ent, Seq("doc_id"))
-      .join(bagKeep, Seq("doc_id"))
+    sigs
+      .withColumn("bag_keep", col("doc_id") === min(col("doc_id")).over(byBag))
       .join(spanDrop, Seq("doc_id"), "left")
       .na.fill(false, Seq("span_drop")) // short docs have no windows
       .withColumn("kept",

@@ -1,0 +1,110 @@
+package graft
+
+import java.nio.file.Files
+import graft.sources.Sources
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The append-mode curation pipeline must CONVERGE: after any sequence of
+  * epochs delivering the corpus in chunks — including chunk overlap
+  * (at-least-once re-delivery) and a mid-run restart — the corpus,
+  * manifest, report, and meta artifacts must equal a one-shot
+  * `Pipeline.curate` over the union, and `validateCorpus` must pass.
+  *
+  * The hard part this pins is RETROACTIVE verdict flips: funnel gates 3–4
+  * are corpus-global, so a later chunk can displace a bag-dedup keeper
+  * (smaller doc_id arriving later) or push an accepted doc over the
+  * span-dup threshold. Chunks are delivered in DESCENDING id ranges so
+  * keeper displacement genuinely occurs, and the spec asserts it did
+  * (`removed > 0` in some epoch) — convergence is then evidence the
+  * changed-shard rewrite handles flips, not just appends.
+  */
+class PipelineIncrSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sf0001
+  private val Shards = 16
+
+  private def chunk(lo: Long, hi: Long) =
+    Fixtures.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      .filter(col("doc_id") >= lo && col("doc_id") < hi)
+
+  private def corpusRowsAt(corpusPath: String): Seq[String] =
+    spark.read.parquet(corpusPath)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tok"),
+        col("text"), col("shard"))
+      .collect().map(_.toString).toSeq.sorted
+
+  private def corpusRows(out: String): Seq[String] = corpusRowsAt(s"$out/corpus")
+
+  private def rows(path: String, order: String*): Seq[String] =
+    spark.read.parquet(path).orderBy(order.map(col): _*)
+      .collect().map(_.toString).toSeq
+
+  private def assertEqualsOneShot(out: String, oneShot: Pipeline.CurationRun): Unit = {
+    assert(corpusRows(out) === corpusRowsAt(oneShot.corpusPath))
+    assert(rows(s"$out/manifest", "shard") === rows(oneShot.manifestPath, "shard"))
+    assert(rows(s"$out/report", "lang", "source") === rows(oneShot.reportPath, "lang", "source"))
+    assert(Pipeline.validateCorpus(spark, out).isEmpty,
+      "incremental artifacts must self-validate")
+  }
+
+  test("descending-chunk epochs with overlap converge to the one-shot artifacts (retro flips exercised)") {
+    val out = Files.createTempDirectory("graft-incr").toString
+    // descending ranges: later epochs deliver SMALLER ids, so bag keepers
+    // elected in earlier epochs get displaced; overlaps re-deliver docs
+    val r1 = Pipeline.curateEpoch(chunk(300, Long.MaxValue), out, Shards, 0L)
+    val r2 = Pipeline.curateEpoch(chunk(100, 320), out, Shards, 1L)
+    val r3 = Pipeline.curateEpoch(chunk(0, 120), out, Shards, 2L)
+    assert(r1.docsKept > 0)
+    assert(r3.docsSeen === Fixtures.documents(spark, dir).count())
+    assert(r2.removed + r3.removed > 0,
+      "fixture + descending delivery must exercise a retroactive flip; " +
+        s"got removed=(${r2.removed}, ${r3.removed})")
+    val oneShot = Pipeline.curate(spark, dir,
+      Files.createTempDirectory("graft-incr-ref").toString, Shards)
+    assertEqualsOneShot(out, oneShot)
+  }
+
+  test("streaming epochs with a mid-run restart converge and self-validate") {
+    val replayDir = Files.createTempDirectory("graft-incr-replay").toString
+    val out = Files.createTempDirectory("graft-incr-sout").toString
+    val ckpt = Files.createTempDirectory("graft-incr-ckpt").toString
+    def writeChunk(lo: Long, hi: Long): Unit =
+      chunk(lo, hi).coalesce(1).write.mode("append").parquet(replayDir)
+    def run(): Unit = {
+      val schema = spark.read.parquet(replayDir).schema
+      val q = Pipeline.startIncremental(
+        Sources.fileStream(spark, replayDir, schema, maxFilesPerTrigger = 1),
+        out, ckpt, Shards)
+      q.processAllAvailable()
+      q.stop()
+    }
+    writeChunk(250, Long.MaxValue)
+    writeChunk(120, 260) // overlaps [250,260)
+    run() // two epochs, then "crash"
+    writeChunk(0, 130) // overlaps [120,130), smaller ids: retro flips
+    run() // restart from the checkpoint
+    val oneShot = Pipeline.curate(spark, dir,
+      Files.createTempDirectory("graft-incr-sref").toString, Shards)
+    assertEqualsOneShot(out, oneShot)
+  }
+
+  test("an epoch retry (same id) is idempotent across every artifact") {
+    val out = Files.createTempDirectory("graft-incr-idem").toString
+    Pipeline.curateEpoch(chunk(200, Long.MaxValue), out, Shards, 0L)
+    val first = (corpusRows(out), rows(s"$out/manifest", "shard"),
+      rows(s"$out/report", "lang", "source"))
+    val retry = Pipeline.curateEpoch(chunk(200, Long.MaxValue), out, Shards, 0L)
+    val second = (corpusRows(out), rows(s"$out/manifest", "shard"),
+      rows(s"$out/report", "lang", "source"))
+    assert(first === second, "a retried epoch must rewrite, not drift")
+    assert(retry.removed === 0L,
+      "retry deltas vs the committed previous epoch (none) see only adds")
+    // and a follow-up epoch after the retry still converges
+    Pipeline.curateEpoch(chunk(0, 210), out, Shards, 1L)
+    val oneShot = Pipeline.curate(spark, dir,
+      Files.createTempDirectory("graft-incr-iref").toString, Shards)
+    assertEqualsOneShot(out, oneShot)
+  }
+}
