@@ -140,22 +140,29 @@ object Pipeline {
 
     // (c) delta vs the last COMMITTED epoch (strictly earlier: a crashed
     // attempt of THIS epoch may have left its marker, which must not
-    // become its own delta base)
+    // become its own delta base). The base is found by a driver FS listing
+    // of epoch dirs — O(#epochs) names, no whole-history scan — and a dir
+    // counts only if it actually holds data files (a crash mid-write can
+    // leave an epoch dir with only _temporary inside, which a parquet read
+    // would throw on).
     val verdictsPath = s"$outDir/state/verdicts"
-    val prevKept: DataFrame = {
+    val lastCommitted: Option[Long] = {
       val p = new org.apache.hadoop.fs.Path(verdictsPath)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) {
-        // `epoch` is the discovered partition column (its dir-inferred
-        // width varies — compare as long)
-        val prior = spark.read.parquet(verdictsPath)
-          .withColumn("epoch", col("epoch").cast("long"))
-          .filter(col("epoch") < epochId)
-        val last = prior.agg(max(col("epoch"))).head()
-        if (last.isNullAt(0)) prior.filter(lit(false)).select(col("doc_id"))
-        else prior.filter(col("epoch") === last.getLong(0))
-          .filter(col("kept")).select(col("doc_id"))
-      } else vNow.filter(lit(false)).select(col("doc_id"))
+      if (!fs.exists(p)) None
+      else fs.listStatus(p).toSeq
+        .filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .filter(_.startsWith("epoch="))
+        .map(_.stripPrefix("epoch=").toLong)
+        .filter(_ < epochId)
+        .filter(e => hasDataFiles(spark, s"$verdictsPath/epoch=$e"))
+        .sorted.lastOption
+    }
+    val prevKept: DataFrame = lastCommitted match {
+      case Some(e) => spark.read.parquet(s"$verdictsPath/epoch=$e")
+        .filter(col("kept")).select(col("doc_id"))
+      case None => vNow.filter(lit(false)).select(col("doc_id"))
     }
     val nowKept = vNow.filter(col("kept")).select(col("doc_id"))
     val added = nowKept.exceptAll(prevKept).localCheckpoint()
@@ -210,11 +217,12 @@ object Pipeline {
     val prevShards: Set[Int] = prevKept
       .select(Layout.shardKey(col("doc_id"), numShards).as("shard"))
       .distinct().collect().map(_.getInt(0)).toSet
-    val storedManifest: Option[DataFrame] = {
-      val p = new org.apache.hadoop.fs.Path(manifestPath)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) Some(spark.read.parquet(manifestPath)) else None
-    }
+    val storedManifest: Option[DataFrame] =
+      // hasDataFiles, not fs.exists: a crash mid-overwrite leaves the dir
+      // existing but fileless, and a parquet read on it would throw forever
+      if (hasDataFiles(spark, manifestPath))
+        Some(spark.read.parquet(manifestPath))
+      else None
     val carryOver: Option[DataFrame] = storedManifest.filter { m =>
       m.select(col("shard")).collect().map(_.getInt(0)).toSet == prevShards
     }
@@ -248,6 +256,21 @@ object Pipeline {
     // (`epoch` stays a directory-only partition key — a data column of the
     // same name would collide with partition discovery on read)
     vNow.write.mode(SaveMode.Overwrite).parquet(s"$verdictsPath/epoch=$epochId")
+
+    // prune superseded epochs AFTER the marker lands — only the newest
+    // committed verdict set is ever a delta base, so verdict state stays
+    // O(docs), not O(docs × epochs). A crash between marker and prune
+    // leaves both (the next epoch picks the max); a replay arriving AFTER
+    // the prune finds no earlier base and degrades to a full changed-shard
+    // rewrite of identical content — convergent either way.
+    {
+      val p = new org.apache.hadoop.fs.Path(verdictsPath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith("epoch="))
+        .filter(_.getName.stripPrefix("epoch=").toLong < epochId)
+        .foreach(old => fs.delete(old, true))
+    }
 
     val totals = vNow.agg(count(lit(1)),
       coalesce(sum(when(col("kept"), 1L).otherwise(0L)), lit(0L))).head()
@@ -309,18 +332,29 @@ object Pipeline {
       .orderBy(col("shard"))
   }
 
-  /** True iff `dir` holds at least one data file (recursively, skipping
-    * `_SUCCESS`/hidden markers) — the "did this write land any parquet"
-    * probe behind [[validateCorpus]]'s empty-corpus handling.
+  /** True iff `dir` holds at least one data file Spark's reader would see
+    * — the "did this write land any parquet" probe behind
+    * [[validateCorpus]] and [[curateEpoch]]'s crash-recovery reads. Every
+    * path SEGMENT below `dir` must be non-hidden: a part file under a
+    * crash-stranded `_temporary/` subtree is invisible to the file index
+    * (so counting it would send a read straight into the schema-inference
+    * throw this probe exists to prevent).
     */
   private def hasDataFiles(spark: SparkSession, dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return false
-    val it = fs.listFiles(p, true)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(new org.apache.hadoop.fs.Path(dir))
+    if (!fs.exists(root)) return false
+    val it = fs.listFiles(root, true)
     while (it.hasNext) {
-      val name = it.next().getPath.getName
-      if (!name.startsWith("_") && !name.startsWith(".")) return true
+      var cur = it.next().getPath
+      var hidden = false
+      while (cur != null && cur.depth() > root.depth()) {
+        val n = cur.getName
+        if (n.startsWith("_") || n.startsWith(".")) hidden = true
+        cur = cur.getParent
+      }
+      if (!hidden) return true
     }
     false
   }

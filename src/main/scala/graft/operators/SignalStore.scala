@@ -71,7 +71,14 @@ object SignalStore {
     * stop path the blocks are already gone with the context.
     */
   def evict(s: SparkSession): Unit = {
-    stopHooks.remove(s) // release the session ref; the bus dies with the context
+    // deregister from the bus too — the map remove alone would leave the
+    // listener (closing over the session) registered for the context
+    // lifetime, and an evict-then-reuse cycle would stack a fresh listener
+    // per cycle. removeSparkListener on a stopping context is best-effort.
+    stopHooks.remove(s).foreach { hook =>
+      try s.sparkContext.removeSparkListener(hook)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
     cache.keys.filter(_._1 eq s).foreach { k =>
       cache.remove(k).foreach { df =>
         try df.unpersist()

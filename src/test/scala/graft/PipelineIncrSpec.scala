@@ -64,6 +64,30 @@ class PipelineIncrSpec extends AnyFunSuite {
     val oneShot = Pipeline.curate(spark, dir,
       Files.createTempDirectory("graft-incr-ref").toString, Shards)
     assertEqualsOneShot(out, oneShot)
+    // superseded verdict epochs are pruned once the newer marker lands —
+    // state stays O(docs), not O(docs × epochs)
+    val epochs = Files.list(java.nio.file.Paths.get(s"$out/state/verdicts"))
+      .toArray.map(_.toString).filter(_.contains("epoch=")).toSeq
+    assert(epochs.map(_.split("epoch=").last) === Seq("2"),
+      s"only the newest committed epoch may remain, got $epochs")
+  }
+
+  test("a crash-stranded fileless manifest (only _temporary inside) is repaired, not fatal") {
+    val out = Files.createTempDirectory("graft-incr-crash").toString
+    Pipeline.curateEpoch(chunk(200, Long.MaxValue), out, Shards, 0L)
+    // simulate a crash mid-overwrite: data files deleted, a stranded task
+    // attempt left under _temporary (its part file must NOT count as data)
+    val mdir = java.nio.file.Paths.get(s"$out/manifest")
+    Files.walk(mdir).toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .filter(p => p != mdir).sortBy(-_.getNameCount).foreach(Files.delete)
+    val stranded = mdir.resolve("_temporary/0")
+    Files.createDirectories(stranded)
+    Files.write(stranded.resolve("part-00000-attempt.parquet"), Array[Byte](1, 2, 3))
+    // the replayed/next epoch must repair via full manifest recompute
+    Pipeline.curateEpoch(chunk(0, 210), out, Shards, 1L)
+    val oneShot = Pipeline.curate(spark, dir,
+      Files.createTempDirectory("graft-incr-crash-ref").toString, Shards)
+    assertEqualsOneShot(out, oneShot)
   }
 
   test("streaming epochs with a mid-run restart converge and self-validate") {

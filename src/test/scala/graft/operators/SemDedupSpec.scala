@@ -163,4 +163,14 @@ class SemDedupSpec extends AnyFunSuite {
     assert(Similarity.semPlanesFor(1L << 40, 256L) === 32)
     assert(Similarity.semPlanesFor(Long.MaxValue, 1L) === 62)
   }
+
+  test("semDedupSized wires the dial: at fixture scale it sizes to the floor and equals q110") {
+    import spark.implicits._
+    val sized = Similarity.semDedupSized(spark, dir)
+      .as[(Long, Long, Double)].collect().toSeq
+    val fixture = SparkEntry.queries("q110_semantic_dedup")(spark, dir)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(sized === fixture,
+      "at n « targetCellPop·2^SemPlanes the sized entry must take the floor plane count")
+  }
 }
