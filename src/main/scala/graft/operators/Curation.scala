@@ -774,14 +774,19 @@ object Curation {
   // plain-join form); the oracle keeps the plain left join.
   private[graft] val DecontamWidth = 8
 
-  /** Conservative sizing constant for q104's LAZY bloom build (4 Mi keys →
-    * a 4 MB filter at 8 bits/key). `BloomFilterAggregate` needs `numItems`
-    * as a foldable literal, so an in-plan (scalar-subquery) build cannot
-    * count the train split first; a CONSTANT keeps construction job-free.
-    * Mis-sizing is benign by construction: oversizing costs filter bytes,
-    * undersizing costs prefilter selectivity (higher fpp) — never
-    * correctness, because the exact confirm semi-join removes every false
-    * positive. At a larger corpus the caller passes its own estimate.
+  /** FALLBACK sizing constant for the q104 bloom build (4 Mi keys → a
+    * 4 MB filter at 8 bits/key), used only for ad-hoc frames with no
+    * [[SignalStore]] entry (CurationPropSpec's random corpora). The
+    * registry q104 sizes from [[SignalStore.decontamTrainFpEst]] instead —
+    * the round-11 idle bench showed the constant's oversized filter
+    * DOMINATING q104's cost (eager-4Mi 6.4 s vs eager-counted 1.9 s at
+    * sf0.1: every partial-aggregate task allocates and merges the full
+    * 4 MB bitset regardless of data size). Mis-sizing remains benign for
+    * CORRECTNESS: oversizing costs filter bytes, undersizing costs
+    * prefilter selectivity (higher fpp) — never the answer, because the
+    * exact confirm semi-join removes every false positive; the
+    * `q104_windows_pre`/`q104_windows_post` observe metrics make the
+    * selectivity visible either way.
     */
   private[graft] val DecontamBloomItems = 4L << 20
 
@@ -817,14 +822,17 @@ object Curation {
   }
 
   /** q104 body; `bloom = false` is the plain exact-join reference shape the
-    * spec pins the bloom path against. Construction is fully LAZY: the
-    * bloom build rides the final plan as a scalar subquery
-    * ([[BloomFilters.mightContainLazy]] — the `InjectRuntimeFilter` plan
-    * shape), so EXPLAIN/planOf/bench construction schedule no jobs.
+    * spec pins the bloom path against. The bloom build rides the final
+    * plan as a scalar subquery ([[BloomFilters.mightContainLazy]] — the
+    * `InjectRuntimeFilter` plan shape), sized by the store-cached
+    * [[SignalStore.decontamTrainFpEst]] — the FIRST construction in a
+    * session pays that one sketch-aggregate job; every later construction
+    * (and EXPLAIN/planOf) is job-free.
     */
   private[graft] def decontam(s: SparkSession, dir: String,
       bloom: Boolean): DataFrame =
-    decontamFromWins(SignalStore.decontamWins(s, dir), bloom)
+    decontamFromWins(SignalStore.decontamWins(s, dir), bloom,
+      if (bloom) SignalStore.decontamTrainFpEst(s, dir) else DecontamBloomItems)
 
   /** q104 over any `(doc_id, toks)` frame — exposed so CurationPropSpec can
     * sweep random corpora for the bloom ≡ exact contract beyond the
@@ -834,7 +842,8 @@ object Curation {
   private[graft] def decontamOver(tokens: DataFrame, bloom: Boolean): DataFrame =
     decontamFromWins(decontamWins(tokens), bloom)
 
-  private def decontamFromWins(wins: DataFrame, bloom: Boolean): DataFrame = {
+  private def decontamFromWins(wins: DataFrame, bloom: Boolean,
+      numItems: Long = DecontamBloomItems): DataFrame = {
     // per-doc dups don't matter to a semi-join or a bloom insert, so the
     // train side skips the distinct-on-fp shuffle entirely
     val trainFp = wins.filter(col("bucket") < 90).select(col("fp"))
@@ -842,8 +851,16 @@ object Curation {
     val nWin = evalW.groupBy(col("doc_id")).agg(count(lit(1)).as("n_win"))
     val evalPre =
       if (!bloom) evalW
-      else evalW.filter(BloomFilters.mightContainLazy(trainFp, col("fp"),
-        col("fp"), numItems = DecontamBloomItems))
+      else
+        // NO SILENT CAPS: an undersized bloom only degrades prefilter
+        // selectivity (the confirm join keeps the answer exact), but that
+        // degradation must be VISIBLE — the pre/post window counts ride
+        // observe() metrics (the q84/TriCap pattern), so a pass-through
+        // rate near 1.0 on a mostly-clean corpus flags a mis-sized filter
+        evalW.observe("q104_windows_pre", count(lit(1)).as("eval_windows"))
+          .filter(BloomFilters.mightContainLazy(trainFp, col("fp"),
+            col("fp"), numItems = numItems))
+          .observe("q104_windows_post", count(lit(1)).as("prefiltered_windows"))
     decontamVerdict(evalPre, trainFp, nWin)
   }
 

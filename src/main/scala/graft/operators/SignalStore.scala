@@ -49,17 +49,28 @@ object SignalStore {
   private val stopHooks =
     scala.collection.concurrent.TrieMap[SparkSession, org.apache.spark.scheduler.SparkListener]()
 
+  // cached scalar values (sizing estimates etc.) — computed once per
+  // (session, key, dir) and retained across clearCache() (the underlying
+  // data is immutable per dir, so the value never goes stale)
+  private val scalars =
+    scala.collection.concurrent.TrieMap[(SparkSession, String, String), Long]()
+
   private def cached(s: SparkSession, key: String, dir: String)
       (build: => DataFrame): DataFrame = {
-    stopHooks.getOrElseUpdate(s, {
+    // register the stop hook with putIfAbsent-THEN-addSparkListener: a
+    // getOrElseUpdate thunk can run twice under concurrent first access,
+    // and the losing thunk would have registered a listener the map never
+    // tracked — un-removable by evict(), pinning the session reference for
+    // the context lifetime (the exact leak the hook exists to prevent)
+    if (!stopHooks.contains(s)) {
       val hook = new org.apache.spark.scheduler.SparkListener {
         override def onApplicationEnd(
             e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
           evict(s)
       }
-      s.sparkContext.addSparkListener(hook)
-      hook
-    })
+      if (stopHooks.putIfAbsent(s, hook).isEmpty)
+        s.sparkContext.addSparkListener(hook)
+    }
     val df = cache.getOrElseUpdate((s, key, dir), build.persist())
     if (df.storageLevel == StorageLevel.NONE) df.persist()
     df
@@ -85,6 +96,7 @@ object SignalStore {
         catch { case scala.util.control.NonFatal(_) => () }
       }
     }
+    scalars.keys.filter(_._1 eq s).foreach(scalars.remove)
   }
 
   /** Number of live entries owned by `s` (spec visibility). */
@@ -143,4 +155,21 @@ object SignalStore {
     cached(s, "decontamWins", dir) {
       Curation.decontamWins(tokens(s, dir).select(col("doc_id"), col("toks")))
     }
+
+  /** Approximate distinct count of q104's TRAIN-split window fps — the
+    * bloom SIZING estimate (sizing needs an order of magnitude, not a
+    * census: a bloom never false-negatives, and the confirm join removes
+    * false positives, so estimate error only moves prefilter selectivity).
+    * `approx_count_distinct` partial-aggregates a sketch per partition —
+    * no fp-keyed shuffle, unlike `distinct().count()` — and the resulting
+    * Long is cached per (session, dir) so it survives `clearCache()` and
+    * repeated q104 constructions cost no further jobs. The r10 constant
+    * `Curation.DecontamBloomItems` (4 Mi keys → a 4 MB filter whose
+    * per-task build/merge dominated q104's idle-run cost) remains only as
+    * the documented fallback for ad-hoc frames with no store entry.
+    */
+  def decontamTrainFpEst(s: SparkSession, dir: String): Long =
+    scalars.getOrElseUpdate((s, "decontamTrainFpEst", dir),
+      math.max(1L, decontamWins(s, dir).filter(col("bucket") < 90)
+        .agg(approx_count_distinct(col("fp")).as("n")).head().getLong(0)))
 }

@@ -243,18 +243,21 @@ object Sketches {
     val b = sk.select(col("event_type").as("type_b"), col("sk").as("skb"))
     // NO SILENT CAPS: the pair matrix is the one non-broadcast crossJoin in
     // the engine — |event_types|²-bounded today, but a wide-schema run at
-    // 100× should SEE the quadratic before it hurts, so the materialized
-    // pair count rides an observe() metric (the q133 TriCap pattern),
-    // readable via `queryExecution.observedMetrics("q84_pairs")`. The
-    // observe sits ABOVE the global sort: the range partitioner's sampling
-    // pass re-executes everything below the sort, so a lower placement
-    // would double-count.
+    // 100× should SEE the quadratic before it hurts, so the emitted pair
+    // count rides an observe() metric (the q133 TriCap pattern), readable
+    // via `queryExecution.observedMetrics("q84_pairs")`. The metric counts
+    // the rows EMITTED after the `type_a < type_b` filter — n(n-1)/2; the
+    // crossJoin materializes the full n² (a bit over 2× this) before the
+    // filter drops the mirror/diagonal rows, and both scale quadratically,
+    // so the emitted count is the watchable proxy. The observe sits ABOVE
+    // the global sort: the range partitioner's sampling pass re-executes
+    // everything below the sort, so a lower placement would double-count.
     a.crossJoin(b).filter(col("type_a") < col("type_b"))
       .select(col("type_a"), col("type_b"),
         theta_sketch_estimate(theta_intersection(col("ska"), col("skb"))).as("n_shared"),
         theta_sketch_estimate(theta_union(col("ska"), col("skb"))).as("n_either"))
       .orderBy(col("type_a"), col("type_b"))
-      .observe("q84_pairs", count(lit(1)).as("pairs_materialized"))
+      .observe("q84_pairs", count(lit(1)).as("pairs_emitted"))
   }
 
   // pair list built independently of the counts (LEFT JOIN + COALESCE):

@@ -132,6 +132,24 @@ class CurationSpec extends AnyFunSuite {
     assert(withBloom.toSeq === exact.toSeq)
   }
 
+  test("q104's prefilter selectivity is observable: pre/post window counts ride the plan") {
+    // NO SILENT CAPS: an undersized bloom degrades selectivity, never the
+    // answer — so the degradation must be measurable. The observe metrics
+    // expose eval windows before and after the prefilter; post must cover
+    // every confirmed hit (no false negatives) while actually pruning
+    val df = SparkEntry.queries("q104_decontamination")(spark, dir)
+    // metrics attach to THIS queryExecution — run it, then read them
+    val hits = df.collect().map(_.getAs[Long]("n_hit")).sum
+    val pre = df.queryExecution.observedMetrics("q104_windows_pre")
+      .getAs[Long]("eval_windows")
+    val post = df.queryExecution.observedMetrics("q104_windows_post")
+      .getAs[Long]("prefiltered_windows")
+    assert(pre > 0L)
+    assert(post >= hits, "the prefilter may never drop a true hit")
+    assert(post < pre,
+      s"a right-sized bloom must prune clean windows (pre=$pre post=$post)")
+  }
+
   test("CDC chunks partition every document: contiguous indices, token counts sum exactly") {
     import spark.implicits._
     val docs = Fixtures.documents(spark, dir).select(col("doc_id"), col("text"))

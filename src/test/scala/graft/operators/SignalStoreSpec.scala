@@ -48,6 +48,40 @@ class SignalStoreSpec extends AnyFunSuite {
     assert(shared.nonEmpty && shared === direct)
   }
 
+  test("a bench-style clearCache loop neither stacks listeners nor leaks entries") {
+    // graft.Bench clears the cache before every rep of a 145-query run —
+    // each clear→access cycle must re-persist the SAME tracked frame under
+    // the SAME stop listener, not register a fresh hook or grow the map
+    SignalStore.tokens(spark, dir).count()
+    val hook0 = SignalStore.stopHook(spark)
+    val frame0 = SignalStore.tokens(spark, dir)
+    val entries0 = SignalStore.entryCount(spark)
+    (1 to 5).foreach { _ =>
+      spark.catalog.clearCache()
+      val t = SignalStore.tokens(spark, dir)
+      assert(t eq frame0, "the cycle must re-persist the tracked frame, not rebuild")
+      assert(t.storageLevel != StorageLevel.NONE)
+    }
+    assert(SignalStore.entryCount(spark) === entries0,
+      "clearCache cycles must not grow the entry map")
+    assert(SignalStore.stopHook(spark).isDefined &&
+      (SignalStore.stopHook(spark).get eq hook0.get),
+      "clearCache cycles must not re-register or replace the stop listener")
+  }
+
+  test("decontamTrainFpEst approximates the exact train-fp census and survives clearCache") {
+    val est = SignalStore.decontamTrainFpEst(spark, dir)
+    val exact = SignalStore.decontamWins(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("bucket") < 90)
+      .select(org.apache.spark.sql.functions.col("fp")).distinct().count()
+    assert(est >= 1L)
+    assert(math.abs(est - exact).toDouble / math.max(1L, exact) <= 0.1,
+      s"approx_count_distinct sizing estimate ($est) strayed >10% from exact ($exact)")
+    spark.catalog.clearCache()
+    assert(SignalStore.decontamTrainFpEst(spark, dir) === est,
+      "the cached sizing value must survive a cache clear unchanged")
+  }
+
   test("evict drops exactly the retired session's entries and unpersists them") {
     // a sibling session sharing the context stands in for a retiring host
     // session — reference-keyed entries must not cross-talk

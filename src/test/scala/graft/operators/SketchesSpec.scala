@@ -145,7 +145,7 @@ class SketchesSpec extends AnyFunSuite {
     val df = SparkEntry.queries("q84_overlap_matrix")(TestSpark.spark, TestSpark.sf0001)
     val rows = df.collect()
     val m = df.queryExecution.observedMetrics("q84_pairs")
-    assert(m.getAs[Long]("pairs_materialized") === rows.length.toLong)
+    assert(m.getAs[Long]("pairs_emitted") === rows.length.toLong)
     val nTypes = (1 + math.sqrt(1 + 8.0 * rows.length)).toLong / 2
     assert(rows.length === (nTypes * (nTypes - 1) / 2),
       "matrix must hold exactly one row per unordered type pair")
