@@ -75,6 +75,14 @@ object Pipeline {
   final case class EpochResult(epochId: Long, docsSeen: Long, docsKept: Long,
       added: Long, removed: Long, changedShards: Seq[Int])
 
+  /** Test-only fault injection: when set, [[curateEpoch]] throws right
+    * after its staging commit, BEFORE the corpus overwrite —
+    * PipelineIncrSpec uses it to pin the replay contract for the
+    * overwrite's destructive window (old shard bytes deleted at job
+    * commit, new bytes not yet moved). Never set outside tests.
+    */
+  @volatile private[graft] var failAfterStaging: Boolean = false
+
   /** One micro-batch epoch of the APPEND-MODE curation pipeline: fold a new
     * chunk of documents into the same corpus/manifest/report artifacts
     * [[curate]] writes in one shot, such that after any number of epochs
@@ -86,135 +94,279 @@ object Pipeline {
     * a later epoch can deliver a smaller doc_id that displaces a bag-dedup
     * keeper, or new window fps that push an accepted doc over the span
     * threshold — so an already-kept document can retroactively flip to
-    * dropped. The epoch therefore (a) persists each batch's COMPACT
-    * per-doc state once — signals `(doc_id, lang, source, n_tok, h, bag)`,
-    * window fps, and text — so earlier batches' text is never re-tokenized;
-    * (b) recomputes verdicts over all seen docs from that compact state
-    * with the same [[graft.operators.Curation.verdictsFrom]] the batch
-    * funnel uses; (c) diffs against the last COMMITTED epoch's verdicts and
-    * rewrites ONLY the shards whose membership changed (dynamic partition
-    * overwrite; shards a pure-append epoch doesn't touch keep their bytes);
-    * (d) carries unchanged shards' manifest rows forward and recomputes
-    * changed shards' rows from the corpus as re-read; (e) writes the
-    * epoch's verdict set LAST as the commit marker — `state/verdicts`
-    * existing for epoch e means e's artifacts are complete, and a crash
-    * anywhere in between replays idempotently (all writes are
-    * batch/epoch-keyed overwrites, all derivations deterministic, and the
-    * delta base is always the last fully-applied verdict set).
+    * dropped. Under append-only delivery those are the ONLY possible
+    * flips, and both are MONOTONE (per-bag min doc_id only decreases;
+    * per-fp distinct-doc counts only grow; the doc-local gates are fixed
+    * at first sight), which is what makes the epoch INCREMENTAL: verdicts
+    * are maintained as updatable per-doc state
+    * (`(doc_id, lang, source, n_tok, h, bag, bag_keep, n_win, n_dup,
+    * kept)` — [[graft.operators.Curation.verdictsFullFrom]]'s schema)
+    * plus one per-fp aggregate `(fp, nd)`, and each epoch delta-joins the
+    * batch against them instead of re-aggregating every doc ever seen:
     *
-    * Scale shape: per epoch the new work is O(batch) (tokenize + signals)
-    * plus the verdict recompute over compact state (bag election + fp
-    * counts — token-scale aggregates, no text); the corpus write is
-    * O(changed shards). The two driver-side collects are ≤ numShards ints
-    * each. Re-delivered docs (same doc_id in several batches, same text —
-    * the at-least-once contract) collapse via state distinct.
+    *  - batch-only heavy lifting: tokenize, signals, window fps — O(batch)
+    *    shuffles, nothing corpus-keyed;
+    *  - re-delivered docs are detected by a broadcast probe of the batch's
+    *    ids against the verdict state (scan, no shuffle) and contribute
+    *    nothing;
+    *  - per-fp counts merge by a broadcast join of the batch's fp tallies
+    *    against the previous epoch's `fpcnt` (scan + map-side rewrite);
+    *    fps CROSSING the duplicate threshold (nd 1→≥2) come out of that
+    *    merge, and the docs they touch come from a broadcast probe of the
+    *    batch-keyed window-fp log — shuffle O(touched), not O(corpus);
+    *  - keeper displacement comes from a broadcast join of the batch's
+    *    per-bag minima against the previous keepers (scan, small output);
+    *  - the new verdict set is the old state re-emitted with the touched
+    *    flips applied (map-side scan + broadcast joins) plus the batch's
+    *    fresh rows — added/removed fall out of the SAME pass (added ⊆ the
+    *    batch by monotonicity; removed = previously-kept docs whose flip
+    *    landed this epoch), so no corpus-scale exceptAll ever runs.
+    *
+    * Crash safety follows the commit-marker design: every write is
+    * batch/epoch-keyed and deterministic from (base state, batch); the
+    * epoch's verdict state is written LAST with its `_SUCCESS` as the
+    * commit marker, and a completed epoch short-circuits its own replay
+    * via that marker. The one genuinely destructive window — dynamic
+    * partition overwrite of the corpus deletes changed shards' old bytes
+    * at job commit — is closed by STAGING: the changed shards' full new
+    * content lands under `state/staging/epoch=<e>/base=<b>` (keyed by the
+    * delta base so a stale attempt's staging can never be replayed
+    * against the wrong base) before the corpus overwrite starts, so a
+    * crash mid-overwrite replays from staging without re-reading the
+    * half-rewritten shards. Staging also removes the old `state/texts`
+    * mirror (which duplicated every doc's text forever): by the
+    * monotonicity argument every doc the rewrite can need is either in a
+    * live shard (carried over) or in the current batch (newly added), so
+    * text state is TRANSIENT and bounded by the changed shards.
+    *
+    * Scale shape: per epoch the shuffled rows are O(batch + touched keys)
+    * (PipelineIncrSpec pins this with a task-metrics listener); the
+    * corpus-scale state (verdicts, fpcnt) is only ever SCANNED against
+    * broadcast deltas and rewritten map-side — narrow columnar I/O per
+    * epoch, no corpus-keyed exchange. At 100 TB the next evolution is
+    * hash-bucketed fpcnt/verdict state so unchanged buckets skip even the
+    * scan; the window-fp log (`state/winv`, append-only, batch-keyed) is
+    * read only under a broadcast of crossing fps. Driver-side collects
+    * stay ≤ numShards ints. Re-delivered docs (same doc_id in several
+    * batches, same text — the at-least-once contract) collapse via the
+    * seen-id probe.
     */
   def curateEpoch(batch: DataFrame, outDir: String, numShards: Int,
       epochId: Long): EpochResult = {
     val spark = batch.sparkSession
+    val verdictsPath = s"$outDir/state/verdicts"
+
+    // a COMPLETED epoch short-circuits its own replay (the commit marker
+    // landed, so every artifact is already applied — only the post-marker
+    // cleanup may be outstanding): redo the idempotent cleanup and return
+    // the persisted result. Without this, a replay that arrives after the
+    // prune (no earlier base left) would treat the whole corpus as one
+    // batch-sized delta and lose every non-batch doc from the state.
+    if (isCommitted(spark, s"$verdictsPath/epoch=$epochId")) {
+      cleanupAfterCommit(spark, outDir, epochId)
+      return readEpochResult(spark, outDir, epochId)
+    }
+
     val docs = batch.select(col("doc_id"), col("lang"), col("source"), col("text"))
       .dropDuplicates("doc_id")
     val base = docs.select(col("doc_id"), col("lang"), col("source"),
       graft.functions.TextFunctions.wsTokens(col("text")).as("toks"))
-      .localCheckpoint() // feeds both state writes below
+      .localCheckpoint() // feeds the signal + window derivations below
 
-    // (a) compact per-batch state, each in its own batch=<id> partition
-    // (overwrite → an at-least-once retry rewrites the same bytes)
-    Curation.docSignals(base)
-      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/state/sigs/batch=$epochId")
+    // the batch's window-fp log, appended batch-keyed (overwrite → an
+    // at-least-once retry rewrites the same bytes). This is the only
+    // token-scale state kept, and it is only ever probed under a
+    // broadcast of crossing fps.
     Curation.winFpsOver(base.select(col("doc_id"), col("toks")), Curation.SubWidth)
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/state/winv/batch=$epochId")
-    docs.select(col("doc_id"), col("text"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/state/texts/batch=$epochId")
+    val batchWins = spark.read.parquet(s"$outDir/state/winv/batch=$epochId")
+    val batchSigs = Curation.docSignals(base)
 
-    // (b) verdicts over every doc seen so far, from compact state only
-    val sigs = spark.read.parquet(s"$outDir/state/sigs")
-      .filter(col("batch") <= epochId)
-      .select(col("doc_id"), col("lang"), col("source"),
-        col("n_tok"), col("h"), col("bag")).distinct()
-    val winv = spark.read.parquet(s"$outDir/state/winv")
-      .filter(col("batch") <= epochId)
-      .select(col("doc_id"), col("fp")).distinct()
-    val vNow = Curation.verdictsFrom(sigs, winv)
-      .localCheckpoint() // consumed by delta, corpus, report, commit marker
-
-    // (c) delta vs the last COMMITTED epoch (strictly earlier: a crashed
-    // attempt of THIS epoch may have left its marker, which must not
-    // become its own delta base). The base is found by a driver FS listing
-    // of epoch dirs — O(#epochs) names, no whole-history scan — and a dir
-    // counts only if it actually holds data files (a crash mid-write can
-    // leave an epoch dir with only _temporary inside, which a parquet read
-    // would throw on).
-    val verdictsPath = s"$outDir/state/verdicts"
-    val lastCommitted: Option[Long] = {
-      val p = new org.apache.hadoop.fs.Path(verdictsPath)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p)) None
-      else fs.listStatus(p).toSeq
-        .filter(_.isDirectory)
-        .map(_.getPath.getName)
-        .filter(_.startsWith("epoch="))
-        .map(_.stripPrefix("epoch=").toLong)
-        .filter(_ < epochId)
-        .filter(e => hasDataFiles(spark, s"$verdictsPath/epoch=$e"))
-        .sorted.lastOption
-    }
-    val prevKept: DataFrame = lastCommitted match {
+    // delta base: the newest COMMITTED earlier epoch (marker = _SUCCESS of
+    // the verdict-state write; a crashed attempt of THIS epoch is handled
+    // by the short-circuit above). Driver FS listing — O(#epochs) names.
+    val lastCommitted: Option[Long] =
+      committedEpochs(spark, verdictsPath).filter(_ < epochId).maxOption
+    val vPrev: DataFrame = lastCommitted match {
       case Some(e) => spark.read.parquet(s"$verdictsPath/epoch=$e")
-        .filter(col("kept")).select(col("doc_id"))
-      case None => vNow.filter(lit(false)).select(col("doc_id"))
+      case None => emptyVerdictState(spark)
     }
-    val nowKept = vNow.filter(col("kept")).select(col("doc_id"))
-    val added = nowKept.exceptAll(prevKept).localCheckpoint()
-    val removed = prevKept.exceptAll(nowKept).localCheckpoint()
-    val deltas = added.unionByName(removed)
+    val fPrev: DataFrame = lastCommitted match {
+      case Some(e) => spark.read.parquet(s"$outDir/state/fpcnt/epoch=$e")
+      case None => spark.range(0).select(col("id").as("fp"), col("id").as("nd"))
+    }
+
+    // re-delivery: batch ids already in the state contribute nothing new
+    // (same doc_id ⇒ same text under the at-least-once contract). The
+    // probe broadcasts the BATCH side, so the state is scanned, never
+    // shuffled; `seenIds` is ≤ batch-sized.
+    val batchIds = docs.select(col("doc_id"))
+    val seenIds = vPrev.select(col("doc_id"))
+      .join(broadcast(batchIds), Seq("doc_id")).localCheckpoint()
+    val newSigs = batchSigs.join(broadcast(seenIds), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val newIds = newSigs.select(col("doc_id"))
+    val newWins = batchWins.join(broadcast(seenIds), Seq("doc_id"), "left_anti")
+
+    // per-fp distinct-doc counts: merge the batch's tallies into fpcnt.
+    // `updated` (fps the batch touched that already existed) and
+    // `fresh` (fps first seen this batch) are both ≤ batch-sized.
+    val contrib = newWins.groupBy(col("fp")).agg(count(lit(1)).as("add"))
+      .localCheckpoint()
+    val updated = fPrev.join(broadcast(contrib), Seq("fp")).localCheckpoint()
+    val fresh = contrib.join(broadcast(updated.select(col("fp"))),
+      Seq("fp"), "left_anti").select(col("fp"), col("add").as("nd"))
+    val fNow = fPrev.join(broadcast(contrib), Seq("fp"), "left")
+      .select(col("fp"), (col("nd") + coalesce(col("add"), lit(0L))).as("nd"))
+      .unionByName(fresh)
+    fNow.write.mode(SaveMode.Overwrite)
+      .parquet(s"$outDir/state/fpcnt/epoch=$epochId")
+
+    // fps that CROSSED the duplicate threshold this epoch (an existing
+    // doc's window flips non-dup → dup exactly when its fp crosses; a
+    // fresh fp's holders are all in the batch and are handled fresh)
+    val crossed = updated.filter(col("nd") < 2 && col("nd") + col("add") >= 2)
+      .select(col("fp"))
+    // Δn_dup for EXISTING docs holding a crossed fp: probe the batch-keyed
+    // window log under a broadcast of the crossing set; distinct collapses
+    // cross-batch re-deliveries of the same (doc, fp)
+    val dDup = spark.read.parquet(s"$outDir/state/winv")
+      .select(col("doc_id"), col("fp"))
+      .join(broadcast(crossed), Seq("fp"))
+      .distinct()
+      .join(broadcast(newIds), Seq("doc_id"), "left_anti")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("d_dup"))
+      .localCheckpoint()
+
+    // keeper displacement: batch minima vs the previous keepers (both
+    // probes broadcast the batch side; outputs ≤ batch-sized)
+    val batchMin = newSigs.groupBy(col("bag")).agg(min(col("doc_id")).as("b_min"))
+    val bagMatch = vPrev.filter(col("bag_keep"))
+      .select(col("bag"), col("doc_id").as("k_id"))
+      .join(broadcast(batchMin), Seq("bag")).localCheckpoint()
+    val displaced = bagMatch.filter(col("b_min") < col("k_id"))
+      .select(col("k_id").as("doc_id"), lit(true).as("_disp"))
+
+    // assemble the new verdict state: the old state re-emitted with the
+    // touched flips applied (scan + broadcast joins, map-side), plus the
+    // batch's fresh rows. kept_prev/is_new ride along so added/removed
+    // fall out of the same pass.
+    val exist = vPrev.withColumnRenamed("kept", "kept_prev")
+      .join(broadcast(displaced), Seq("doc_id"), "left")
+      .join(broadcast(dDup), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tok"),
+        col("h"), col("bag"),
+        (col("bag_keep") && col("_disp").isNull).as("bag_keep"),
+        col("n_win"),
+        (col("n_dup") + coalesce(col("d_dup"), lit(0L))).as("n_dup"),
+        col("kept_prev"), lit(false).as("is_new"))
+    val nWinNew = newWins.groupBy(col("doc_id")).agg(count(lit(1)).as("nw"))
+    val dupFpsB = updated
+      .select(col("fp"), (col("nd") + col("add")).as("nd2"))
+      .unionByName(fresh.select(col("fp"), col("nd").as("nd2")))
+      .filter(col("nd2") >= 2).select(col("fp"))
+    val nDupNew = newWins.join(broadcast(dupFpsB), Seq("fp"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("ndp"))
+    val freshRows = newSigs
+      .join(batchMin, Seq("bag"))
+      .join(broadcast(bagMatch.select(col("bag"), col("k_id"))), Seq("bag"), "left")
+      .join(nWinNew, Seq("doc_id"), "left")
+      .join(nDupNew, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tok"),
+        col("h"), col("bag"),
+        (col("doc_id") === col("b_min") &&
+          (col("k_id").isNull || col("b_min") < col("k_id"))).as("bag_keep"),
+        coalesce(col("nw"), lit(0L)).as("n_win"),
+        coalesce(col("ndp"), lit(0L)).as("n_dup"),
+        lit(false).as("kept_prev"), lit(true).as("is_new"))
+    val assembled = exist.unionByName(freshRows)
+      .withColumn("kept", Curation.keptExpr(col("n_tok"), col("h"),
+        col("bag_keep"), Curation.spanDropExpr(col("n_win"), col("n_dup"))))
+      .localCheckpoint() // consumed by deltas, corpus, report, marker
+    val vNow = assembled.drop("kept_prev", "is_new")
+
+    // added ⊆ the batch (an existing doc can never flip TO kept under
+    // append-only monotonicity); removed = previously-kept docs whose
+    // displacement or span flip landed this epoch. No corpus-scale
+    // exceptAll — both are filters over the assembled pass.
+    val added = assembled.filter(col("is_new") && col("kept"))
+    val removed = assembled
+      .filter(!col("is_new") && col("kept_prev") && !col("kept"))
+      .select(col("doc_id"))
+    val deltas = added.select(col("doc_id")).unionByName(removed)
       .select(Layout.shardKey(col("doc_id"), numShards).as("shard"))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
     val nAdded = added.count()
     val nRemoved = removed.count()
 
-    // (d) rewrite only the changed shards; explicitly drop shards whose
-    // kept set emptied (dynamic overwrite never touches a partition the
-    // output frame doesn't mention)
+    // rewrite only the changed shards, via crash-safe STAGING: the full
+    // new content of every changed shard lands (atomically, _SUCCESS)
+    // under a base-keyed staging dir BEFORE the dynamic overwrite deletes
+    // any old bytes — a crash mid-overwrite replays from staging instead
+    // of re-reading half-rewritten shards. Carryover text comes from the
+    // live shards, added text from the batch: by monotonicity that covers
+    // every doc the rewrite can need, so no permanent text mirror exists.
     val corpusPath = s"$outDir/corpus"
     if (deltas.nonEmpty) {
-      val texts = spark.read.parquet(s"$outDir/state/texts")
-        .select(col("doc_id"), col("text")).dropDuplicates("doc_id")
-      val newContent = vNow.filter(col("kept"))
-        .select(col("doc_id"), col("lang"), col("source"), col("n_tok"))
-        .withColumn("shard", Layout.shardKey(col("doc_id"), numShards))
-        .filter(col("shard").isInCollection(deltas))
-        .join(texts, Seq("doc_id"))
-        .select(col("doc_id"), col("lang"), col("source"), col("n_tok"),
-          col("text"), col("shard"))
-        .localCheckpoint() // written + shard-listed below
-      val writtenShards = newContent.select(col("shard")).distinct()
-        .collect().map(_.getInt(0)).toSet
-      val mode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try newContent.write.mode(SaveMode.Overwrite)
-        .partitionBy("shard").parquet(corpusPath)
-      finally mode match {
-        case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      val stagingRoot = s"$outDir/state/staging/epoch=$epochId"
+      val stagingPath = s"$stagingRoot/base=${lastCommitted.getOrElse(-1L)}"
+      if (!isCommitted(spark, stagingPath)) {
+        deleteDir(spark, stagingRoot) // a stale attempt against another base
+        val addedContent = added
+          .select(col("doc_id"), col("lang"), col("source"), col("n_tok"))
+          .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+          .withColumn("shard", Layout.shardKey(col("doc_id"), numShards))
+          .select(col("doc_id"), col("lang"), col("source"), col("n_tok"),
+            col("text"), col("shard"))
+        val carry =
+          if (hasDataFiles(spark, corpusPath))
+            spark.read.parquet(corpusPath)
+              .filter(col("shard").isInCollection(deltas))
+              .join(broadcast(removed), Seq("doc_id"), "left_anti")
+              .select(col("doc_id"), col("lang"), col("source"), col("n_tok"),
+                col("text"), col("shard"))
+          else addedContent.limit(0)
+        carry.unionByName(addedContent)
+          .write.mode(SaveMode.Overwrite).parquet(stagingPath)
       }
-      val fs = new org.apache.hadoop.fs.Path(corpusPath)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (failAfterStaging)
+        throw new IllegalStateException(
+          "graft test failpoint: crash after staging commit")
+      val writtenShards: Set[Int] =
+        if (!hasDataFiles(spark, stagingPath)) Set.empty
+        else {
+          val newContent = spark.read.parquet(stagingPath)
+          val shards = newContent.select(col("shard")).distinct()
+            .collect().map(_.getInt(0)).toSet
+          val mode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          try newContent.write.mode(SaveMode.Overwrite)
+            .partitionBy("shard").parquet(corpusPath)
+          finally mode match {
+            case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+            case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+          }
+          shards
+        }
+      // explicitly drop shards whose kept set emptied (dynamic overwrite
+      // never touches a partition the output frame doesn't mention)
       deltas.filterNot(writtenShards).foreach { sh =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"$corpusPath/shard=$sh"), true)
+        deleteDir(spark, s"$corpusPath/shard=$sh")
       }
     }
 
-    // (e) manifest: carry-over for untouched shards, recompute changed
+    // manifest: carry-over for untouched shards, recompute changed
     // shards from the corpus as re-read (partition-pruned); localCheckpoint
     // decouples the self-overwrite (manifest is both read and rewritten).
     // The carry-over base is validated against the last COMMITTED verdicts
     // (the manifest overwrite is the one non-partitioned artifact a crash
-    // can leave partial): its shard set must equal the shards prevKept
-    // implies — on any mismatch the epoch repairs by recomputing the FULL
-    // manifest from the corpus on disk.
+    // can leave partial): its shard set must equal the shards the previous
+    // kept set implies — on any mismatch the epoch repairs by recomputing
+    // the FULL manifest from the corpus on disk. (The distinct here is on
+    // a ≤ numShards-cardinality key, so partial aggregation shrinks the
+    // exchange to a few rows per input partition.)
     val manifestPath = s"$outDir/manifest"
-    val prevShards: Set[Int] = prevKept
+    val prevShards: Set[Int] = vPrev.filter(col("kept"))
       .select(Layout.shardKey(col("doc_id"), numShards).as("shard"))
       .distinct().collect().map(_.getInt(0)).toSet
     val storedManifest: Option[DataFrame] =
@@ -252,31 +404,108 @@ object Pipeline {
     Curation.funnelRollup(vNow)
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/report")
 
-    // commit marker LAST: epoch e's verdicts existing ⇒ e fully applied
-    // (`epoch` stays a directory-only partition key — a data column of the
-    // same name would collide with partition discovery on read)
+    // persist the epoch's result row BEFORE the marker, so a post-commit
+    // replay (short-circuit above) can return the identical result
+    val totals = vNow.agg(count(lit(1)),
+      coalesce(sum(when(col("kept"), 1L).otherwise(0L)), lit(0L))).head()
+    val result = EpochResult(epochId, totals.getLong(0), totals.getLong(1),
+      nAdded, nRemoved, deltas)
+    spark.range(1).select(lit(result.docsSeen).as("docs_seen"),
+        lit(result.docsKept).as("docs_kept"), lit(result.added).as("added"),
+        lit(result.removed).as("removed"),
+        array(deltas.map(lit(_)): _*).cast("array<int>").as("changed_shards"))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$outDir/state/epochres/epoch=$epochId")
+
+    // commit marker LAST: epoch e's verdict state landing (its _SUCCESS)
+    // ⇒ e fully applied (`epoch` stays a directory-only partition key — a
+    // data column of the same name would collide with partition discovery)
     vNow.write.mode(SaveMode.Overwrite).parquet(s"$verdictsPath/epoch=$epochId")
 
     // prune superseded epochs AFTER the marker lands — only the newest
-    // committed verdict set is ever a delta base, so verdict state stays
-    // O(docs), not O(docs × epochs). A crash between marker and prune
-    // leaves both (the next epoch picks the max); a replay arriving AFTER
-    // the prune finds no earlier base and degrades to a full changed-shard
-    // rewrite of identical content — convergent either way.
-    {
-      val p = new org.apache.hadoop.fs.Path(verdictsPath)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.listStatus(p).toSeq.map(_.getPath)
-        .filter(_.getName.startsWith("epoch="))
-        .filter(_.getName.stripPrefix("epoch=").toLong < epochId)
-        .foreach(old => fs.delete(old, true))
-    }
-
-    val totals = vNow.agg(count(lit(1)),
-      coalesce(sum(when(col("kept"), 1L).otherwise(0L)), lit(0L))).head()
-    EpochResult(epochId, totals.getLong(0), totals.getLong(1),
-      nAdded, nRemoved, deltas)
+    // committed state is ever a delta base, so state stays O(docs) /
+    // O(distinct fps), not × epochs — and drop this epoch's staging (its
+    // content is live in the corpus now)
+    cleanupAfterCommit(spark, outDir, epochId)
+    result
   }
+
+  /** Post-marker cleanup for a committed epoch — idempotent, re-runnable
+    * by a replay that arrives after the marker: drop superseded verdict /
+    * fpcnt / epoch-result state and the epoch's transient staging.
+    */
+  private def cleanupAfterCommit(spark: SparkSession, outDir: String,
+      epochId: Long): Unit = {
+    Seq(s"$outDir/state/verdicts", s"$outDir/state/fpcnt",
+      s"$outDir/state/epochres").foreach { dir =>
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p))
+        fs.listStatus(p).toSeq.map(_.getPath)
+          .filter(_.getName.startsWith("epoch="))
+          .filter(_.getName.stripPrefix("epoch=").toLong < epochId)
+          .foreach(old => fs.delete(old, true))
+    }
+    deleteDir(spark, s"$outDir/state/staging")
+  }
+
+  /** The persisted result row of a committed epoch (written just before
+    * its marker), for the replay short-circuit. Falls back to counts
+    * re-derived from the verdict state if the row is missing (state
+    * written by a pre-staging layout).
+    */
+  private def readEpochResult(spark: SparkSession, outDir: String,
+      epochId: Long): EpochResult = {
+    val path = s"$outDir/state/epochres/epoch=$epochId"
+    if (hasDataFiles(spark, path)) {
+      val r = spark.read.parquet(path).head()
+      EpochResult(epochId, r.getAs[Long]("docs_seen"), r.getAs[Long]("docs_kept"),
+        r.getAs[Long]("added"), r.getAs[Long]("removed"),
+        r.getAs[scala.collection.Seq[Int]]("changed_shards").toSeq)
+    } else {
+      val v = spark.read.parquet(s"$outDir/state/verdicts/epoch=$epochId")
+      val t = v.agg(count(lit(1)),
+        coalesce(sum(when(col("kept"), 1L).otherwise(0L)), lit(0L))).head()
+      EpochResult(epochId, t.getLong(0), t.getLong(1), 0L, 0L, Nil)
+    }
+  }
+
+  /** Epoch ids under `path` whose write fully committed (`_SUCCESS`
+    * present — a crash mid-job-commit can leave a partial file set that
+    * `hasDataFiles` alone would mistake for a complete state).
+    */
+  private def committedEpochs(spark: SparkSession, path: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("epoch="))
+      .map(_.stripPrefix("epoch=").toLong)
+      .filter(e => isCommitted(spark, s"$path/epoch=$e"))
+  }
+
+  /** True iff `dir` holds a completed Spark write (`_SUCCESS` marker). */
+  private def isCommitted(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def deleteDir(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) { fs.delete(p, true); () }
+  }
+
+  /** Empty frame with [[graft.operators.Curation.verdictsFullFrom]]'s
+    * schema — the epoch-0 delta base.
+    */
+  private def emptyVerdictState(spark: SparkSession): DataFrame =
+    spark.range(0).select(col("id").as("doc_id"), lit("").as("lang"),
+      lit("").as("source"), col("id").as("n_tok"), lit(0.0).as("h"),
+      lit("").as("bag"), lit(false).as("bag_keep"), col("id").as("n_win"),
+      col("id").as("n_dup"), lit(false).as("kept"))
 
   /** Attach the incremental pipeline to a document stream with `doc_id`,
     * `lang`, `source`, `text`.
@@ -340,7 +569,7 @@ object Pipeline {
     * (so counting it would send a read straight into the schema-inference
     * throw this probe exists to prevent).
     */
-  private def hasDataFiles(spark: SparkSession, dir: String): Boolean = {
+  private[graft] def hasDataFiles(spark: SparkSession, dir: String): Boolean = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = fs.makeQualified(new org.apache.hadoop.fs.Path(dir))

@@ -409,32 +409,60 @@ object Curation {
         col("n_tok"), col("h"), col("bag"))
   }
 
+  /** Span-drop predicate over the per-doc window tallies — the ONE copy of
+    * the gate-4 formula (shared by [[verdictsFullFrom]] and the incremental
+    * epoch assembler in [[graft.Pipeline]]). `n_win = 0` (a doc too short
+    * to have windows) can never span-drop.
+    */
+  private[graft] def spanDropExpr(nWin: Column, nDup: Column): Column =
+    nWin > 0 && nDup * 2 >= nWin
+
+  /** The composed keep verdict over a doc's funnel signals — the ONE copy
+    * of the gate composition (length band, entropy floor, bag-keeper,
+    * span-drop), shared by the one-shot funnel and the incremental epochs.
+    */
+  private[graft] def keptExpr(nTok: Column, h: Column, bagKeep: Column,
+      spanDrop: Column): Column =
+    nTok.between(20, 95) && h >= 2.0 && bagKeep && !spanDrop
+
   /** The corpus-GLOBAL funnel tail over per-doc signals + the window-fp
     * inventory: bag-keeper election (min doc_id per bag), per-fp document
     * counts, the span-drop fold, and the composed verdict. Exposed so the
     * incremental pipeline recomputes verdicts from compact state with the
     * exact formulas q139 verifies — the two entries cannot drift.
     */
-  private[graft] def verdictsFrom(sigs: DataFrame, winv: DataFrame): DataFrame = {
+  private[graft] def verdictsFrom(sigs: DataFrame, winv: DataFrame): DataFrame =
+    verdictsFullFrom(sigs, winv)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tok"), col("kept"))
+
+  /** [[verdictsFrom]] with the INTERMEDIATE funnel state kept in the output
+    * — `(doc_id, lang, source, n_tok, h, bag, bag_keep, n_win, n_dup,
+    * kept)`. This is the schema [[graft.Pipeline.curateEpoch]] persists as
+    * its per-epoch verdict state: carrying `h`/`bag`/`bag_keep`/`n_win`/
+    * `n_dup` is exactly what lets the NEXT epoch update verdicts by
+    * delta-join (keeper displacement flips `bag_keep`, crossing window fps
+    * bump `n_dup`) instead of re-aggregating every doc ever seen.
+    */
+  private[graft] def verdictsFullFrom(sigs: DataFrame, winv: DataFrame): DataFrame = {
     // bag-keeper election as a window min: ONE pass over sigs (a self-join
     // on bag would re-execute the entropy aggregate feeding sigs), same
     // bag-keyed shuffle the groupBy form pays
     val byBag = org.apache.spark.sql.expressions.Window.partitionBy(col("bag"))
     val wins = winv.select(col("doc_id"), col("fp"))
     val perFp = wins.groupBy(col("fp")).agg(count(lit(1)).as("nd"))
-    val spanDrop = wins.join(perFp, Seq("fp"))
+    val spanTally = wins.join(perFp, Seq("fp"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_win"),
         sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
-      .select(col("doc_id"), (col("n_dup") * 2 >= col("n_win")).as("span_drop"))
     sigs
       .withColumn("bag_keep", col("doc_id") === min(col("doc_id")).over(byBag))
-      .join(spanDrop, Seq("doc_id"), "left")
-      .na.fill(false, Seq("span_drop")) // short docs have no windows
-      .withColumn("kept",
-        col("n_tok").between(20, 95) && col("h") >= 2.0 &&
-          col("bag_keep") && !col("span_drop"))
-      .select(col("doc_id"), col("lang"), col("source"), col("n_tok"), col("kept"))
+      .join(spanTally, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_win", "n_dup")) // short docs have no windows
+      .withColumn("kept", keptExpr(col("n_tok"), col("h"), col("bag_keep"),
+        spanDropExpr(col("n_win"), col("n_dup"))))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tok"),
+        col("h"), col("bag"), col("bag_keep"), col("n_win"), col("n_dup"),
+        col("kept"))
   }
 
   /** The per-(lang, source) rollup over funnel verdicts — ONE copy shared

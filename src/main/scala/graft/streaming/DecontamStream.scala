@@ -108,10 +108,25 @@ object DecontamStream {
 
   /** The gated stream's cumulative verdicts — one row per flagged doc
     * (cross-batch re-deliveries collapse; rows are deterministic, so
-    * duplicates are exact copies).
+    * duplicates are exact copies). A stream that has only ever seen empty
+    * batches ([[start]] skips them) never lands a batch partition — the
+    * data-file probe returns an empty verdict frame then, instead of the
+    * schema-inference throw a bare parquet read hits on the missing path.
     */
   def verdicts(s: SparkSession, outDir: String): DataFrame =
-    s.read.parquet(s"$outDir/verdicts")
-      .select(col("doc_id"), col("n_win"), col("n_hit"), col("contam_frac"))
-      .dropDuplicates("doc_id")
+    if (!graft.Pipeline.hasDataFiles(s, s"$outDir/verdicts"))
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_win",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_hit",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("contam_frac",
+            org.apache.spark.sql.types.DoubleType))))
+    else
+      s.read.parquet(s"$outDir/verdicts")
+        .select(col("doc_id"), col("n_win"), col("n_hit"), col("contam_frac"))
+        .dropDuplicates("doc_id")
 }

@@ -99,4 +99,19 @@ class StreamingDecontamSpec extends AnyFunSuite {
     DecontamStream.gateBatch(docs, tf, outDir, 0L)
     assert(spark.read.parquet(s"$outDir/verdicts").isEmpty)
   }
+
+  test("verdicts() on a stream that never landed a batch returns an empty frame, not a throw") {
+    // start() skips empty batches, so a quiet stream writes NO partition —
+    // the cumulative reader must fold that to empty with the right schema
+    val outDir = Files.createTempDirectory("graft-dcs-novd").toString
+    val v = DecontamStream.verdicts(spark, outDir)
+    assert(v.isEmpty)
+    assert(v.columns.toSeq === Seq("doc_id", "n_win", "n_hit", "contam_frac"))
+    // and a dir that exists but holds only a crash-stranded _temporary
+    // subtree counts as "no batch landed" too
+    val stranded = java.nio.file.Paths.get(s"$outDir/verdicts/_temporary/0")
+    Files.createDirectories(stranded)
+    Files.write(stranded.resolve("part-00000.parquet"), Array[Byte](1, 2, 3))
+    assert(DecontamStream.verdicts(spark, outDir).isEmpty)
+  }
 }
