@@ -4,21 +4,27 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Incremental-pipeline bench (verdict-item runner): times
-  * [[Pipeline.curateEpoch]] over N descending doc_id quarters of
-  * `SPARK_GRAFT_SF_DIR`'s documents table — descending so later epochs
-  * genuinely displace bag keepers and flip span verdicts (the hard,
-  * corpus-global path, same delivery shape PipelineIncrSpec pins).
+  * [[Pipeline.curateEpoch]] over the shape that discriminates a
+  * delta-join epoch from a full per-epoch recompute — ONE large founding
+  * epoch (the top 80% of doc_ids) followed by `SPARK_GRAFT_INCR_TAIL`
+  * (default 8) SMALL descending slices of the remaining 20%. Descending
+  * delivery makes the tail epochs genuinely displace bag keepers and flip
+  * span verdicts (the hard, corpus-global path PipelineIncrSpec pins);
+  * equal-sized epochs would hide the difference at bench scale, because a
+  * recompute over a corpus only a few batches deep still costs about one
+  * batch.
   *
-  * Prints ONE JSON line `{"metric":"incr_epochs","epochs":[s,...],
-  * "total":s,"docs":n,"sf":...}` — the per-epoch wall-times are the
-  * number BASELINE.md tracks for the incremental rework (a full
-  * per-epoch verdict recompute makes every epoch cost like epoch 0;
-  * the delta-join design makes epochs 1..N batch-bound).
+  * Prints ONE JSON line `{"metric":"incr_epochs","founding":s,
+  * "tail":[s,...],"total":s,"docs":n,"sf":...}` — under a full per-epoch
+  * recompute every tail epoch re-aggregates the accumulated corpus (tail
+  * times trend TOWARD the founding time as state grows); under the
+  * delta-join design they stay batch-bound (flat, well below founding).
   */
 object IncrBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val tailN = sys.env.getOrElse("SPARK_GRAFT_INCR_TAIL", "8").toInt.max(1)
     val spark = Engine.configure(
       SparkSession.builder().master(s"local[$cpus]"),
       shufflePartitions = cpus.toInt).getOrCreate()
@@ -26,11 +32,13 @@ object IncrBench {
     val docs = Fixtures.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), col("source"), col("text"))
     val nDocs = docs.count() // also warms footers/JIT
-    val Array(q1, q2, q3) =
-      docs.stat.approxQuantile("doc_id", Array(0.25, 0.5, 0.75), 0.001)
-    val ranges: Seq[(Long, Long)] = Seq(
-      (q3.toLong, Long.MaxValue), (q2.toLong, q3.toLong),
-      (q1.toLong, q2.toLong), (Long.MinValue, q1.toLong))
+    val cuts = docs.stat.approxQuantile("doc_id",
+      (0 to tailN).map(i => 0.2 * i / tailN).toArray, 0.001).map(_.toLong)
+    // founding epoch = [p20, inf); tail epochs walk the quantile cuts DOWN
+    val ranges: Seq[(Long, Long)] =
+      (cuts.last, Long.MaxValue) +:
+        (tailN - 1 to 0 by -1).map(i =>
+          (if (i == 0) Long.MinValue else cuts(i), cuts(i + 1)))
     val out = java.nio.file.Files.createTempDirectory("graft-incrbench").toString
     val times = ranges.zipWithIndex.map { case ((lo, hi), i) =>
       val chunk = docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
@@ -38,8 +46,8 @@ object IncrBench {
       Pipeline.curateEpoch(chunk, out, 16, i.toLong)
       (System.nanoTime() - t0) / 1e9
     }
-    println(s"""{"metric":"incr_epochs","epochs":[${
-      times.map(t => f"$t%.3f").mkString(",")}],"total":${
+    println(s"""{"metric":"incr_epochs","founding":${f"${times.head}%.3f"},"tail":[${
+      times.tail.map(t => f"$t%.3f").mkString(",")}],"total":${
       f"${times.sum}%.3f"},"docs":$nDocs,"sf":"$sfDir"}""")
     spark.stop()
   }
