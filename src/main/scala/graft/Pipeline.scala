@@ -185,15 +185,32 @@ object Pipeline {
     // delta base: the newest COMMITTED earlier epoch (marker = _SUCCESS of
     // the verdict-state write; a crashed attempt of THIS epoch is handled
     // by the short-circuit above). Driver FS listing — O(#epochs) names.
+    // A base written by the PRE-delta layout (5-column verdicts, no fpcnt)
+    // is migrated in place: that layout always carries batch-keyed
+    // `state/sigs` + `state/winv`, from which the extended verdict state
+    // and the per-fp counts rebuild exactly once (the one-shot formulas),
+    // and this epoch then writes the new layout forward.
     val lastCommitted: Option[Long] =
       committedEpochs(spark, verdictsPath).filter(_ < epochId).maxOption
-    val vPrev: DataFrame = lastCommitted match {
-      case Some(e) => spark.read.parquet(s"$verdictsPath/epoch=$e")
-      case None => emptyVerdictState(spark)
-    }
-    val fPrev: DataFrame = lastCommitted match {
-      case Some(e) => spark.read.parquet(s"$outDir/state/fpcnt/epoch=$e")
-      case None => spark.range(0).select(col("id").as("fp"), col("id").as("nd"))
+    val (vPrev: DataFrame, fPrev: DataFrame) = lastCommitted match {
+      case Some(e)
+          if hasDataFiles(spark, s"$outDir/state/fpcnt/epoch=$e") &&
+            spark.read.parquet(s"$verdictsPath/epoch=$e").columns.contains("bag") =>
+        (spark.read.parquet(s"$verdictsPath/epoch=$e"),
+          spark.read.parquet(s"$outDir/state/fpcnt/epoch=$e"))
+      case Some(e) => // legacy layout: rebuild state from sigs + winv
+        val sigs = spark.read.parquet(s"$outDir/state/sigs")
+          .filter(col("batch") <= e)
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("n_tok"), col("h"), col("bag")).distinct()
+        val winv = spark.read.parquet(s"$outDir/state/winv")
+          .filter(col("batch") <= e)
+          .select(col("doc_id"), col("fp")).distinct()
+        (Curation.verdictsFullFrom(sigs, winv),
+          winv.groupBy(col("fp")).agg(count(lit(1)).as("nd")))
+      case None =>
+        (emptyVerdictState(spark),
+          spark.range(0).select(col("id").as("fp"), col("id").as("nd")))
     }
 
     // re-delivery: batch ids already in the state contribute nothing new
@@ -229,14 +246,21 @@ object Pipeline {
       .select(col("fp"))
     // Δn_dup for EXISTING docs holding a crossed fp: probe the batch-keyed
     // window log under a broadcast of the crossing set; distinct collapses
-    // cross-batch re-deliveries of the same (doc, fp)
-    val dDup = spark.read.parquet(s"$outDir/state/winv")
-      .select(col("doc_id"), col("fp"))
-      .join(broadcast(crossed), Seq("fp"))
-      .distinct()
-      .join(broadcast(newIds), Seq("doc_id"), "left_anti")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("d_dup"))
-      .localCheckpoint()
+    // cross-batch re-deliveries of the same (doc, fp). The log is the one
+    // unbounded (token-scale, append-only) state, so the common steady
+    // state — an epoch that crosses NOTHING — must not scan it at all:
+    // `crossed` is a local filter over the checkpointed batch-sized merge,
+    // so the emptiness probe costs no job.
+    val dDup =
+      if (crossed.isEmpty)
+        spark.range(0).select(col("id").as("doc_id"), col("id").as("d_dup"))
+      else spark.read.parquet(s"$outDir/state/winv")
+        .select(col("doc_id"), col("fp"))
+        .join(broadcast(crossed), Seq("fp"))
+        .distinct()
+        .join(broadcast(newIds), Seq("doc_id"), "left_anti")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("d_dup"))
+        .localCheckpoint()
 
     // keeper displacement: batch minima vs the previous keepers (both
     // probes broadcast the batch side; outputs ≤ batch-sized)
@@ -365,8 +389,12 @@ object Pipeline {
     // the FULL manifest from the corpus on disk. (The distinct here is on
     // a ≤ numShards-cardinality key, so partial aggregation shrinks the
     // exchange to a few rows per input partition.)
+    // (previous kept set read back out of the checkpointed `assembled`
+    // pass — kept_prev preserves it row for row — so this costs a local
+    // block scan, not a 4th parquet scan of the verdict state)
     val manifestPath = s"$outDir/manifest"
-    val prevShards: Set[Int] = vPrev.filter(col("kept"))
+    val prevShards: Set[Int] = assembled
+      .filter(!col("is_new") && col("kept_prev"))
       .select(Layout.shardKey(col("doc_id"), numShards).as("shard"))
       .distinct().collect().map(_.getInt(0)).toSet
     val storedManifest: Option[DataFrame] =
@@ -499,13 +527,17 @@ object Pipeline {
   }
 
   /** Empty frame with [[graft.operators.Curation.verdictsFullFrom]]'s
-    * schema — the epoch-0 delta base.
+    * schema — the epoch-0 delta base. Derived THROUGH the producer over
+    * empty inputs (only the narrow sigs/winv input contracts are spelled
+    * out here), so a schema change in the one-copy formula can never
+    * leave this branch emitting a stale shape.
     */
   private def emptyVerdictState(spark: SparkSession): DataFrame =
-    spark.range(0).select(col("id").as("doc_id"), lit("").as("lang"),
-      lit("").as("source"), col("id").as("n_tok"), lit(0.0).as("h"),
-      lit("").as("bag"), lit(false).as("bag_keep"), col("id").as("n_win"),
-      col("id").as("n_dup"), lit(false).as("kept"))
+    Curation.verdictsFullFrom(
+      spark.range(0).select(col("id").as("doc_id"), lit("").as("lang"),
+        lit("").as("source"), col("id").as("n_tok"), lit(0.0).as("h"),
+        lit("").as("bag")),
+      spark.range(0).select(col("id").as("doc_id"), col("id").as("fp")))
 
   /** Attach the incremental pipeline to a document stream with `doc_id`,
     * `lang`, `source`, `text`.

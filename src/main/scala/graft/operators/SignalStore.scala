@@ -57,19 +57,25 @@ object SignalStore {
 
   private def cached(s: SparkSession, key: String, dir: String)
       (build: => DataFrame): DataFrame = {
-    // register the stop hook with putIfAbsent-THEN-addSparkListener: a
-    // getOrElseUpdate thunk can run twice under concurrent first access,
-    // and the losing thunk would have registered a listener the map never
-    // tracked — un-removable by evict(), pinning the session reference for
-    // the context lifetime (the exact leak the hook exists to prevent)
+    // register the stop hook with addSparkListener-THEN-putIfAbsent, and
+    // deregister on a lost race: a getOrElseUpdate thunk can run twice
+    // under concurrent first access, leaving the loser's listener on the
+    // bus but absent from the map — un-removable by evict(), pinning the
+    // session reference for the context lifetime. Registering first means
+    // the bus never holds a hook the map doesn't know about EXCEPT while
+    // this block is mid-flight, and both exits reconcile: a lost
+    // putIfAbsent removes our registration; a concurrent evict() that
+    // raced ahead of our putIfAbsent removes someone's map entry, after
+    // which our put wins and the registered hook is tracked again.
     if (!stopHooks.contains(s)) {
       val hook = new org.apache.spark.scheduler.SparkListener {
         override def onApplicationEnd(
             e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
           evict(s)
       }
-      if (stopHooks.putIfAbsent(s, hook).isEmpty)
-        s.sparkContext.addSparkListener(hook)
+      s.sparkContext.addSparkListener(hook)
+      if (stopHooks.putIfAbsent(s, hook).isDefined)
+        s.sparkContext.removeSparkListener(hook)
     }
     val df = cache.getOrElseUpdate((s, key, dir), build.persist())
     if (df.storageLevel == StorageLevel.NONE) df.persist()

@@ -115,16 +115,14 @@ object DecontamStream {
     */
   def verdicts(s: SparkSession, outDir: String): DataFrame =
     if (!graft.Pipeline.hasDataFiles(s, s"$outDir/verdicts"))
-      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("doc_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("n_win",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("n_hit",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("contam_frac",
-            org.apache.spark.sql.types.DoubleType))))
+      // empty shape derived THROUGH the one-copy verdict producer (only
+      // the narrow input contracts are spelled out), so a schema change
+      // there can't leave this rarely-exercised branch emitting stale
+      // columns
+      Curation.decontamVerdict(
+        s.range(0).select(col("id").as("doc_id"), col("id").as("fp")),
+        s.range(0).select(col("id").as("fp")),
+        s.range(0).select(col("id").as("doc_id"), col("id").as("n_win")))
     else
       s.read.parquet(s"$outDir/verdicts")
         .select(col("doc_id"), col("n_win"), col("n_hit"), col("contam_frac"))

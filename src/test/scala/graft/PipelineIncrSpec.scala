@@ -187,6 +187,48 @@ class PipelineIncrSpec extends AnyFunSuite {
     assertEqualsOneShot(out, oneShot)
   }
 
+  test("a state dir written by the pre-delta layout migrates and continues, not crashes") {
+    import graft.operators.{Curation, Layout}
+    // fabricate the round-10 layout exactly: batch-keyed sigs + winv
+    // state, a committed 5-column verdict set, and the artifacts a
+    // completed epoch leaves behind — no fpcnt, no extended columns
+    val out = Files.createTempDirectory("graft-incr-legacy").toString
+    val c0 = chunk(150, Long.MaxValue)
+    val base = c0.select(col("doc_id"), col("lang"), col("source"),
+      graft.functions.TextFunctions.wsTokens(col("text")).as("toks"))
+    Curation.docSignals(base)
+      .write.parquet(s"$out/state/sigs/batch=0")
+    Curation.winFpsOver(base.select(col("doc_id"), col("toks")), Curation.SubWidth)
+      .write.parquet(s"$out/state/winv/batch=0")
+    val sigs0 = spark.read.parquet(s"$out/state/sigs")
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_tok"), col("h"), col("bag")).distinct()
+    val winv0 = spark.read.parquet(s"$out/state/winv")
+      .select(col("doc_id"), col("fp")).distinct()
+    val v5 = Curation.verdictsFrom(sigs0, winv0).localCheckpoint()
+    assert(v5.columns.toSeq ===
+      Seq("doc_id", "lang", "source", "n_tok", "kept"), "legacy schema")
+    val kept0 = v5.filter(col("kept"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tok"))
+      .join(c0.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .withColumn("shard", Layout.shardKey(col("doc_id"), Shards))
+    kept0.write.partitionBy("shard").parquet(s"$out/corpus")
+    Layout.shardManifest(spark.read.parquet(s"$out/corpus")
+        .select(col("doc_id"), col("text")), Shards)
+      .write.parquet(s"$out/manifest")
+    spark.range(1).select(lit(Shards).as("num_shards"))
+      .write.parquet(s"$out/meta")
+    Curation.funnelRollup(v5).write.parquet(s"$out/report")
+    v5.write.parquet(s"$out/state/verdicts/epoch=0")
+    // the NEW code must rebuild its delta state from sigs+winv and fold
+    // the next (overlapping, keeper-displacing) chunk to convergence
+    val r1 = Pipeline.curateEpoch(chunk(0, 160), out, Shards, 1L)
+    assert(r1.docsSeen === Fixtures.documents(spark, dir).count())
+    val oneShot = Pipeline.curate(spark, dir,
+      Files.createTempDirectory("graft-incr-legacy-ref").toString, Shards)
+    assertEqualsOneShot(out, oneShot)
+  }
+
   test("an epoch retry (same id) is idempotent across every artifact") {
     val out = Files.createTempDirectory("graft-incr-idem").toString
     Pipeline.curateEpoch(chunk(200, Long.MaxValue), out, Shards, 0L)
