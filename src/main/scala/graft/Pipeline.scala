@@ -83,6 +83,25 @@ object Pipeline {
     */
   @volatile private[graft] var failAfterStaging: Boolean = false
 
+  /** Hash-bucket count of the per-fp count state
+    * (`state/fpcnt/epoch=<e>/bucket=pmod(fp, FpBuckets)`). A layout
+    * constant: changing it is safe — the stored count rides the pointer
+    * map, and a mismatch triggers a compacting re-bucket — but pick it
+    * for the deployment (more buckets = finer epoch pruning; at 100 TB
+    * thousands, here 64 so fixture batches exercise real pruning).
+    */
+  private[graft] val FpBuckets = 64
+
+  /** Compact (fold every referenced bucket forward into one epoch) when
+    * the pointer map references this many distinct epochs — bounds both
+    * the per-epoch state-read fan-out and the dead superseded-bucket
+    * copies old epoch dirs accumulate between compactions.
+    */
+  private[graft] val FpCompactAt = 8
+
+  private def fpBucket(fp: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(fp, lit(FpBuckets.toLong)).cast("int")
+
   /** One micro-batch epoch of the APPEND-MODE curation pipeline: fold a new
     * chunk of documents into the same corpus/manifest/report artifacts
     * [[curate]] writes in one shot, such that after any number of epochs
@@ -140,16 +159,21 @@ object Pipeline {
     * text state is TRANSIENT and bounded by the changed shards.
     *
     * Scale shape: per epoch the shuffled rows are O(batch + touched keys)
-    * (PipelineIncrSpec pins this with a task-metrics listener); the
-    * corpus-scale state (verdicts, fpcnt) is only ever SCANNED against
-    * broadcast deltas and rewritten map-side — narrow columnar I/O per
-    * epoch, no corpus-keyed exchange. At 100 TB the next evolution is
-    * hash-bucketed fpcnt/verdict state so unchanged buckets skip even the
-    * scan; the window-fp log (`state/winv`, append-only, batch-keyed) is
-    * read only under a broadcast of crossing fps. Driver-side collects
-    * stay ≤ numShards ints. Re-delivered docs (same doc_id in several
-    * batches, same text — the at-least-once contract) collapse via the
-    * seen-id probe.
+    * (PipelineIncrSpec pins this with a task-metrics listener). The
+    * token-scale fp-count state is HASH-BUCKETED
+    * (`state/fpcnt/epoch=<e>/bucket=<b>` + a tiny per-epoch pointer map):
+    * an epoch reads and rewrites only the buckets its batch touches, so
+    * unchanged buckets skip even the scan, and a bounded compaction
+    * ([[FpCompactAt]]) folds every referenced bucket forward before
+    * pointer fan-out or dead superseded copies can grow past about one
+    * live-state's worth. The doc-scale verdict state is scanned against
+    * broadcast deltas and rewritten map-side each epoch (narrow columnar
+    * I/O, no corpus-keyed exchange); the window-fp log (`state/winv`,
+    * append-only, batch-keyed) is read only under a broadcast of crossing
+    * fps, and not at all in the no-crossing steady state. Driver-side
+    * collects stay ≤ max(numShards, FpBuckets) ints. Re-delivered docs
+    * (same doc_id in several batches, same text — the at-least-once
+    * contract) collapse via the seen-id probe.
     */
   def curateEpoch(batch: DataFrame, outDir: String, numShards: Int,
       epochId: Long): EpochResult = {
@@ -192,13 +216,11 @@ object Pipeline {
     // and this epoch then writes the new layout forward.
     val lastCommitted: Option[Long] =
       committedEpochs(spark, verdictsPath).filter(_ < epochId).maxOption
-    val (vPrev: DataFrame, fPrev: DataFrame) = lastCommitted match {
+    val vPrev: DataFrame = lastCommitted match {
       case Some(e)
-          if hasDataFiles(spark, s"$outDir/state/fpcnt/epoch=$e") &&
-            spark.read.parquet(s"$verdictsPath/epoch=$e").columns.contains("bag") =>
-        (spark.read.parquet(s"$verdictsPath/epoch=$e"),
-          spark.read.parquet(s"$outDir/state/fpcnt/epoch=$e"))
-      case Some(e) => // legacy layout: rebuild state from sigs + winv
+          if spark.read.parquet(s"$verdictsPath/epoch=$e").columns.contains("bag") =>
+        spark.read.parquet(s"$verdictsPath/epoch=$e")
+      case Some(e) => // legacy layout: rebuild the extended state from sigs
         val sigs = spark.read.parquet(s"$outDir/state/sigs")
           .filter(col("batch") <= e)
           .select(col("doc_id"), col("lang"), col("source"),
@@ -206,11 +228,33 @@ object Pipeline {
         val winv = spark.read.parquet(s"$outDir/state/winv")
           .filter(col("batch") <= e)
           .select(col("doc_id"), col("fp")).distinct()
-        (Curation.verdictsFullFrom(sigs, winv),
-          winv.groupBy(col("fp")).agg(count(lit(1)).as("nd")))
-      case None =>
-        (emptyVerdictState(spark),
-          spark.range(0).select(col("id").as("fp"), col("id").as("nd")))
+        Curation.verdictsFullFrom(sigs, winv)
+      case None => emptyVerdictState(spark)
+    }
+    // fp-count base, by layout generation: (a) BUCKETED + pointer map —
+    // the steady state; (b) an un-bucketed fpcnt dir (transitional) or
+    // (c) no fpcnt at all (pre-delta legacy: rebuild from winv) — both of
+    // which force a compacting full fold into the bucketed layout below.
+    val emptyFp = spark.range(0).select(col("id").as("fp"), col("id").as("nd"))
+    val (fpmapBase: Map[Int, Long], fpmapStoredBuckets: Int) = lastCommitted match {
+      case Some(e) if hasDataFiles(spark, s"$outDir/state/fpmap/epoch=$e") =>
+        val rows = spark.read.parquet(s"$outDir/state/fpmap/epoch=$e")
+          .select(col("bucket"), col("epoch"), col("n_buckets")).collect()
+        (rows.map(r => r.getInt(0) -> r.getLong(1)).toMap,
+          rows.headOption.map(_.getInt(2)).getOrElse(FpBuckets))
+      case _ => (Map.empty[Int, Long], FpBuckets)
+    }
+    val fullFpBase: Option[DataFrame] = lastCommitted match {
+      case _ if fpmapBase.nonEmpty => None
+      case Some(e) if hasDataFiles(spark, s"$outDir/state/fpcnt/epoch=$e") =>
+        Some(spark.read.parquet(s"$outDir/state/fpcnt/epoch=$e")
+          .select(col("fp"), col("nd")))
+      case Some(e) =>
+        Some(spark.read.parquet(s"$outDir/state/winv")
+          .filter(col("batch") <= e)
+          .select(col("doc_id"), col("fp")).distinct()
+          .groupBy(col("fp")).agg(count(lit(1)).as("nd")))
+      case None => None
     }
 
     // re-delivery: batch ids already in the state contribute nothing new
@@ -225,19 +269,73 @@ object Pipeline {
     val newIds = newSigs.select(col("doc_id"))
     val newWins = batchWins.join(broadcast(seenIds), Seq("doc_id"), "left_anti")
 
-    // per-fp distinct-doc counts: merge the batch's tallies into fpcnt.
-    // `updated` (fps the batch touched that already existed) and
-    // `fresh` (fps first seen this batch) are both ≤ batch-sized.
+    // per-fp distinct-doc counts: merge the batch's tallies into the
+    // BUCKETED fp state. The state is hash-partitioned on pmod(fp,
+    // FpBuckets) and an epoch only reads + rewrites the buckets its batch
+    // touches (pointer-map pruned; untouched buckets keep their bytes and
+    // their pointer) — per-epoch fp I/O is O(touched buckets), not
+    // O(all fps). `updated` (batch fps that already existed) and `fresh`
+    // (fps first seen this batch) are both ≤ batch-sized.
     val contrib = newWins.groupBy(col("fp")).agg(count(lit(1)).as("add"))
+      .withColumn("bucket", fpBucket(col("fp")))
       .localCheckpoint()
-    val updated = fPrev.join(broadcast(contrib), Seq("fp")).localCheckpoint()
+    val touched: Seq[Int] = contrib.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    // compaction folds EVERY referenced bucket forward into this epoch:
+    // on a layout migration (un-bucketed or winv-rebuilt base, or a
+    // changed FpBuckets constant), and whenever the pointer map references
+    // more than FpCompactAt epochs — that bound caps both the number of
+    // per-epoch state reads and the dead superseded-bucket copies old
+    // epochs can accumulate (≲ one live-state's worth between compactions)
+    val mustCompact = fullFpBase.isDefined ||
+      (fpmapBase.nonEmpty && fpmapStoredBuckets != FpBuckets) ||
+      fpmapBase.values.toSet.size >= FpCompactAt
+    val fPrevFold: DataFrame = fullFpBase match {
+      case Some(full) => full
+      case None =>
+        // epoch -> buckets to read from it (every bucket from exactly its
+        // pointed epoch — a superseded copy in an older epoch dir is dead
+        // and must not be read, or its counts would double)
+        val wanted = (if (mustCompact) fpmapBase.toSeq
+          else fpmapBase.toSeq.filter(t => touched.contains(t._1)))
+          .groupBy(_._2).view.mapValues(_.map(_._1)).toSeq
+        wanted.map { case (e, buckets) =>
+          spark.read.parquet(s"$outDir/state/fpcnt/epoch=$e")
+            .filter(col("bucket").isInCollection(buckets))
+            .select(col("fp"), col("nd"))
+        }.reduceOption(_ unionByName _).getOrElse(emptyFp)
+    }
+    val updated = fPrevFold.join(broadcast(contrib.select(col("fp"), col("add"))),
+      Seq("fp")).localCheckpoint()
     val fresh = contrib.join(broadcast(updated.select(col("fp"))),
       Seq("fp"), "left_anti").select(col("fp"), col("add").as("nd"))
-    val fNow = fPrev.join(broadcast(contrib), Seq("fp"), "left")
+    val fNowFold = fPrevFold
+      .join(broadcast(contrib.select(col("fp"), col("add"))), Seq("fp"), "left")
       .select(col("fp"), (col("nd") + coalesce(col("add"), lit(0L))).as("nd"))
       .unionByName(fresh)
-    fNow.write.mode(SaveMode.Overwrite)
+      .withColumn("bucket", fpBucket(col("fp")))
+    fNowFold.write.mode(SaveMode.Overwrite).partitionBy("bucket")
       .parquet(s"$outDir/state/fpcnt/epoch=$epochId")
+    // pointer map forward: untouched buckets keep pointing at their
+    // current epoch; touched (or, on compaction, every written) buckets
+    // point here. Written with the bucket-count constant so a future
+    // constant change is detected and compacts instead of mis-bucketing.
+    val fpmapNew: Map[Int, Long] =
+      if (mustCompact)
+        (if (!hasDataFiles(spark, s"$outDir/state/fpcnt/epoch=$epochId"))
+          Map.empty[Int, Long]
+        else spark.read.parquet(s"$outDir/state/fpcnt/epoch=$epochId")
+          .select(col("bucket")).distinct()
+          .collect().map(_.getInt(0) -> epochId).toMap)
+      else fpmapBase ++ touched.map(_ -> epochId)
+    locally {
+      import spark.implicits._
+      fpmapNew.toSeq.sortBy(_._1).toDF("bucket", "epoch")
+        .withColumn("n_buckets", lit(FpBuckets))
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$outDir/state/fpmap/epoch=$epochId")
+    }
 
     // fps that CROSSED the duplicate threshold this epoch (an existing
     // doc's window flips non-dup → dup exactly when its fp crosses; a
@@ -464,7 +562,7 @@ object Pipeline {
     */
   private def cleanupAfterCommit(spark: SparkSession, outDir: String,
       epochId: Long): Unit = {
-    Seq(s"$outDir/state/verdicts", s"$outDir/state/fpcnt",
+    Seq(s"$outDir/state/verdicts", s"$outDir/state/fpmap",
       s"$outDir/state/epochres").foreach { dir =>
       val p = new org.apache.hadoop.fs.Path(dir)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -474,6 +572,23 @@ object Pipeline {
           .filter(_.getName.stripPrefix("epoch=").toLong < epochId)
           .foreach(old => fs.delete(old, true))
     }
+    // fpcnt epochs live as long as the CURRENT pointer map references
+    // them (a bucket an epoch didn't touch keeps pointing at its older
+    // version); only wholly-unreferenced older epochs drop
+    val referenced: Set[Long] =
+      if (!hasDataFiles(spark, s"$outDir/state/fpmap/epoch=$epochId")) Set.empty
+      else spark.read.parquet(s"$outDir/state/fpmap/epoch=$epochId")
+        .select(col("epoch")).distinct().collect().map(_.getLong(0)).toSet
+    val p = new org.apache.hadoop.fs.Path(s"$outDir/state/fpcnt")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      fs.listStatus(p).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith("epoch="))
+        .filter { d =>
+          val e = d.getName.stripPrefix("epoch=").toLong
+          e < epochId && !referenced.contains(e)
+        }
+        .foreach(old => fs.delete(old, true))
     deleteDir(spark, s"$outDir/state/staging")
   }
 

@@ -229,6 +229,70 @@ class PipelineIncrSpec extends AnyFunSuite {
     assertEqualsOneShot(out, oneShot)
   }
 
+  test("fp-count state is bucket-incremental: a small epoch rewrites only its touched buckets") {
+    val out = Files.createTempDirectory("graft-incr-bkt").toString
+    // the tail doc: the SHORTEST doc that still has windows (>= 20 tokens)
+    // — its handful of fps can only touch a handful of buckets; a fixture
+    // batch of any size saturates all of them (64 buckets is the
+    // test-scale dial; a 100 TB deployment runs thousands)
+    val all = Fixtures.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+    val tailDoc = all.filter(col("n") >= 20).orderBy(col("n"), col("doc_id"))
+      .head().getLong(0)
+    def docsExcept(id: Long) =
+      Fixtures.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+        .filter(col("doc_id") =!= id)
+    def docOnly(id: Long) =
+      Fixtures.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+        .filter(col("doc_id") === id)
+    Pipeline.curateEpoch(docsExcept(tailDoc), out, Shards, 0L)
+    val bucketsOf = (e: Long) =>
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$out/state/fpcnt/epoch=$e"))
+        .toArray.map(_.toString).count(_.contains("bucket="))
+    val founding = bucketsOf(0L)
+    assert(founding > 1, "the founding epoch must populate multiple buckets")
+    Pipeline.curateEpoch(docOnly(tailDoc), out, Shards, 1L)
+    val small = bucketsOf(1L)
+    assert(small < founding,
+      s"a small epoch must rewrite only touched buckets ($small vs founding $founding)")
+    // untouched buckets still point at (and retain) the founding epoch
+    val fpmap = spark.read.parquet(s"$out/state/fpmap/epoch=1")
+    val pointed = fpmap.select(col("epoch")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(pointed === Set(0L, 1L),
+      s"pointer map must split across both epochs, got $pointed")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$out/state/fpcnt/epoch=0")),
+      "a still-referenced epoch must survive the prune")
+  }
+
+  test("pointer fan-out compacts: many tiny epochs stay within the reference bound") {
+    val out = Files.createTempDirectory("graft-incr-compact").toString
+    // founding epoch, then 10 thin descending slices — enough that the
+    // pointer map would reference > FpCompactAt epochs without compaction
+    val cuts = (0 to 10).map(i => i * 15L)
+    Pipeline.curateEpoch(chunk(cuts.last, Long.MaxValue), out, Shards, 0L)
+    (0 until 10).foreach { i =>
+      Pipeline.curateEpoch(chunk(cuts(9 - i), cuts(10 - i)), out, Shards, (i + 1).toLong)
+    }
+    val fpmap = spark.read.parquet(s"$out/state/fpmap/epoch=10")
+    val pointed = fpmap.select(col("epoch")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(pointed.size < Pipeline.FpCompactAt,
+      s"compaction must bound pointer fan-out, got ${pointed.size} epochs: $pointed")
+    val onDisk = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$out/state/fpcnt"))
+      .toArray.map(_.toString).count(_.contains("epoch="))
+    assert(onDisk === pointed.size,
+      "every retained fpcnt epoch must still be referenced")
+    // and the folded state is still CORRECT: convergence to one-shot
+    val oneShot = Pipeline.curate(spark, dir,
+      Files.createTempDirectory("graft-incr-compact-ref").toString, Shards)
+    assertEqualsOneShot(out, oneShot)
+  }
+
   test("an epoch retry (same id) is idempotent across every artifact") {
     val out = Files.createTempDirectory("graft-incr-idem").toString
     Pipeline.curateEpoch(chunk(200, Long.MaxValue), out, Shards, 0L)
