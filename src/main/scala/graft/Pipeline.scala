@@ -314,7 +314,15 @@ object Pipeline {
       .select(col("fp"), (col("nd") + coalesce(col("add"), lit(0L))).as("nd"))
       .unionByName(fresh)
       .withColumn("bucket", fpBucket(col("fp")))
-    fNowFold.write.mode(SaveMode.Overwrite).partitionBy("bucket")
+    // coalesce before the partitioned write: without it every task holds
+    // every touched bucket and the write fans out tasks × buckets small
+    // files per epoch. Coalesce (not repartition) keeps the fold
+    // SHUFFLE-FREE — a batch that happens to touch every bucket would
+    // otherwise re-exchange the whole fp state each epoch, violating the
+    // O(batch + touched) shuffle budget the spec pins — at the price of
+    // write parallelism 8, ample for the narrow (fp, nd) rows.
+    fNowFold.coalesce(8)
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket")
       .parquet(s"$outDir/state/fpcnt/epoch=$epochId")
     // pointer map forward: untouched buckets keep pointing at their
     // current epoch; touched (or, on compaction, every written) buckets
@@ -410,16 +418,28 @@ object Pipeline {
     // added ⊆ the batch (an existing doc can never flip TO kept under
     // append-only monotonicity); removed = previously-kept docs whose
     // displacement or span flip landed this epoch. No corpus-scale
-    // exceptAll — both are filters over the assembled pass.
-    val added = assembled.filter(col("is_new") && col("kept"))
-    val removed = assembled
-      .filter(!col("is_new") && col("kept_prev") && !col("kept"))
-      .select(col("doc_id"))
-    val deltas = added.select(col("doc_id")).unionByName(removed)
-      .select(Layout.shardKey(col("doc_id"), numShards).as("shard"))
-      .distinct().collect().map(_.getInt(0)).toSeq.sorted
-    val nAdded = added.count()
-    val nRemoved = removed.count()
+    // exceptAll — both are filters over the assembled pass, and every
+    // driver-side number the epoch needs (counts, changed shards, the
+    // previous kept-shard set for manifest validation) folds out of ONE
+    // aggregation job over the checkpointed blocks — per-epoch job count
+    // is part of the fixed overhead a long stream pays every few seconds.
+    val isNewKept = col("is_new") && col("kept")
+    val isRemovedNow = !col("is_new") && col("kept_prev") && !col("kept")
+    val added = assembled.filter(isNewKept)
+    val removed = assembled.filter(isRemovedNow).select(col("doc_id"))
+    val shardOf = Layout.shardKey(col("doc_id"), numShards)
+    val stats = assembled.agg(
+      count(lit(1)).as("seen"),
+      coalesce(sum(when(col("kept"), 1L).otherwise(0L)), lit(0L)).as("kept"),
+      coalesce(sum(when(isNewKept, 1L).otherwise(0L)), lit(0L)).as("added"),
+      coalesce(sum(when(isRemovedNow, 1L).otherwise(0L)), lit(0L)).as("removed"),
+      collect_set(when(isNewKept || isRemovedNow, shardOf)).as("delta_shards"),
+      collect_set(when(!col("is_new") && col("kept_prev"), shardOf))
+        .as("prev_shards")).head()
+    val deltas: Seq[Int] =
+      stats.getAs[scala.collection.Seq[Int]]("delta_shards").toSeq.sorted
+    val nAdded = stats.getAs[Long]("added")
+    val nRemoved = stats.getAs[Long]("removed")
 
     // rewrite only the changed shards, via crash-safe STAGING: the full
     // new content of every changed shard lands (atomically, _SUCCESS)
@@ -448,28 +468,38 @@ object Pipeline {
               .select(col("doc_id"), col("lang"), col("source"), col("n_tok"),
                 col("text"), col("shard"))
           else addedContent.limit(0)
+        // staged shard-partitioned: the written shard set falls out of a
+        // driver directory listing instead of a distinct-collect job; the
+        // shard-keyed repartition keeps the file count at one per changed
+        // shard (its exchange moves only the changed shards' content)
         carry.unionByName(addedContent)
-          .write.mode(SaveMode.Overwrite).parquet(stagingPath)
+          .repartition(col("shard"))
+          .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(stagingPath)
       }
       if (failAfterStaging)
         throw new IllegalStateException(
           "graft test failpoint: crash after staging commit")
-      val writtenShards: Set[Int] =
-        if (!hasDataFiles(spark, stagingPath)) Set.empty
-        else {
-          val newContent = spark.read.parquet(stagingPath)
-          val shards = newContent.select(col("shard")).distinct()
-            .collect().map(_.getInt(0)).toSet
-          val mode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-          spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-          try newContent.write.mode(SaveMode.Overwrite)
-            .partitionBy("shard").parquet(corpusPath)
-          finally mode match {
-            case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
-            case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-          }
-          shards
+      val writtenShards: Set[Int] = {
+        val p = new org.apache.hadoop.fs.Path(stagingPath)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(p)) Set.empty
+        else fs.listStatus(p).toSeq.map(_.getPath.getName)
+          .filter(_.startsWith("shard="))
+          .map(_.stripPrefix("shard=").toInt).toSet
+      }
+      if (writtenShards.nonEmpty) {
+        val newContent = spark.read.parquet(stagingPath)
+          .select(col("doc_id"), col("lang"), col("source"), col("n_tok"),
+            col("text"), col("shard"))
+        val mode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try newContent.write.mode(SaveMode.Overwrite)
+          .partitionBy("shard").parquet(corpusPath)
+        finally mode match {
+          case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+          case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
         }
+      }
       // explicitly drop shards whose kept set emptied (dynamic overwrite
       // never touches a partition the output frame doesn't mention)
       deltas.filterNot(writtenShards).foreach { sh =>
@@ -491,10 +521,8 @@ object Pipeline {
     // pass — kept_prev preserves it row for row — so this costs a local
     // block scan, not a 4th parquet scan of the verdict state)
     val manifestPath = s"$outDir/manifest"
-    val prevShards: Set[Int] = assembled
-      .filter(!col("is_new") && col("kept_prev"))
-      .select(Layout.shardKey(col("doc_id"), numShards).as("shard"))
-      .distinct().collect().map(_.getInt(0)).toSet
+    val prevShards: Set[Int] =
+      stats.getAs[scala.collection.Seq[Int]]("prev_shards").toSet
     val storedManifest: Option[DataFrame] =
       // hasDataFiles, not fs.exists: a crash mid-overwrite leaves the dir
       // existing but fileless, and a parquet read on it would throw forever
@@ -508,34 +536,41 @@ object Pipeline {
       if (!hasDataFiles(spark, corpusPath))
         docs.select(col("doc_id"), col("text")).limit(0)
       else spark.read.parquet(corpusPath).select(col("doc_id"), col("text"))
-    val manifest = carryOver match {
-      case Some(prev) =>
-        val changedManifest =
-          if (deltas.isEmpty || !hasDataFiles(spark, corpusPath))
-            Layout.shardManifest(docs.select(col("doc_id"), col("text")).limit(0),
-              numShards)
-          else Layout.shardManifest(
-            spark.read.parquet(corpusPath)
-              .filter(col("shard").isInCollection(deltas))
-              .select(col("doc_id"), col("text")), numShards)
-        prev.filter(!col("shard").isInCollection(deltas))
-          .unionByName(changedManifest)
-      case None => // epoch 0, or a crash-corrupted manifest: full recompute
-        Layout.shardManifest(fullCorpusView, numShards)
+    // a no-change epoch with a validated stored manifest would rewrite
+    // byte-identical rows — skip the two jobs
+    if (deltas.isEmpty && carryOver.isDefined) ()
+    else {
+      val manifest = carryOver match {
+        case Some(prev) =>
+          val changedManifest =
+            if (deltas.isEmpty || !hasDataFiles(spark, corpusPath))
+              Layout.shardManifest(docs.select(col("doc_id"), col("text")).limit(0),
+                numShards)
+            else Layout.shardManifest(
+              spark.read.parquet(corpusPath)
+                .filter(col("shard").isInCollection(deltas))
+                .select(col("doc_id"), col("text")), numShards)
+          prev.filter(!col("shard").isInCollection(deltas))
+            .unionByName(changedManifest)
+        case None => // epoch 0, or a crash-corrupted manifest: full recompute
+          Layout.shardManifest(fullCorpusView, numShards)
+      }
+      manifest.orderBy(col("shard")).localCheckpoint()
+        .write.mode(SaveMode.Overwrite).parquet(manifestPath)
     }
-    manifest.orderBy(col("shard")).localCheckpoint()
-      .write.mode(SaveMode.Overwrite).parquet(manifestPath)
-    spark.range(1).select(lit(numShards).as("num_shards"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/meta")
+    // the run-parameter artifact is immutable per outDir — write it once
+    // (a crash mid-write leaves a fileless dir, which rewrites)
+    if (!hasDataFiles(spark, s"$outDir/meta"))
+      spark.range(1).select(lit(numShards).as("num_shards"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/meta")
     Curation.funnelRollup(vNow)
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/report")
 
     // persist the epoch's result row BEFORE the marker, so a post-commit
-    // replay (short-circuit above) can return the identical result
-    val totals = vNow.agg(count(lit(1)),
-      coalesce(sum(when(col("kept"), 1L).otherwise(0L)), lit(0L))).head()
-    val result = EpochResult(epochId, totals.getLong(0), totals.getLong(1),
-      nAdded, nRemoved, deltas)
+    // replay (short-circuit above) can return the identical result (all
+    // counts came from the single stats aggregation above)
+    val result = EpochResult(epochId, stats.getAs[Long]("seen"),
+      stats.getAs[Long]("kept"), nAdded, nRemoved, deltas)
     spark.range(1).select(lit(result.docsSeen).as("docs_seen"),
         lit(result.docsKept).as("docs_kept"), lit(result.added).as("added"),
         lit(result.removed).as("removed"),
