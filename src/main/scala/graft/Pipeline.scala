@@ -102,6 +102,10 @@ object Pipeline {
   private def fpBucket(fp: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     pmod(fp, lit(FpBuckets.toLong)).cast("int")
 
+  // numShards validated once per (JVM, outDir) against the meta artifact
+  private val metaShards =
+    scala.collection.concurrent.TrieMap[String, Int]()
+
   /** One micro-batch epoch of the APPEND-MODE curation pipeline: fold a new
     * chunk of documents into the same corpus/manifest/report artifacts
     * [[curate]] writes in one shot, such that after any number of epochs
@@ -189,6 +193,28 @@ object Pipeline {
     if (isCommitted(spark, s"$verdictsPath/epoch=$epochId")) {
       cleanupAfterCommit(spark, outDir, epochId)
       return readEpochResult(spark, outDir, epochId)
+    }
+
+    // the shard count is immutable per outDir — PIN it before any write:
+    // an epoch called with a different count would silently mix two
+    // layouts in one corpus while the audit keeps the founding count.
+    // Validated once per (JVM, outDir), so the check costs a 1-row read
+    // only on the first epoch after a restart; the meta artifact itself
+    // writes once (a crash mid-write leaves a fileless dir, which
+    // rewrites).
+    metaShards.get(outDir) match {
+      case Some(n) => require(n == numShards,
+        s"outDir $outDir was founded with numShards=$n; epoch called with $numShards")
+      case None =>
+        if (hasDataFiles(spark, s"$outDir/meta")) {
+          val stored = spark.read.parquet(s"$outDir/meta")
+            .head().getAs[Int]("num_shards")
+          require(stored == numShards,
+            s"outDir $outDir was founded with numShards=$stored; epoch called with $numShards")
+        } else
+          spark.range(1).select(lit(numShards).as("num_shards"))
+            .write.mode(SaveMode.Overwrite).parquet(s"$outDir/meta")
+        metaShards.put(outDir, numShards)
     }
 
     val docs = batch.select(col("doc_id"), col("lang"), col("source"), col("text"))
@@ -482,10 +508,19 @@ object Pipeline {
       val writtenShards: Set[Int] = {
         val p = new org.apache.hadoop.fs.Path(stagingPath)
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!fs.exists(p)) Set.empty
-        else fs.listStatus(p).toSeq.map(_.getPath.getName)
-          .filter(_.startsWith("shard="))
-          .map(_.stripPrefix("shard=").toInt).toSet
+        val fromDirs =
+          if (!fs.exists(p)) Set.empty[Int]
+          else fs.listStatus(p).toSeq.map(_.getPath.getName)
+            .filter(_.startsWith("shard="))
+            .map(_.stripPrefix("shard=").toInt).toSet
+        // a crashed epoch staged by the pre-partitioned layout holds flat
+        // files with shard as a data column — no shard= dirs. Falling
+        // through with an empty set would skip the overwrite and then
+        // DELETE every changed shard (silent data loss); read the staged
+        // shard values instead for that one replay.
+        if (fromDirs.nonEmpty || !hasDataFiles(spark, stagingPath)) fromDirs
+        else spark.read.parquet(stagingPath).select(col("shard")).distinct()
+          .collect().map(_.getInt(0)).toSet
       }
       if (writtenShards.nonEmpty) {
         val newContent = spark.read.parquet(stagingPath)
@@ -558,11 +593,7 @@ object Pipeline {
       manifest.orderBy(col("shard")).localCheckpoint()
         .write.mode(SaveMode.Overwrite).parquet(manifestPath)
     }
-    // the run-parameter artifact is immutable per outDir — write it once
-    // (a crash mid-write leaves a fileless dir, which rewrites)
-    if (!hasDataFiles(spark, s"$outDir/meta"))
-      spark.range(1).select(lit(numShards).as("num_shards"))
-        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/meta")
+    // (the meta artifact was validated/written at epoch entry)
     Curation.funnelRollup(vNow)
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/report")
 
@@ -587,7 +618,8 @@ object Pipeline {
     // committed state is ever a delta base, so state stays O(docs) /
     // O(distinct fps), not × epochs — and drop this epoch's staging (its
     // content is live in the corpus now)
-    cleanupAfterCommit(spark, outDir, epochId)
+    cleanupAfterCommit(spark, outDir, epochId,
+      fpReferenced = Some(fpmapNew.values.toSet))
     result
   }
 
@@ -596,7 +628,7 @@ object Pipeline {
     * fpcnt / epoch-result state and the epoch's transient staging.
     */
   private def cleanupAfterCommit(spark: SparkSession, outDir: String,
-      epochId: Long): Unit = {
+      epochId: Long, fpReferenced: Option[Set[Long]] = None): Unit = {
     Seq(s"$outDir/state/verdicts", s"$outDir/state/fpmap",
       s"$outDir/state/epochres").foreach { dir =>
       val p = new org.apache.hadoop.fs.Path(dir)
@@ -609,11 +641,15 @@ object Pipeline {
     }
     // fpcnt epochs live as long as the CURRENT pointer map references
     // them (a bucket an epoch didn't touch keeps pointing at its older
-    // version); only wholly-unreferenced older epochs drop
-    val referenced: Set[Long] =
+    // version); only wholly-unreferenced older epochs drop. The normal
+    // commit path already holds the map in memory and passes it in; the
+    // parquet re-read is only for the replay short-circuit, which has
+    // nothing else to go on.
+    val referenced: Set[Long] = fpReferenced.getOrElse {
       if (!hasDataFiles(spark, s"$outDir/state/fpmap/epoch=$epochId")) Set.empty
       else spark.read.parquet(s"$outDir/state/fpmap/epoch=$epochId")
         .select(col("epoch")).distinct().collect().map(_.getLong(0)).toSet
+    }
     val p = new org.apache.hadoop.fs.Path(s"$outDir/state/fpcnt")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p))

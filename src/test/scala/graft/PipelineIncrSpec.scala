@@ -293,6 +293,82 @@ class PipelineIncrSpec extends AnyFunSuite {
     assertEqualsOneShot(out, oneShot)
   }
 
+  test("a transitional flat-fpcnt state dir (extended verdicts, no fpmap) re-buckets and continues") {
+    import graft.operators.{Curation, Layout}
+    // fabricate the intra-round transitional layout: extended verdict
+    // state + a FLAT (un-bucketed) fpcnt dir, winv log, no pointer map
+    val out = Files.createTempDirectory("graft-incr-flatfp").toString
+    val c0 = chunk(150, Long.MaxValue)
+    val base = c0.select(col("doc_id"), col("lang"), col("source"),
+      graft.functions.TextFunctions.wsTokens(col("text")).as("toks"))
+    Curation.winFpsOver(base.select(col("doc_id"), col("toks")), Curation.SubWidth)
+      .write.parquet(s"$out/state/winv/batch=0")
+    val winv0 = spark.read.parquet(s"$out/state/winv")
+      .select(col("doc_id"), col("fp")).distinct()
+    val vFull = Curation.verdictsFullFrom(
+      Curation.docSignals(base), winv0).localCheckpoint()
+    winv0.groupBy(col("fp")).agg(count(lit(1)).as("nd"))
+      .write.parquet(s"$out/state/fpcnt/epoch=0") // FLAT: no bucket dirs
+    val kept0 = vFull.filter(col("kept"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tok"))
+      .join(c0.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .withColumn("shard", Layout.shardKey(col("doc_id"), Shards))
+    kept0.write.partitionBy("shard").parquet(s"$out/corpus")
+    Layout.shardManifest(spark.read.parquet(s"$out/corpus")
+        .select(col("doc_id"), col("text")), Shards)
+      .write.parquet(s"$out/manifest")
+    spark.range(1).select(lit(Shards).as("num_shards"))
+      .write.parquet(s"$out/meta")
+    Curation.funnelRollup(vFull).write.parquet(s"$out/report")
+    vFull.write.parquet(s"$out/state/verdicts/epoch=0")
+    // new code must force a compacting re-bucket, prune the flat dir once
+    // unreferenced, and converge
+    Pipeline.curateEpoch(chunk(0, 160), out, Shards, 1L)
+    val oneShot = Pipeline.curate(spark, dir,
+      Files.createTempDirectory("graft-incr-flatfp-ref").toString, Shards)
+    assertEqualsOneShot(out, oneShot)
+    val fpmap = spark.read.parquet(s"$out/state/fpmap/epoch=1")
+    assert(fpmap.select(col("epoch")).distinct().collect().map(_.getLong(0)).toSet
+      === Set(1L), "compaction must point every bucket at the migrating epoch")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$out/state/fpcnt/epoch=0")),
+      "the unreferenced flat fpcnt dir must be pruned")
+  }
+
+  test("a crashed epoch staged by the flat (pre-partitioned) layout replays without shard loss") {
+    // upgrade scenario: the crash happened under the old code, whose
+    // staging was flat parquet with shard as a data column — the replay
+    // must NOT read an empty shard-dir listing and delete changed shards
+    val out = Files.createTempDirectory("graft-incr-flatstage").toString
+    Pipeline.curateEpoch(chunk(100, Long.MaxValue), out, Shards, 0L)
+    Pipeline.failAfterStaging = true
+    try intercept[IllegalStateException] {
+      Pipeline.curateEpoch(chunk(0, 120), out, Shards, 1L)
+    } finally Pipeline.failAfterStaging = false
+    // rewrite the committed staging into the OLD flat layout
+    val stagingPath = s"$out/state/staging/epoch=1/base=0"
+    val staged = spark.read.parquet(stagingPath)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tok"),
+        col("text"), col("shard")).localCheckpoint()
+    val sdir = java.nio.file.Paths.get(stagingPath)
+    Files.walk(sdir).toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_ != sdir).sortBy(-_.getNameCount).foreach(Files.delete)
+    staged.write.mode("overwrite").parquet(stagingPath) // flat, _SUCCESS
+    Pipeline.curateEpoch(chunk(0, 120), out, Shards, 1L)
+    val oneShot = Pipeline.curate(spark, dir,
+      Files.createTempDirectory("graft-incr-flatstage-ref").toString, Shards)
+    assertEqualsOneShot(out, oneShot)
+  }
+
+  test("an epoch with a different shard count than the founding run fails loudly") {
+    val out = Files.createTempDirectory("graft-incr-shards").toString
+    Pipeline.curateEpoch(chunk(200, Long.MaxValue), out, Shards, 0L)
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.curateEpoch(chunk(0, 210), out, Shards * 2, 1L)
+    }
+    assert(e.getMessage.contains("numShards"))
+  }
+
   test("an epoch retry (same id) is idempotent across every artifact") {
     val out = Files.createTempDirectory("graft-incr-idem").toString
     Pipeline.curateEpoch(chunk(200, Long.MaxValue), out, Shards, 0L)
