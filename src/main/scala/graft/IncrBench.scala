@@ -14,23 +14,40 @@ import org.apache.spark.sql.functions._
   * recompute over a corpus only a few batches deep still costs about one
   * batch.
   *
+  * `SPARK_GRAFT_INCR_SCALE=K` replicates the corpus K× with per-replica
+  * token suffixes (every window fingerprint, bag, and doc id becomes
+  * replica-unique, so the replicas neither dedup nor span-collide with
+  * each other) — the knob that makes ACCUMULATED STATE, not per-epoch
+  * fixed overhead, the dominant cost, i.e. the regime where a full
+  * recompute's tail epochs grow toward founding time while the delta
+  * fold stays flat.
+  *
   * Prints ONE JSON line `{"metric":"incr_epochs","founding":s,
-  * "tail":[s,...],"total":s,"docs":n,"sf":...}` — under a full per-epoch
-  * recompute every tail epoch re-aggregates the accumulated corpus (tail
-  * times trend TOWARD the founding time as state grows); under the
-  * delta-join design they stay batch-bound (flat, well below founding).
+  * "tail":[s,...],"jobs":[n,...],"total":s,"docs":n,"sf":...}` — `jobs`
+  * counts Spark jobs per epoch (founding first), the fixed-overhead
+  * driver the round-11 verdict asked to make visible.
   */
 object IncrBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val tailN = sys.env.getOrElse("SPARK_GRAFT_INCR_TAIL", "8").toInt.max(1)
+    val scale = sys.env.getOrElse("SPARK_GRAFT_INCR_SCALE", "1").toInt.max(1)
     val spark = Engine.configure(
       SparkSession.builder().master(s"local[$cpus]"),
       shufflePartitions = cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val docs = Fixtures.documents(spark, sfDir)
+    val raw = Fixtures.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    val docs =
+      if (scale == 1) raw
+      else raw
+        .withColumn("r", explode(sequence(lit(0L), lit(scale - 1L))))
+        .select((col("doc_id") * scale + col("r")).as("doc_id"),
+          col("lang"), col("source"),
+          array_join(transform(split(col("text"), " "),
+            t => concat(t, lit("_"), col("r"))), " ").as("text"))
+        .localCheckpoint() // fix the replicated corpus once, off the plan
     val nDocs = docs.count() // also warms footers/JIT
     val cuts = docs.stat.approxQuantile("doc_id",
       (0 to tailN).map(i => 0.2 * i / tailN).toArray, 0.001).map(_.toLong)
@@ -40,14 +57,24 @@ object IncrBench {
         (tailN - 1 to 0 by -1).map(i =>
           (if (i == 0) Long.MinValue else cuts(i), cuts(i + 1)))
     val out = java.nio.file.Files.createTempDirectory("graft-incrbench").toString
-    val times = ranges.zipWithIndex.map { case ((lo, hi), i) =>
+    val jobsSeen = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobsSeen.incrementAndGet()
+      })
+    val runs = ranges.zipWithIndex.map { case ((lo, hi), i) =>
       val chunk = docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+      val j0 = jobsSeen.get
       val t0 = System.nanoTime()
       Pipeline.curateEpoch(chunk, out, 16, i.toLong)
-      (System.nanoTime() - t0) / 1e9
+      ((System.nanoTime() - t0) / 1e9, jobsSeen.get - j0)
     }
+    val times = runs.map(_._1)
     println(s"""{"metric":"incr_epochs","founding":${f"${times.head}%.3f"},"tail":[${
-      times.tail.map(t => f"$t%.3f").mkString(",")}],"total":${
+      times.tail.map(t => f"$t%.3f").mkString(",")}],"jobs":[${
+      runs.map(_._2).mkString(",")}],"total":${
       f"${times.sum}%.3f"},"docs":$nDocs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.{Curation, Layout}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** End-to-end curation run — the library's USER-FACING entry: evaluate the
@@ -17,6 +17,17 @@ import org.apache.spark.sql.functions._
   * `outDir/manifest/`, `outDir/report/`. Overwrite semantics: a re-run is
   * idempotent (all inputs and the md5 shard key are deterministic).
   *
+  * Optional DECONTAMINATION gate: pass `benchmark` (a small `(doc_id,
+  * text)` eval-set frame) and any corpus doc sharing at least one
+  * width-[[graft.operators.Curation.DecontamWidth]] token window with it
+  * is dropped (q104's oracle-verified window formula reduced to the
+  * binary `n_hit >= 1` gate), and the report gains a `docs_contaminated`
+  * column. The flag is doc-local given a fixed benchmark, so the
+  * incremental epochs fold it with the same monotonicity argument as the
+  * other gates; the benchmark must stay FIXED for the life of an
+  * incremental outDir (pinned by a fingerprint in the meta artifact,
+  * like `numShards`).
+  *
   * Scale shape: one gate evaluation over the shared tokenized base, one
   * shuffle-free sharded write (the shard key is a narrow projection; files
   * per shard = upstream partitions — at 100 TB you'd `repartition(shard)`
@@ -30,8 +41,22 @@ object Pipeline {
       corpusPath: String, manifestPath: String, reportPath: String)
 
   def curate(spark: SparkSession, sfDir: String, outDir: String,
-      numShards: Int = 16): CurationRun = {
-    val verdicts = Curation.funnelVerdicts(spark, sfDir)
+      numShards: Int = 16, benchmark: Option[DataFrame] = None): CurationRun = {
+    val gate = benchmark.isDefined
+    val vBase = benchmark match {
+      case None => Curation.funnelVerdicts(spark, sfDir)
+        .withColumn("contam", lit(false))
+      case Some(b) =>
+        // contamination is corpus-scale on the left (every doc can carry
+        // the flag), so the flag joins by a plain left join — only the
+        // benchmark side is broadcast (inside contaminatedIds)
+        Curation.funnelVerdicts(spark, sfDir)
+          .join(Curation.contaminatedIds(spark, sfDir, b)
+            .withColumn("contam", lit(true)), Seq("doc_id"), "left")
+          .withColumn("contam", coalesce(col("contam"), lit(false)))
+    }
+    val verdicts = vBase
+      .withColumn("kept", Curation.contamKept(col("kept"), col("contam")))
       .persist() // consumed thrice: corpus write, report, counts
     val kept = verdicts.filter(col("kept"))
       .select(col("doc_id"), col("lang"), col("source"), col("n_tok"))
@@ -57,11 +82,12 @@ object Pipeline {
     Layout.shardManifest(manifestSrc, numShards)
       .write.mode(SaveMode.Overwrite).parquet(manifestPath)
     // run parameters ride their own tiny artifact so the audit can never
-    // be called with the wrong shard count
-    spark.range(1).select(lit(numShards).as("num_shards"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/meta")
+    // be called with the wrong shard count (or a drifted benchmark)
+    val sig = benchmark.map(b => benchSig(Curation.benchmarkFps(b)))
+      .getOrElse((0L, 0L))
+    writeMeta(spark, outDir, numShards, sig)
     val reportPath = s"$outDir/report"
-    Curation.funnelRollup(verdicts)
+    Curation.funnelRollupEx(verdicts, withContam = gate)
       .write.mode(SaveMode.Overwrite).parquet(reportPath)
     verdicts.unpersist()
     CurationRun(totals.getLong(0), totals.getLong(1), totals.getLong(2),
@@ -70,7 +96,10 @@ object Pipeline {
 
   /** Per-epoch result of [[curateEpoch]] — the observability surface of an
     * incremental run: how the corpus-global verdicts MOVED this epoch
-    * (retroactive drops are first-class, not silent).
+    * (retroactive drops are first-class, not silent). A replay of an
+    * epoch committed by the PRE-staging layout (which never persisted its
+    * deltas) reports correct totals but ZEROED `added`/`removed`/
+    * `changedShards` — see [[readEpochResult]].
     */
   final case class EpochResult(epochId: Long, docsSeen: Long, docsKept: Long,
       added: Long, removed: Long, changedShards: Seq[Int])
@@ -85,26 +114,101 @@ object Pipeline {
 
   /** Hash-bucket count of the per-fp count state
     * (`state/fpcnt/epoch=<e>/bucket=pmod(fp, FpBuckets)`). A layout
-    * constant: changing it is safe — the stored count rides the pointer
-    * map, and a mismatch triggers a compacting re-bucket — but pick it
-    * for the deployment (more buckets = finer epoch pruning; at 100 TB
-    * thousands, here 64 so fixture batches exercise real pruning).
+    * constant: changing it is safe — the stored count rides the commit
+    * artifact's pointer rows, and a mismatch triggers a compacting
+    * re-bucket — but pick it for the deployment (more buckets = finer
+    * epoch pruning; at 100 TB thousands, here 64 so fixture batches
+    * exercise real pruning).
     */
   private[graft] val FpBuckets = 64
 
+  /** Hash-bucket count of the doc-scale verdict state
+    * (`state/vbkt/epoch=<e>/bucket=pmod(xxhash64(doc_id), VBuckets)`).
+    * Same contract as [[FpBuckets]]: a layout constant with a compacting
+    * migration on change; an epoch reads and rewrites only the buckets
+    * holding its batch's docs plus the docs its deltas flip, so verdict
+    * I/O is batch-bound, not corpus-bound.
+    */
+  private[graft] val VBuckets = 64
+
   /** Compact (fold every referenced bucket forward into one epoch) when
-    * the pointer map references this many distinct epochs — bounds both
+    * a pointer map references this many distinct epochs — bounds both
     * the per-epoch state-read fan-out and the dead superseded-bucket
-    * copies old epoch dirs accumulate between compactions.
+    * copies old epoch dirs accumulate between compactions. Shared by the
+    * fp-count and verdict pointer maps.
     */
   private[graft] val FpCompactAt = 8
 
-  private def fpBucket(fp: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  /** Broadcast gate for the fp-scale epoch probes (`contrib` and frames
+    * derived from it: `updated`, `fresh`, `crossed`, `dupFpsB`). These
+    * are one row per DISTINCT WINDOW FP in the batch — batch-bound but
+    * token-scale, so a founding/backfill epoch can push GBs through a
+    * forced broadcast (driver OOM / 8 GB cap). Above this row count the
+    * epoch falls back to plain shuffle joins for those probes: an
+    * oversized batch pays an O(batch + touched-bucket) exchange instead
+    * of an OOM. Doc-scale probes (seen ids, displaced keepers, crossing
+    * docs) stay broadcast — they are bounded by the micro-batch's doc
+    * count, which the epoch contract caps (a stream trigger sizes its
+    * batches; a backfill that cannot should call [[curate]] instead).
+    * `var` so specs can force the fallback path.
+    */
+  @volatile private[graft] var FpBroadcastMaxRows: Long = 4L << 20
+
+  private def fpBucket(fp: Column): Column =
     pmod(fp, lit(FpBuckets.toLong)).cast("int")
 
-  // numShards validated once per (JVM, outDir) against the meta artifact
-  private val metaShards =
-    scala.collection.concurrent.TrieMap[String, Int]()
+  /** Verdict-state bucket of a doc id — hashed (not `pmod(doc_id, …)`)
+    * so sequential or skewed id schemes still spread evenly.
+    */
+  private def vBucket(id: Column): Column =
+    pmod(xxhash64(id), lit(VBuckets.toLong)).cast("int")
+
+  // numShards + benchmark signature validated once per (JVM, outDir)
+  // against the meta artifact; the DISK stays the authority (see the
+  // re-validation note in curateEpoch)
+  private val metaCache =
+    scala.collection.concurrent.TrieMap[String, (Int, Long, Long)]()
+
+  /** One row of the per-epoch commit artifact `state/commit/epoch=<e>` —
+    * ALL of an epoch's driver-scale state in one parquet write, which is
+    * also the epoch's COMMIT MARKER (written last):
+    * `kind='fp'|'v'`: pointer rows of the fp-count / verdict bucket maps;
+    * `kind='roll'`: the cumulative per-(lang, source) report rollup;
+    * `kind='shard'`: per-shard kept-doc counts (manifest validation);
+    * `kind='res'`: the epoch's [[EpochResult]] row.
+    * Folding the report and shard counts forward here is what removes
+    * the last O(corpus) per-epoch aggregation: deltas come from the
+    * touched rows only, and the cumulative values ride this artifact.
+    */
+  private[graft] final case class CommitRow(kind: String,
+      bucket: Option[Int] = None, epoch: Option[Long] = None,
+      n_buckets: Option[Int] = None,
+      lang: Option[String] = None, source: Option[String] = None,
+      docs_in: Option[Long] = None, docs_kept: Option[Long] = None,
+      tokens_kept: Option[Long] = None, docs_contam: Option[Long] = None,
+      shard: Option[Int] = None, n_kept: Option[Long] = None,
+      docs_seen: Option[Long] = None, added: Option[Long] = None,
+      removed: Option[Long] = None, changed_shards: Option[Seq[Int]] = None)
+
+  private[graft] final case class RollRow(lang: String, source: String,
+      docsIn: Long, docsKept: Long, tokensKept: Long, docsContam: Long)
+
+  /** In-memory image of a committed epoch's commit artifact. */
+  private[graft] final case class EpochState(
+      fpPtr: Map[Int, Long], fpNB: Int,
+      vPtr: Map[Int, Long], vNB: Int,
+      rollup: Map[(String, String), RollRow],
+      shardKept: Map[Int, Long]) {
+    def docsSeen: Long = rollup.values.map(_.docsIn).sum
+    def docsKept: Long = rollup.values.map(_.docsKept).sum
+  }
+
+  // steady-state epochs skip the commit-artifact read: the previous
+  // epoch's state is cached per (JVM, outDir), keyed by the epoch id it
+  // describes — a cache entry is only trusted when the DISK's newest
+  // committed epoch matches it
+  private val stateCache =
+    scala.collection.concurrent.TrieMap[String, (Long, EpochState)]()
 
   /** One micro-batch epoch of the APPEND-MODE curation pipeline: fold a new
     * chunk of documents into the same corpus/manifest/report artifacts
@@ -119,70 +223,90 @@ object Pipeline {
     * threshold — so an already-kept document can retroactively flip to
     * dropped. Under append-only delivery those are the ONLY possible
     * flips, and both are MONOTONE (per-bag min doc_id only decreases;
-    * per-fp distinct-doc counts only grow; the doc-local gates are fixed
-    * at first sight), which is what makes the epoch INCREMENTAL: verdicts
-    * are maintained as updatable per-doc state
+    * per-fp distinct-doc counts only grow; the doc-local gates — including
+    * the optional benchmark-contamination gate — are fixed at first
+    * sight), which is what makes the epoch INCREMENTAL: verdicts are
+    * maintained as updatable per-doc state
     * (`(doc_id, lang, source, n_tok, h, bag, bag_keep, n_win, n_dup,
-    * kept)` — [[graft.operators.Curation.verdictsFullFrom]]'s schema)
-    * plus one per-fp aggregate `(fp, nd)`, and each epoch delta-joins the
-    * batch against them instead of re-aggregating every doc ever seen:
+    * contam, kept)`) plus one per-fp aggregate `(fp, nd)`, and each epoch
+    * delta-joins the batch against them instead of re-aggregating every
+    * doc ever seen:
     *
     *  - batch-only heavy lifting: tokenize, signals, window fps — O(batch)
     *    shuffles, nothing corpus-keyed;
     *  - re-delivered docs are detected by a broadcast probe of the batch's
-    *    ids against the verdict state (scan, no shuffle) and contribute
-    *    nothing;
-    *  - per-fp counts merge by a broadcast join of the batch's fp tallies
-    *    against the previous epoch's `fpcnt` (scan + map-side rewrite);
-    *    fps CROSSING the duplicate threshold (nd 1→≥2) come out of that
-    *    merge, and the docs they touch come from a broadcast probe of the
-    *    batch-keyed window-fp log — shuffle O(touched), not O(corpus);
+    *    ids against the verdict state (bucket-PRUNED scan, no shuffle) and
+    *    contribute nothing; a batch with NO new docs short-circuits to the
+    *    commit write (the steady-state heartbeat epoch costs a handful of
+    *    batch-local jobs);
+    *  - per-fp counts merge by a (size-gated, see [[FpBroadcastMaxRows]])
+    *    broadcast join of the batch's fp tallies against the previous
+    *    epoch's `fpcnt` buckets (scan + map-side rewrite); fps CROSSING
+    *    the duplicate threshold (nd 1→≥2) come out of that merge, and the
+    *    docs they touch come from a broadcast probe of the batch-keyed
+    *    window-fp log — shuffle O(touched), not O(corpus);
     *  - keeper displacement comes from a broadcast join of the batch's
     *    per-bag minima against the previous keepers (scan, small output);
-    *  - the new verdict set is the old state re-emitted with the touched
-    *    flips applied (map-side scan + broadcast joins) plus the batch's
-    *    fresh rows — added/removed fall out of the SAME pass (added ⊆ the
-    *    batch by monotonicity; removed = previously-kept docs whose flip
-    *    landed this epoch), so no corpus-scale exceptAll ever runs.
+    *  - the new verdict rows are ONLY the touched buckets' rows re-emitted
+    *    with the flips applied (map-side scan + broadcast joins) plus the
+    *    batch's fresh rows — added/removed fall out of the SAME pass
+    *    (added ⊆ the batch by monotonicity; removed = previously-kept docs
+    *    whose flip landed this epoch), and the per-(lang, source) report
+    *    rollup and per-shard kept counts fold FORWARD from those deltas
+    *    (two tiny aggregations over the touched rows; the cumulative
+    *    values ride the commit artifact) — no corpus-scale aggregation,
+    *    write, or exceptAll ever runs.
     *
     * Crash safety follows the commit-marker design: every write is
     * batch/epoch-keyed and deterministic from (base state, batch); the
-    * epoch's verdict state is written LAST with its `_SUCCESS` as the
-    * commit marker, and a completed epoch short-circuits its own replay
-    * via that marker. The one genuinely destructive window — dynamic
-    * partition overwrite of the corpus deletes changed shards' old bytes
-    * at job commit — is closed by STAGING: the changed shards' full new
-    * content lands under `state/staging/epoch=<e>/base=<b>` (keyed by the
-    * delta base so a stale attempt's staging can never be replayed
-    * against the wrong base) before the corpus overwrite starts, so a
-    * crash mid-overwrite replays from staging without re-reading the
-    * half-rewritten shards. Staging also removes the old `state/texts`
-    * mirror (which duplicated every doc's text forever): by the
-    * monotonicity argument every doc the rewrite can need is either in a
-    * live shard (carried over) or in the current batch (newly added), so
-    * text state is TRANSIENT and bounded by the changed shards.
+    * epoch's COMMIT ARTIFACT (`state/commit/epoch=<e>` — both pointer
+    * maps, the cumulative rollup, shard counts, and the result row in one
+    * tiny parquet) is written LAST and its `_SUCCESS` is the commit
+    * marker; a completed epoch short-circuits its own replay via that
+    * marker. The one genuinely destructive window — dynamic partition
+    * overwrite of the corpus deletes changed shards' old bytes at job
+    * commit — is closed by STAGING: the changed shards' full new content
+    * lands under `state/staging/epoch=<e>/base=<b>` (keyed by the delta
+    * base so a stale attempt's staging can never be replayed against the
+    * wrong base) before the corpus overwrite starts, so a crash
+    * mid-overwrite replays from staging without re-reading the
+    * half-rewritten shards. Text state is TRANSIENT and bounded by the
+    * changed shards: by the monotonicity argument every doc a rewrite can
+    * need is either in a live shard (carried over) or in the current
+    * batch (newly added).
     *
     * Scale shape: per epoch the shuffled rows are O(batch + touched keys)
-    * (PipelineIncrSpec pins this with a task-metrics listener). The
-    * token-scale fp-count state is HASH-BUCKETED
-    * (`state/fpcnt/epoch=<e>/bucket=<b>` + a tiny per-epoch pointer map):
-    * an epoch reads and rewrites only the buckets its batch touches, so
-    * unchanged buckets skip even the scan, and a bounded compaction
+    * (PipelineIncrSpec pins this with a task-metrics listener) and the
+    * verdict-state WRITE volume is O(touched buckets), not O(corpus)
+    * (pinned by the bucket-count + row-count spec). Both token-scale
+    * (`state/fpcnt`) and doc-scale (`state/vbkt`) state are HASH-BUCKETED
+    * with per-epoch pointer rows in the commit artifact: an epoch reads
+    * and rewrites only the buckets its batch touches, unchanged buckets
+    * keep their bytes and their pointer, and a bounded compaction
     * ([[FpCompactAt]]) folds every referenced bucket forward before
     * pointer fan-out or dead superseded copies can grow past about one
-    * live-state's worth. The doc-scale verdict state is scanned against
-    * broadcast deltas and rewritten map-side each epoch (narrow columnar
-    * I/O, no corpus-keyed exchange); the window-fp log (`state/winv`,
-    * append-only, batch-keyed) is read only under a broadcast of crossing
-    * fps, and not at all in the no-crossing steady state. Driver-side
-    * collects stay ≤ max(numShards, FpBuckets) ints. Re-delivered docs
-    * (same doc_id in several batches, same text — the at-least-once
-    * contract) collapse via the seen-id probe.
+    * live-state's worth. The window-fp log (`state/winv`, append-only,
+    * batch-keyed) is read only under a broadcast of crossing fps, and not
+    * at all in the no-crossing steady state. Driver-side collects stay
+    * ≤ max(numShards, FpBuckets, VBuckets, |lang×source| — the report's
+    * own reviewable cardinality) rows. Re-delivered docs (same doc_id in
+    * several batches, same text — the at-least-once contract) collapse
+    * via the seen-id probe.
+    *
+    * With `benchmark` set, fresh docs additionally carry the q104
+    * contamination flag (window-fp intersection with the benchmark,
+    * evaluated ONCE at first sight — doc-local and fixed, so the
+    * monotonicity argument is unchanged) and the report gains
+    * `docs_contaminated`. The benchmark is pinned by a fingerprint in
+    * the meta artifact: an epoch called with a different benchmark (or
+    * with the gate toggled) fails loudly instead of silently mixing two
+    * gate regimes in one corpus.
     */
   def curateEpoch(batch: DataFrame, outDir: String, numShards: Int,
-      epochId: Long): EpochResult = {
+      epochId: Long, benchmark: Option[DataFrame] = None): EpochResult = {
     val spark = batch.sparkSession
-    val verdictsPath = s"$outDir/state/verdicts"
+    val commitDir = s"$outDir/state/commit"
+    val legacyVerdicts = s"$outDir/state/verdicts"
 
     // a COMPLETED epoch short-circuits its own replay (the commit marker
     // landed, so every artifact is already applied — only the post-marker
@@ -190,31 +314,55 @@ object Pipeline {
     // the persisted result. Without this, a replay that arrives after the
     // prune (no earlier base left) would treat the whole corpus as one
     // batch-sized delta and lose every non-batch doc from the state.
-    if (isCommitted(spark, s"$verdictsPath/epoch=$epochId")) {
-      cleanupAfterCommit(spark, outDir, epochId)
+    if (isCommitted(spark, s"$commitDir/epoch=$epochId") ||
+        isCommitted(spark, s"$legacyVerdicts/epoch=$epochId")) {
+      cleanupAfterCommit(spark, outDir, epochId, None)
       return readEpochResult(spark, outDir, epochId)
     }
 
-    // the shard count is immutable per outDir — PIN it before any write:
-    // an epoch called with a different count would silently mix two
-    // layouts in one corpus while the audit keeps the founding count.
+    // the benchmark's window-fp set: used for the meta fingerprint AND
+    // the fresh-doc contamination probe (gate-on epochs only)
+    val benchFps: Option[DataFrame] =
+      benchmark.map(b => Curation.benchmarkFps(b).localCheckpoint())
+    val sig: (Long, Long) = benchFps.map(benchSig).getOrElse((0L, 0L))
+
+    // the shard count and benchmark are immutable per outDir — PIN both
+    // before any write: an epoch called with a different shard count
+    // would silently mix two layouts in one corpus while the audit keeps
+    // the founding count, and a drifted benchmark would break the
+    // fixed-at-first-sight monotonicity of the contamination flag.
     // Validated once per (JVM, outDir), so the check costs a 1-row read
     // only on the first epoch after a restart; the meta artifact itself
     // writes once (a crash mid-write leaves a fileless dir, which
-    // rewrites).
-    metaShards.get(outDir) match {
-      case Some(n) => require(n == numShards,
-        s"outDir $outDir was founded with numShards=$n; epoch called with $numShards")
-      case None =>
-        if (hasDataFiles(spark, s"$outDir/meta")) {
-          val stored = spark.read.parquet(s"$outDir/meta")
-            .head().getAs[Int]("num_shards")
-          require(stored == numShards,
-            s"outDir $outDir was founded with numShards=$stored; epoch called with $numShards")
-        } else
-          spark.range(1).select(lit(numShards).as("num_shards"))
-            .write.mode(SaveMode.Overwrite).parquet(s"$outDir/meta")
-        metaShards.put(outDir, numShards)
+    // rewrites). The JVM-lifetime cache yields to the DISK whenever the
+    // meta artifact has no data files: an outDir wiped and re-founded in
+    // the same JVM must found cleanly with its new parameters, not fail
+    // against the stale cached ones (the per-epoch listing of the 1-file
+    // meta dir is the price of that correctness).
+    val metaLive = hasDataFiles(spark, s"$outDir/meta")
+    def requireMeta(stored: (Int, Long, Long)): Unit = {
+      require(stored._1 == numShards,
+        s"outDir $outDir was founded with numShards=${stored._1}; " +
+          s"epoch called with $numShards")
+      require((stored._2, stored._3) == sig,
+        s"outDir $outDir was founded with benchmark fingerprint " +
+          s"(${stored._2}, ${stored._3}); epoch called with $sig — the " +
+          "decontamination benchmark must stay fixed for the life of an " +
+          "incremental outDir (gate toggles included)")
+    }
+    metaCache.get(outDir) match {
+      case Some(st) if metaLive => requireMeta(st)
+      case _ =>
+        if (metaLive) {
+          val r = spark.read.parquet(s"$outDir/meta").head()
+          val stored = (r.getAs[Int]("num_shards"),
+            if (r.schema.fieldNames.contains("bench_n"))
+              r.getAs[Long]("bench_n") else 0L,
+            if (r.schema.fieldNames.contains("bench_x"))
+              r.getAs[Long]("bench_x") else 0L)
+          requireMeta(stored)
+        } else writeMeta(spark, outDir, numShards, sig)
+        metaCache.put(outDir, (numShards, sig._1, sig._2))
     }
 
     val docs = batch.select(col("doc_id"), col("lang"), col("source"), col("text"))
@@ -230,23 +378,31 @@ object Pipeline {
     Curation.winFpsOver(base.select(col("doc_id"), col("toks")), Curation.SubWidth)
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/state/winv/batch=$epochId")
     val batchWins = spark.read.parquet(s"$outDir/state/winv/batch=$epochId")
-    val batchSigs = Curation.docSignals(base)
 
-    // delta base: the newest COMMITTED earlier epoch (marker = _SUCCESS of
-    // the verdict-state write; a crashed attempt of THIS epoch is handled
-    // by the short-circuit above). Driver FS listing — O(#epochs) names.
-    // A base written by the PRE-delta layout (5-column verdicts, no fpcnt)
-    // is migrated in place: that layout always carries batch-keyed
-    // `state/sigs` + `state/winv`, from which the extended verdict state
-    // and the per-fp counts rebuild exactly once (the one-shot formulas),
-    // and this epoch then writes the new layout forward.
+    // delta base: the newest COMMITTED earlier epoch (marker = the commit
+    // artifact's _SUCCESS, or the legacy verdict-state _SUCCESS for bases
+    // written by earlier layouts; a crashed attempt of THIS epoch is
+    // handled by the short-circuit above). Driver FS listing.
     val lastCommitted: Option[Long] =
-      committedEpochs(spark, verdictsPath).filter(_ < epochId).maxOption
-    val vPrev: DataFrame = lastCommitted match {
-      case Some(e)
-          if spark.read.parquet(s"$verdictsPath/epoch=$e").columns.contains("bag") =>
-        spark.read.parquet(s"$verdictsPath/epoch=$e")
-      case Some(e) => // legacy layout: rebuild the extended state from sigs
+      committedEpochs(spark, outDir).filter(_ < epochId).maxOption
+    // gen3 base (commit artifact); None for legacy bases AND for epoch 0
+    val prevState: Option[EpochState] =
+      lastCommitted.flatMap(e => loadEpochState(spark, outDir, e, useCache = true))
+    val legacyBase = lastCommitted.isDefined && prevState.isEmpty
+
+    // full previous verdict state, by layout generation: (gen3) bucketed
+    // union of pointed epochs; (gen2) a full verdict dir with the
+    // extended columns; (gen1) 5-column verdicts → rebuild the extended
+    // state from the batch-keyed sigs + winv primitives, exactly once.
+    // Legacy rows predate the contamination gate → contam = false (the
+    // meta fingerprint pin above guarantees the gate was off for them).
+    lazy val vPrevAll: DataFrame = (lastCommitted, prevState) match {
+      case (_, Some(st)) => readVBuckets(spark, outDir, st.vPtr, None)
+      case (Some(e), None)
+          if spark.read.parquet(s"$legacyVerdicts/epoch=$e").columns.contains("bag") =>
+        spark.read.parquet(s"$legacyVerdicts/epoch=$e")
+          .withColumn("contam", lit(false)).select(StateCols.map(col): _*)
+      case (Some(e), None) =>
         val sigs = spark.read.parquet(s"$outDir/state/sigs")
           .filter(col("batch") <= e)
           .select(col("doc_id"), col("lang"), col("source"),
@@ -255,75 +411,110 @@ object Pipeline {
           .filter(col("batch") <= e)
           .select(col("doc_id"), col("fp")).distinct()
         Curation.verdictsFullFrom(sigs, winv)
-      case None => emptyVerdictState(spark)
+          .withColumn("contam", lit(false)).select(StateCols.map(col): _*)
+      case (None, _) => emptyVerdictState(spark)
     }
-    // fp-count base, by layout generation: (a) BUCKETED + pointer map —
-    // the steady state; (b) an un-bucketed fpcnt dir (transitional) or
-    // (c) no fpcnt at all (pre-delta legacy: rebuild from winv) — both of
-    // which force a compacting full fold into the bucketed layout below.
+    // bucket-pruned view (only available under gen3 — legacy bases fall
+    // back to the full frame, which the compacting migration consumes
+    // exactly once anyway)
+    def vPrevFor(buckets: Seq[Int]): DataFrame = prevState match {
+      case Some(st) => readVBuckets(spark, outDir, st.vPtr, Some(buckets.toSet))
+      case None => vPrevAll
+    }
+
+    // fp-count base, by layout generation: (gen3) pointer rows from the
+    // commit artifact; (r11 legacy) a bucketed fpcnt dir + fpmap; (older)
+    // an un-bucketed fpcnt dir or none at all (rebuild from winv) — the
+    // last two force a compacting full fold into the bucketed layout.
     val emptyFp = spark.range(0).select(col("id").as("fp"), col("id").as("nd"))
-    val (fpmapBase: Map[Int, Long], fpmapStoredBuckets: Int) = lastCommitted match {
-      case Some(e) if hasDataFiles(spark, s"$outDir/state/fpmap/epoch=$e") =>
-        val rows = spark.read.parquet(s"$outDir/state/fpmap/epoch=$e")
-          .select(col("bucket"), col("epoch"), col("n_buckets")).collect()
-        (rows.map(r => r.getInt(0) -> r.getLong(1)).toMap,
-          rows.headOption.map(_.getInt(2)).getOrElse(FpBuckets))
-      case _ => (Map.empty[Int, Long], FpBuckets)
-    }
-    val fullFpBase: Option[DataFrame] = lastCommitted match {
-      case _ if fpmapBase.nonEmpty => None
-      case Some(e) if hasDataFiles(spark, s"$outDir/state/fpcnt/epoch=$e") =>
-        Some(spark.read.parquet(s"$outDir/state/fpcnt/epoch=$e")
-          .select(col("fp"), col("nd")))
-      case Some(e) =>
-        Some(spark.read.parquet(s"$outDir/state/winv")
-          .filter(col("batch") <= e)
-          .select(col("doc_id"), col("fp")).distinct()
-          .groupBy(col("fp")).agg(count(lit(1)).as("nd")))
-      case None => None
-    }
+    val (fpPtrBase: Map[Int, Long], fpNBBase: Int, fullFpBase: Option[DataFrame]) =
+      (prevState, lastCommitted) match {
+        case (Some(st), _) => (st.fpPtr, st.fpNB, None)
+        case (None, Some(e)) if hasDataFiles(spark, s"$outDir/state/fpmap/epoch=$e") =>
+          val rows = spark.read.parquet(s"$outDir/state/fpmap/epoch=$e")
+            .select(col("bucket"), col("epoch"), col("n_buckets")).collect()
+          (rows.map(r => r.getInt(0) -> r.getLong(1)).toMap,
+            rows.headOption.map(_.getInt(2)).getOrElse(FpBuckets), None)
+        case (None, Some(e)) if hasDataFiles(spark, s"$outDir/state/fpcnt/epoch=$e") =>
+          (Map.empty[Int, Long], FpBuckets,
+            Some(spark.read.parquet(s"$outDir/state/fpcnt/epoch=$e")
+              .select(col("fp"), col("nd"))))
+        case (None, Some(e)) =>
+          (Map.empty[Int, Long], FpBuckets,
+            Some(spark.read.parquet(s"$outDir/state/winv")
+              .filter(col("batch") <= e)
+              .select(col("doc_id"), col("fp")).distinct()
+              .groupBy(col("fp")).agg(count(lit(1)).as("nd"))))
+        case (None, None) => (Map.empty[Int, Long], FpBuckets, None)
+      }
 
     // re-delivery: batch ids already in the state contribute nothing new
     // (same doc_id ⇒ same text under the at-least-once contract). The
-    // probe broadcasts the BATCH side, so the state is scanned, never
-    // shuffled; `seenIds` is ≤ batch-sized.
+    // probe broadcasts the BATCH side against a bucket-PRUNED scan of the
+    // state (only the buckets the batch's ids can live in are read);
+    // `seenIds` is ≤ batch-sized.
     val batchIds = docs.select(col("doc_id"))
-    val seenIds = vPrev.select(col("doc_id"))
+    val batchBuckets: Seq[Int] = base.select(vBucket(col("doc_id")).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val seenIds = vPrevFor(batchBuckets).select(col("doc_id"))
       .join(broadcast(batchIds), Seq("doc_id")).localCheckpoint()
+    val batchSigs = Curation.docSignals(base)
     val newSigs = batchSigs.join(broadcast(seenIds), Seq("doc_id"), "left_anti")
       .localCheckpoint()
     val newIds = newSigs.select(col("doc_id"))
     val newWins = batchWins.join(broadcast(seenIds), Seq("doc_id"), "left_anti")
 
+    // FAST PATH: a batch with no new docs cannot move any verdict (flips
+    // only arise from new docs' bags and window fps), so the epoch is a
+    // heartbeat — carry every pointer and cumulative value forward and
+    // write only the commit marker. Gen3 bases only: a legacy base must
+    // run the full path so the compacting migration happens.
+    if (prevState.isDefined && newSigs.isEmpty) {
+      val st = prevState.get
+      val result = EpochResult(epochId, st.docsSeen, st.docsKept, 0L, 0L, Nil)
+      writeCommit(spark, outDir, epochId, st, result)
+      cleanupAfterCommit(spark, outDir, epochId, Some(st))
+      return result
+    }
+
     // per-fp distinct-doc counts: merge the batch's tallies into the
     // BUCKETED fp state. The state is hash-partitioned on pmod(fp,
     // FpBuckets) and an epoch only reads + rewrites the buckets its batch
-    // touches (pointer-map pruned; untouched buckets keep their bytes and
+    // touches (pointer-pruned; untouched buckets keep their bytes and
     // their pointer) — per-epoch fp I/O is O(touched buckets), not
     // O(all fps). `updated` (batch fps that already existed) and `fresh`
     // (fps first seen this batch) are both ≤ batch-sized.
     val contrib = newWins.groupBy(col("fp")).agg(count(lit(1)).as("add"))
       .withColumn("bucket", fpBucket(col("fp")))
       .localCheckpoint()
-    val touched: Seq[Int] = contrib.select(col("bucket")).distinct()
-      .collect().map(_.getInt(0)).sorted
+    // one local pass over the checkpointed tallies yields both the
+    // touched-bucket list and the fp count that gates the broadcasts
+    val tallies = contrib.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .collect()
+    val touched: Seq[Int] = tallies.map(_.getInt(0)).toSeq.sorted
+    val nContribFps: Long = tallies.map(_.getLong(1)).sum
+    // fp-scale broadcast gate (see FpBroadcastMaxRows): oversized batches
+    // fall back to shuffle joins for the fp-keyed probes
+    val bcastFp: DataFrame => DataFrame =
+      if (nContribFps <= FpBroadcastMaxRows) df => broadcast(df)
+      else df => df
     // compaction folds EVERY referenced bucket forward into this epoch:
     // on a layout migration (un-bucketed or winv-rebuilt base, or a
     // changed FpBuckets constant), and whenever the pointer map references
     // more than FpCompactAt epochs — that bound caps both the number of
     // per-epoch state reads and the dead superseded-bucket copies old
     // epochs can accumulate (≲ one live-state's worth between compactions)
-    val mustCompact = fullFpBase.isDefined ||
-      (fpmapBase.nonEmpty && fpmapStoredBuckets != FpBuckets) ||
-      fpmapBase.values.toSet.size >= FpCompactAt
+    val mustCompactFp = fullFpBase.isDefined ||
+      (fpPtrBase.nonEmpty && fpNBBase != FpBuckets) ||
+      fpPtrBase.values.toSet.size >= FpCompactAt
     val fPrevFold: DataFrame = fullFpBase match {
       case Some(full) => full
       case None =>
         // epoch -> buckets to read from it (every bucket from exactly its
         // pointed epoch — a superseded copy in an older epoch dir is dead
         // and must not be read, or its counts would double)
-        val wanted = (if (mustCompact) fpmapBase.toSeq
-          else fpmapBase.toSeq.filter(t => touched.contains(t._1)))
+        val wanted = (if (mustCompactFp) fpPtrBase.toSeq
+          else fpPtrBase.toSeq.filter(t => touched.contains(t._1)))
           .groupBy(_._2).view.mapValues(_.map(_._1)).toSeq
         wanted.map { case (e, buckets) =>
           spark.read.parquet(s"$outDir/state/fpcnt/epoch=$e")
@@ -331,45 +522,37 @@ object Pipeline {
             .select(col("fp"), col("nd"))
         }.reduceOption(_ unionByName _).getOrElse(emptyFp)
     }
-    val updated = fPrevFold.join(broadcast(contrib.select(col("fp"), col("add"))),
+    val updated = fPrevFold.join(bcastFp(contrib.select(col("fp"), col("add"))),
       Seq("fp")).localCheckpoint()
-    val fresh = contrib.join(broadcast(updated.select(col("fp"))),
+    val fresh = contrib.join(bcastFp(updated.select(col("fp"))),
       Seq("fp"), "left_anti").select(col("fp"), col("add").as("nd"))
-    val fNowFold = fPrevFold
-      .join(broadcast(contrib.select(col("fp"), col("add"))), Seq("fp"), "left")
-      .select(col("fp"), (col("nd") + coalesce(col("add"), lit(0L))).as("nd"))
-      .unionByName(fresh)
-      .withColumn("bucket", fpBucket(col("fp")))
-    // coalesce before the partitioned write: without it every task holds
-    // every touched bucket and the write fans out tasks × buckets small
-    // files per epoch. Coalesce (not repartition) keeps the fold
-    // SHUFFLE-FREE — a batch that happens to touch every bucket would
-    // otherwise re-exchange the whole fp state each epoch, violating the
-    // O(batch + touched) shuffle budget the spec pins — at the price of
-    // write parallelism 8, ample for the narrow (fp, nd) rows.
-    fNowFold.coalesce(8)
-      .write.mode(SaveMode.Overwrite).partitionBy("bucket")
-      .parquet(s"$outDir/state/fpcnt/epoch=$epochId")
-    // pointer map forward: untouched buckets keep pointing at their
-    // current epoch; touched (or, on compaction, every written) buckets
-    // point here. Written with the bucket-count constant so a future
-    // constant change is detected and compacts instead of mis-bucketing.
-    val fpmapNew: Map[Int, Long] =
-      if (mustCompact)
-        (if (!hasDataFiles(spark, s"$outDir/state/fpcnt/epoch=$epochId"))
-          Map.empty[Int, Long]
-        else spark.read.parquet(s"$outDir/state/fpcnt/epoch=$epochId")
-          .select(col("bucket")).distinct()
-          .collect().map(_.getInt(0) -> epochId).toMap)
-      else fpmapBase ++ touched.map(_ -> epochId)
-    locally {
-      import spark.implicits._
-      fpmapNew.toSeq.sortBy(_._1).toDF("bucket", "epoch")
-        .withColumn("n_buckets", lit(FpBuckets))
-        .coalesce(1)
-        .write.mode(SaveMode.Overwrite)
-        .parquet(s"$outDir/state/fpmap/epoch=$epochId")
-    }
+    val fpPtrNew: Map[Int, Long] =
+      if (touched.isEmpty && !mustCompactFp) fpPtrBase
+      else {
+        val fNowFold = fPrevFold
+          .join(bcastFp(contrib.select(col("fp"), col("add"))), Seq("fp"), "left")
+          .select(col("fp"), (col("nd") + coalesce(col("add"), lit(0L))).as("nd"))
+          .unionByName(fresh)
+          .withColumn("bucket", fpBucket(col("fp")))
+        // coalesce before the partitioned write: without it every task
+        // holds every touched bucket and the write fans out tasks ×
+        // buckets small files per epoch. Coalesce (not repartition) keeps
+        // the fold SHUFFLE-FREE — a batch that happens to touch every
+        // bucket would otherwise re-exchange the whole fp state each
+        // epoch, violating the O(batch + touched) shuffle budget the spec
+        // pins — at the price of write parallelism 8, ample for the
+        // narrow (fp, nd) rows.
+        fNowFold.coalesce(8)
+          .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+          .parquet(s"$outDir/state/fpcnt/epoch=$epochId")
+        // pointer rows forward: untouched buckets keep pointing at their
+        // current epoch; written buckets (from the FREE directory
+        // listing, no re-read job) point here
+        val written = listPartitionInts(spark,
+          s"$outDir/state/fpcnt/epoch=$epochId", "bucket=")
+        if (mustCompactFp) written.map(_ -> epochId).toMap
+        else fpPtrBase ++ written.map(_ -> epochId)
+      }
 
     // fps that CROSSED the duplicate threshold this epoch (an existing
     // doc's window flips non-dup → dup exactly when its fp crosses; a
@@ -387,27 +570,64 @@ object Pipeline {
       if (crossed.isEmpty)
         spark.range(0).select(col("id").as("doc_id"), col("id").as("d_dup"))
       else spark.read.parquet(s"$outDir/state/winv")
+        // defense in depth: under the sequential foreachBatch contract no
+        // batch dir > epochId can exist, but a manually restored or
+        // out-of-order state dir must be IGNORED, not silently folded in
+        // (the filter is partition-pruned, so it costs nothing)
+        .filter(col("batch") <= epochId)
         .select(col("doc_id"), col("fp"))
-        .join(broadcast(crossed), Seq("fp"))
+        .join(bcastFp(crossed), Seq("fp"))
         .distinct()
         .join(broadcast(newIds), Seq("doc_id"), "left_anti")
         .groupBy(col("doc_id")).agg(count(lit(1)).as("d_dup"))
         .localCheckpoint()
 
     // keeper displacement: batch minima vs the previous keepers (both
-    // probes broadcast the batch side; outputs ≤ batch-sized)
+    // probes broadcast the batch side; outputs ≤ batch-sized). The keeper
+    // probe is keyed by BAG, which the state is not bucketed by, so this
+    // is the one full (columns-pruned, shuffle-free) scan of the verdict
+    // state an epoch pays.
     val batchMin = newSigs.groupBy(col("bag")).agg(min(col("doc_id")).as("b_min"))
-    val bagMatch = vPrev.filter(col("bag_keep"))
+    val bagMatch = vPrevAll.filter(col("bag_keep"))
       .select(col("bag"), col("doc_id").as("k_id"))
       .join(broadcast(batchMin), Seq("bag")).localCheckpoint()
     val displaced = bagMatch.filter(col("b_min") < col("k_id"))
       .select(col("k_id").as("doc_id"), lit(true).as("_disp"))
 
-    // assemble the new verdict state: the old state re-emitted with the
-    // touched flips applied (scan + broadcast joins, map-side), plus the
-    // batch's fresh rows. kept_prev/is_new ride along so added/removed
-    // fall out of the same pass.
-    val exist = vPrev.withColumnRenamed("kept", "kept_prev")
+    // contamination flags for fresh docs (gate-on only): q104's window
+    // formula vs the benchmark, evaluated once at first sight
+    val contamIds: Option[DataFrame] = benchFps.map { bf =>
+      Curation.contaminatedOf(
+        Curation.winFpsOver(
+          base.join(broadcast(seenIds), Seq("doc_id"), "left_anti")
+            .select(col("doc_id"), col("toks")),
+          Curation.DecontamWidth), bf)
+        .withColumn("_cont", lit(true))
+    }
+
+    // the buckets this epoch must rewrite: the batch's new docs plus the
+    // existing docs its deltas flip (displaced keepers + crossing-fp
+    // holders). ONE local job over checkpointed/tiny frames.
+    val touchedExistIds = displaced.select(col("doc_id"))
+      .unionByName(dDup.select(col("doc_id")))
+    val bucketsToRewrite: Seq[Int] = newIds.unionByName(touchedExistIds)
+      .select(vBucket(col("doc_id")).as("b")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+
+    // verdict-state compaction mirrors the fp-state rule; a legacy base
+    // always compacts (that IS the migration into the bucketed layout)
+    val vPtrBase: Map[Int, Long] = prevState.map(_.vPtr).getOrElse(Map.empty)
+    val mustCompactV = legacyBase ||
+      (vPtrBase.nonEmpty && prevState.exists(_.vNB != VBuckets)) ||
+      vPtrBase.values.toSet.size >= FpCompactAt
+
+    // assemble the new verdict rows: ONLY the touched buckets' old rows
+    // re-emitted with the flips applied (bucket-pruned scan + broadcast
+    // joins, map-side), plus the batch's fresh rows. kept_prev/is_new
+    // ride along so added/removed and the report deltas fall out of the
+    // same pass.
+    val oldTouched = if (mustCompactV) vPrevAll else vPrevFor(bucketsToRewrite)
+    val exist = oldTouched.withColumnRenamed("kept", "kept_prev")
       .join(broadcast(displaced), Seq("doc_id"), "left")
       .join(broadcast(dDup), Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"), col("source"), col("n_tok"),
@@ -415,15 +635,21 @@ object Pipeline {
         (col("bag_keep") && col("_disp").isNull).as("bag_keep"),
         col("n_win"),
         (col("n_dup") + coalesce(col("d_dup"), lit(0L))).as("n_dup"),
+        col("contam"),
         col("kept_prev"), lit(false).as("is_new"))
     val nWinNew = newWins.groupBy(col("doc_id")).agg(count(lit(1)).as("nw"))
     val dupFpsB = updated
       .select(col("fp"), (col("nd") + col("add")).as("nd2"))
       .unionByName(fresh.select(col("fp"), col("nd").as("nd2")))
       .filter(col("nd2") >= 2).select(col("fp"))
-    val nDupNew = newWins.join(broadcast(dupFpsB), Seq("fp"))
+    val nDupNew = newWins.join(bcastFp(dupFpsB), Seq("fp"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("ndp"))
-    val freshRows = newSigs
+    val freshWithContam = contamIds match {
+      case Some(ci) => newSigs.join(broadcast(ci), Seq("doc_id"), "left")
+        .withColumn("contam", coalesce(col("_cont"), lit(false))).drop("_cont")
+      case None => newSigs.withColumn("contam", lit(false))
+    }
+    val freshRows = freshWithContam
       .join(batchMin, Seq("bag"))
       .join(broadcast(bagMatch.select(col("bag"), col("k_id"))), Seq("bag"), "left")
       .join(nWinNew, Seq("doc_id"), "left")
@@ -434,38 +660,101 @@ object Pipeline {
           (col("k_id").isNull || col("b_min") < col("k_id"))).as("bag_keep"),
         coalesce(col("nw"), lit(0L)).as("n_win"),
         coalesce(col("ndp"), lit(0L)).as("n_dup"),
+        col("contam"),
         lit(false).as("kept_prev"), lit(true).as("is_new"))
     val assembled = exist.unionByName(freshRows)
-      .withColumn("kept", Curation.keptExpr(col("n_tok"), col("h"),
-        col("bag_keep"), Curation.spanDropExpr(col("n_win"), col("n_dup"))))
-      .localCheckpoint() // consumed by deltas, corpus, report, marker
-    val vNow = assembled.drop("kept_prev", "is_new")
+      .withColumn("kept", Curation.contamKept(
+        Curation.keptExpr(col("n_tok"), col("h"), col("bag_keep"),
+          Curation.spanDropExpr(col("n_win"), col("n_dup"))), col("contam")))
+      .localCheckpoint() // consumed by deltas, corpus, verdict write
+
+    // the new verdict buckets (write volume = touched buckets only; the
+    // pointer rows carry everything else forward)
+    val vPtrNew: Map[Int, Long] =
+      if (bucketsToRewrite.isEmpty && !mustCompactV) vPtrBase
+      else {
+        assembled.drop("kept_prev", "is_new")
+          .withColumn("bucket", vBucket(col("doc_id")))
+          .coalesce(8)
+          .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+          .parquet(s"$outDir/state/vbkt/epoch=$epochId")
+        val written = listPartitionInts(spark,
+          s"$outDir/state/vbkt/epoch=$epochId", "bucket=")
+        if (mustCompactV) written.map(_ -> epochId).toMap
+        else vPtrBase ++ written.map(_ -> epochId)
+      }
 
     // added ⊆ the batch (an existing doc can never flip TO kept under
     // append-only monotonicity); removed = previously-kept docs whose
-    // displacement or span flip landed this epoch. No corpus-scale
-    // exceptAll — both are filters over the assembled pass, and every
-    // driver-side number the epoch needs (counts, changed shards, the
-    // previous kept-shard set for manifest validation) folds out of ONE
-    // aggregation job over the checkpointed blocks — per-epoch job count
-    // is part of the fixed overhead a long stream pays every few seconds.
+    // displacement or span flip landed this epoch. Both are filters over
+    // the assembled pass; the report rollup and per-shard kept counts
+    // FOLD FORWARD from two tiny delta aggregations over the same blocks
+    // (cardinality ≤ |lang×source| and ≤ numShards — collected, merged
+    // with the previous cumulative values on the driver, and persisted in
+    // the commit artifact), so no corpus-scale aggregation runs even on a
+    // compaction epoch.
     val isNewKept = col("is_new") && col("kept")
     val isRemovedNow = !col("is_new") && col("kept_prev") && !col("kept")
     val added = assembled.filter(isNewKept)
     val removed = assembled.filter(isRemovedNow).select(col("doc_id"))
     val shardOf = Layout.shardKey(col("doc_id"), numShards)
-    val stats = assembled.agg(
-      count(lit(1)).as("seen"),
-      coalesce(sum(when(col("kept"), 1L).otherwise(0L)), lit(0L)).as("kept"),
-      coalesce(sum(when(isNewKept, 1L).otherwise(0L)), lit(0L)).as("added"),
-      coalesce(sum(when(isRemovedNow, 1L).otherwise(0L)), lit(0L)).as("removed"),
-      collect_set(when(isNewKept || isRemovedNow, shardOf)).as("delta_shards"),
-      collect_set(when(!col("is_new") && col("kept_prev"), shardOf))
-        .as("prev_shards")).head()
-    val deltas: Seq[Int] =
-      stats.getAs[scala.collection.Seq[Int]]("delta_shards").toSeq.sorted
-    val nAdded = stats.getAs[Long]("added")
-    val nRemoved = stats.getAs[Long]("removed")
+    val dRoll = assembled.groupBy(col("lang"), col("source")).agg(
+      sum(when(col("is_new"), 1L).otherwise(0L)).as("d_in"),
+      sum(when(isNewKept, 1L).otherwise(0L)).as("d_add"),
+      sum(when(isRemovedNow, 1L).otherwise(0L)).as("d_rem"),
+      sum(when(isNewKept, col("n_tok")).otherwise(0L)).as("d_tok_add"),
+      sum(when(isRemovedNow, col("n_tok")).otherwise(0L)).as("d_tok_rem"),
+      sum(when(col("is_new") && col("contam"), 1L).otherwise(0L)).as("d_cont"))
+      .collect()
+      .filter(r => r.getLong(2) != 0L || r.getLong(3) != 0L ||
+        r.getLong(4) != 0L || r.getLong(7) != 0L)
+    val dShard = assembled.groupBy(shardOf.as("shard")).agg(
+      sum(when(isNewKept, 1L).otherwise(0L)).as("d_add"),
+      sum(when(isRemovedNow, 1L).otherwise(0L)).as("d_rem"))
+      .collect()
+      .filter(r => r.getLong(1) != 0L || r.getLong(2) != 0L)
+
+    // previous cumulative values: from the gen3 commit artifact, or —
+    // legacy-migration only, exactly once — rebuilt by aggregating the
+    // previous verdict state (the last O(corpus) aggregations an upgraded
+    // deployment ever runs)
+    val (prevRoll: Map[(String, String), RollRow], prevShardKept: Map[Int, Long]) =
+      prevState match {
+        case Some(st) => (st.rollup, st.shardKept)
+        case None if lastCommitted.isDefined =>
+          val r = vPrevAll.groupBy(col("lang"), col("source")).agg(
+            count(lit(1)).as("di"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("dk"),
+            sum(when(col("kept"), col("n_tok")).otherwise(0L)).as("tk"),
+            sum(when(col("contam"), 1L).otherwise(0L)).as("dc")).collect()
+            .map(x => (x.getString(0), x.getString(1)) -> RollRow(
+              x.getString(0), x.getString(1), x.getLong(2), x.getLong(3),
+              x.getLong(4), x.getLong(5))).toMap
+          val s = vPrevAll.filter(col("kept")).groupBy(shardOf.as("shard"))
+            .agg(count(lit(1)).as("n")).collect()
+            .map(x => x.getInt(0) -> x.getLong(1)).toMap
+          (r, s)
+        case None => (Map.empty[(String, String), RollRow], Map.empty[Int, Long])
+      }
+    val rollupNew: Map[(String, String), RollRow] =
+      dRoll.foldLeft(prevRoll) { (acc, r) =>
+        val key = (r.getString(0), r.getString(1))
+        val p = acc.getOrElse(key, RollRow(key._1, key._2, 0L, 0L, 0L, 0L))
+        acc + (key -> RollRow(key._1, key._2,
+          p.docsIn + r.getLong(2),
+          p.docsKept + r.getLong(3) - r.getLong(4),
+          p.tokensKept + r.getLong(5) - r.getLong(6),
+          p.docsContam + r.getLong(7)))
+      }
+    val shardKeptNew: Map[Int, Long] =
+      dShard.foldLeft(prevShardKept) { (acc, r) =>
+        val sh = r.getInt(0)
+        val n = acc.getOrElse(sh, 0L) + r.getLong(1) - r.getLong(2)
+        if (n == 0L) acc - sh else acc + (sh -> n)
+      }
+    val deltas: Seq[Int] = dShard.map(_.getInt(0)).toSeq.sorted
+    val nAdded = dRoll.map(_.getLong(3)).sum
+    val nRemoved = dRoll.map(_.getLong(4)).sum
 
     // rewrite only the changed shards, via crash-safe STAGING: the full
     // new content of every changed shard lands (atomically, _SUCCESS)
@@ -506,13 +795,7 @@ object Pipeline {
         throw new IllegalStateException(
           "graft test failpoint: crash after staging commit")
       val writtenShards: Set[Int] = {
-        val p = new org.apache.hadoop.fs.Path(stagingPath)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val fromDirs =
-          if (!fs.exists(p)) Set.empty[Int]
-          else fs.listStatus(p).toSeq.map(_.getPath.getName)
-            .filter(_.startsWith("shard="))
-            .map(_.stripPrefix("shard=").toInt).toSet
+        val fromDirs = listPartitionInts(spark, stagingPath, "shard=")
         // a crashed epoch staged by the pre-partitioned layout holds flat
         // files with shard as a data column — no shard= dirs. Falling
         // through with an empty set would skip the overwrite and then
@@ -545,36 +828,29 @@ object Pipeline {
     // manifest: carry-over for untouched shards, recompute changed
     // shards from the corpus as re-read (partition-pruned); localCheckpoint
     // decouples the self-overwrite (manifest is both read and rewritten).
-    // The carry-over base is validated against the last COMMITTED verdicts
-    // (the manifest overwrite is the one non-partitioned artifact a crash
-    // can leave partial): its shard set must equal the shards the previous
-    // kept set implies — on any mismatch the epoch repairs by recomputing
-    // the FULL manifest from the corpus on disk. (The distinct here is on
-    // a ≤ numShards-cardinality key, so partial aggregation shrinks the
-    // exchange to a few rows per input partition.)
-    // (previous kept set read back out of the checkpointed `assembled`
-    // pass — kept_prev preserves it row for row — so this costs a local
-    // block scan, not a 4th parquet scan of the verdict state)
+    // The carry-over base is validated against the last COMMITTED shard
+    // set (now folded state in the commit artifact — the manifest
+    // overwrite is the one non-partitioned artifact a crash can leave
+    // partial): its shard set must equal the shards the previous kept set
+    // implies — on any mismatch the epoch repairs by recomputing the FULL
+    // manifest from the corpus on disk.
     val manifestPath = s"$outDir/manifest"
-    val prevShards: Set[Int] =
-      stats.getAs[scala.collection.Seq[Int]]("prev_shards").toSet
+    val prevShards: Set[Int] = prevShardKept.keySet
     val storedManifest: Option[DataFrame] =
       // hasDataFiles, not fs.exists: a crash mid-overwrite leaves the dir
       // existing but fileless, and a parquet read on it would throw forever
       if (hasDataFiles(spark, manifestPath))
         Some(spark.read.parquet(manifestPath))
       else None
-    val carryOver: Option[DataFrame] = storedManifest.filter { m =>
-      m.select(col("shard")).collect().map(_.getInt(0)).toSet == prevShards
-    }
-    val fullCorpusView =
-      if (!hasDataFiles(spark, corpusPath))
-        docs.select(col("doc_id"), col("text")).limit(0)
-      else spark.read.parquet(corpusPath).select(col("doc_id"), col("text"))
-    // a no-change epoch with a validated stored manifest would rewrite
-    // byte-identical rows — skip the two jobs
-    if (deltas.isEmpty && carryOver.isDefined) ()
+    if (deltas.isEmpty && storedManifest.isDefined) ()
     else {
+      val carryOver: Option[DataFrame] = storedManifest.filter { m =>
+        m.select(col("shard")).collect().map(_.getInt(0)).toSet == prevShards
+      }
+      val fullCorpusView =
+        if (!hasDataFiles(spark, corpusPath))
+          docs.select(col("doc_id"), col("text")).limit(0)
+        else spark.read.parquet(corpusPath).select(col("doc_id"), col("text"))
       val manifest = carryOver match {
         case Some(prev) =>
           val changedManifest =
@@ -593,86 +869,218 @@ object Pipeline {
       manifest.orderBy(col("shard")).localCheckpoint()
         .write.mode(SaveMode.Overwrite).parquet(manifestPath)
     }
-    // (the meta artifact was validated/written at epoch entry)
-    Curation.funnelRollup(vNow)
-      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/report")
 
-    // persist the epoch's result row BEFORE the marker, so a post-commit
-    // replay (short-circuit above) can return the identical result (all
-    // counts came from the single stats aggregation above)
-    val result = EpochResult(epochId, stats.getAs[Long]("seen"),
-      stats.getAs[Long]("kept"), nAdded, nRemoved, deltas)
-    spark.range(1).select(lit(result.docsSeen).as("docs_seen"),
-        lit(result.docsKept).as("docs_kept"), lit(result.added).as("added"),
-        lit(result.removed).as("removed"),
-        array(deltas.map(lit(_)): _*).cast("array<int>").as("changed_shards"))
-      .write.mode(SaveMode.Overwrite)
-      .parquet(s"$outDir/state/epochres/epoch=$epochId")
+    // the user-facing report is the cumulative rollup as folded — written
+    // from the driver-held rows (tiny), skipped when nothing moved
+    if (dRoll.nonEmpty || !hasDataFiles(spark, s"$outDir/report"))
+      writeReport(spark, s"$outDir/report", rollupNew.values.toSeq,
+        withContam = benchmark.isDefined)
 
-    // commit marker LAST: epoch e's verdict state landing (its _SUCCESS)
-    // ⇒ e fully applied (`epoch` stays a directory-only partition key — a
-    // data column of the same name would collide with partition discovery)
-    vNow.write.mode(SaveMode.Overwrite).parquet(s"$verdictsPath/epoch=$epochId")
+    // commit artifact LAST — the marker: pointer maps, cumulative rollup,
+    // shard counts, and the result row land in ONE tiny write; epoch e's
+    // _SUCCESS here ⇒ e fully applied
+    val stNew = EpochState(fpPtrNew, FpBuckets, vPtrNew, VBuckets,
+      rollupNew, shardKeptNew)
+    val result = EpochResult(epochId, stNew.docsSeen, stNew.docsKept,
+      nAdded, nRemoved, deltas)
+    writeCommit(spark, outDir, epochId, stNew, result)
 
     // prune superseded epochs AFTER the marker lands — only the newest
     // committed state is ever a delta base, so state stays O(docs) /
     // O(distinct fps), not × epochs — and drop this epoch's staging (its
     // content is live in the corpus now)
-    cleanupAfterCommit(spark, outDir, epochId,
-      fpReferenced = Some(fpmapNew.values.toSet))
+    cleanupAfterCommit(spark, outDir, epochId, Some(stNew))
     result
   }
 
+  /** Column order of a verdict-state row (gen3). */
+  private val StateCols = Seq("doc_id", "lang", "source", "n_tok", "h",
+    "bag", "bag_keep", "n_win", "n_dup", "contam", "kept")
+
+  /** Union of the pointed verdict buckets, optionally restricted to a
+    * bucket subset (partition-pruned reads — an epoch's probes only open
+    * the buckets its batch can touch).
+    */
+  private def readVBuckets(spark: SparkSession, outDir: String,
+      ptr: Map[Int, Long], only: Option[Set[Int]]): DataFrame = {
+    val wanted = only.map(b => ptr.filter(kv => b(kv._1))).getOrElse(ptr)
+      .toSeq.groupBy(_._2).view.mapValues(_.map(_._1)).toSeq
+    wanted.map { case (e, buckets) =>
+      spark.read.parquet(s"$outDir/state/vbkt/epoch=$e")
+        .filter(col("bucket").isInCollection(buckets))
+        .select(StateCols.map(col): _*)
+    }.reduceOption(_ unionByName _).getOrElse(emptyVerdictState(spark))
+  }
+
+  /** Benchmark fingerprint: (distinct window-fp count, their bit-XOR) —
+    * cheap, order-free, and collision-safe enough to catch a swapped or
+    * toggled benchmark loudly. `(0, 0)` means "gate off".
+    */
+  private def benchSig(benchFps: DataFrame): (Long, Long) = {
+    val r = benchFps.agg(count(lit(1)), expr("bit_xor(fp)")).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  private def writeMeta(spark: SparkSession, outDir: String, numShards: Int,
+      sig: (Long, Long)): Unit =
+    spark.range(1).select(lit(numShards).as("num_shards"),
+        lit(sig._1).as("bench_n"), lit(sig._2).as("bench_x"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/meta")
+
+  private def writeReport(spark: SparkSession, path: String,
+      rows: Seq[RollRow], withContam: Boolean): Unit = {
+    val sq = spark
+    import sq.implicits._
+    val full = rows.map(r =>
+        (r.lang, r.source, r.docsIn, r.docsKept, r.tokensKept, r.docsContam))
+      .toDF("lang", "source", "docs_in", "docs_kept", "tokens_kept",
+        "docs_contaminated")
+    val shaped = if (withContam) full else full.drop("docs_contaminated")
+    // orderBy + coalesce(1): the report is sorted by Spark's own string
+    // ordering, byte-identical to the one-shot funnelRollup artifact
+    shaped.orderBy(col("lang"), col("source")).coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  private def writeCommit(spark: SparkSession, outDir: String, epochId: Long,
+      st: EpochState, res: EpochResult): Unit = {
+    val rows: Seq[CommitRow] =
+      st.fpPtr.toSeq.sortBy(_._1).map { case (b, e) =>
+        CommitRow("fp", bucket = Some(b), epoch = Some(e),
+          n_buckets = Some(st.fpNB)) } ++
+      st.vPtr.toSeq.sortBy(_._1).map { case (b, e) =>
+        CommitRow("v", bucket = Some(b), epoch = Some(e),
+          n_buckets = Some(st.vNB)) } ++
+      st.rollup.values.toSeq.sortBy(r => (r.lang, r.source)).map(r =>
+        CommitRow("roll", lang = Some(r.lang), source = Some(r.source),
+          docs_in = Some(r.docsIn), docs_kept = Some(r.docsKept),
+          tokens_kept = Some(r.tokensKept), docs_contam = Some(r.docsContam))) ++
+      st.shardKept.toSeq.sortBy(_._1).map { case (s, n) =>
+        CommitRow("shard", shard = Some(s), n_kept = Some(n)) } ++
+      Seq(CommitRow("res", docs_seen = Some(res.docsSeen),
+        docs_kept = Some(res.docsKept), added = Some(res.added),
+        removed = Some(res.removed),
+        changed_shards = Some(res.changedShards)))
+    val sq = spark
+    import sq.implicits._
+    rows.toDS().toDF().coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/state/commit/epoch=$epochId")
+    stateCache.put(outDir, (epochId, st))
+  }
+
+  /** The committed [[EpochState]] of epoch `e`, or None when `e` was
+    * committed by a pre-commit-artifact layout (the caller then runs the
+    * compacting migration). `useCache = false` forces the parquet read —
+    * cleanup paths use it so a replay can never prune against a stale
+    * in-JVM image.
+    */
+  private def loadEpochState(spark: SparkSession, outDir: String, e: Long,
+      useCache: Boolean): Option[EpochState] = {
+    val cached = if (useCache) stateCache.get(outDir).filter(_._1 == e) else None
+    cached match {
+      case Some((_, st)) => Some(st)
+      case None =>
+        val path = s"$outDir/state/commit/epoch=$e"
+        if (!isCommitted(spark, path)) None
+        else {
+          val sq = spark
+          import sq.implicits._
+          val rows = spark.read.parquet(path).as[CommitRow].collect()
+          val fp = rows.filter(_.kind == "fp")
+          val v = rows.filter(_.kind == "v")
+          val st = EpochState(
+            fp.map(r => r.bucket.get -> r.epoch.get).toMap,
+            fp.headOption.flatMap(_.n_buckets).getOrElse(FpBuckets),
+            v.map(r => r.bucket.get -> r.epoch.get).toMap,
+            v.headOption.flatMap(_.n_buckets).getOrElse(VBuckets),
+            rows.filter(_.kind == "roll").map(r =>
+              (r.lang.get, r.source.get) -> RollRow(r.lang.get, r.source.get,
+                r.docs_in.get, r.docs_kept.get, r.tokens_kept.get,
+                r.docs_contam.getOrElse(0L))).toMap,
+            rows.filter(_.kind == "shard")
+              .map(r => r.shard.get -> r.n_kept.get).toMap)
+          if (useCache) stateCache.put(outDir, (e, st))
+          Some(st)
+        }
+    }
+  }
+
   /** Post-marker cleanup for a committed epoch — idempotent, re-runnable
-    * by a replay that arrives after the marker: drop superseded verdict /
-    * fpcnt / epoch-result state and the epoch's transient staging.
+    * by a replay that arrives after the marker: drop superseded commit /
+    * verdict / fpcnt state (bucket epochs stay alive exactly as long as
+    * the CURRENT pointer maps reference them), the epoch's transient
+    * staging, and — once the epoch committed under the gen3 layout — the
+    * legacy `state/sigs` / `state/texts` / `state/fpmap` /
+    * `state/epochres` / `state/verdicts` dirs a migrated deployment left
+    * behind (the migration consumed them exactly once; without this an
+    * upgraded outDir would keep a permanent full-text mirror on disk).
+    * `stIn` carries the referenced sets on the normal commit path; the
+    * replay short-circuit re-reads them from the commit artifact (never
+    * the JVM cache — a wiped-and-recreated outDir must not prune against
+    * a stale image).
     */
   private def cleanupAfterCommit(spark: SparkSession, outDir: String,
-      epochId: Long, fpReferenced: Option[Set[Long]] = None): Unit = {
-    Seq(s"$outDir/state/verdicts", s"$outDir/state/fpmap",
-      s"$outDir/state/epochres").foreach { dir =>
+      epochId: Long, stIn: Option[EpochState]): Unit = {
+    val gen3 = isCommitted(spark, s"$outDir/state/commit/epoch=$epochId")
+    val st: Option[EpochState] =
+      stIn.orElse(if (gen3) loadEpochState(spark, outDir, epochId,
+        useCache = false) else None)
+    def pruneEpochs(dir: String, keep: Long => Boolean): Unit = {
       val p = new org.apache.hadoop.fs.Path(dir)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p))
         fs.listStatus(p).toSeq.map(_.getPath)
           .filter(_.getName.startsWith("epoch="))
-          .filter(_.getName.stripPrefix("epoch=").toLong < epochId)
+          .filter(d => !keep(d.getName.stripPrefix("epoch=").toLong))
           .foreach(old => fs.delete(old, true))
     }
-    // fpcnt epochs live as long as the CURRENT pointer map references
-    // them (a bucket an epoch didn't touch keeps pointing at its older
-    // version); only wholly-unreferenced older epochs drop. The normal
-    // commit path already holds the map in memory and passes it in; the
-    // parquet re-read is only for the replay short-circuit, which has
-    // nothing else to go on.
-    val referenced: Set[Long] = fpReferenced.getOrElse {
+    pruneEpochs(s"$outDir/state/commit", _ >= epochId)
+    // bucket state lives as long as the CURRENT pointer maps reference it
+    // (a bucket an epoch didn't touch keeps pointing at its older copy)
+    val fpRef: Set[Long] = st.map(_.fpPtr.values.toSet).getOrElse {
+      // legacy-committed epoch: referenced set from its fpmap artifact
       if (!hasDataFiles(spark, s"$outDir/state/fpmap/epoch=$epochId")) Set.empty
       else spark.read.parquet(s"$outDir/state/fpmap/epoch=$epochId")
         .select(col("epoch")).distinct().collect().map(_.getLong(0)).toSet
     }
-    val p = new org.apache.hadoop.fs.Path(s"$outDir/state/fpcnt")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p))
-      fs.listStatus(p).toSeq.map(_.getPath)
-        .filter(_.getName.startsWith("epoch="))
-        .filter { d =>
-          val e = d.getName.stripPrefix("epoch=").toLong
-          e < epochId && !referenced.contains(e)
-        }
-        .foreach(old => fs.delete(old, true))
+    val vRef: Set[Long] = st.map(_.vPtr.values.toSet).getOrElse(Set.empty)
+    pruneEpochs(s"$outDir/state/fpcnt", e => e >= epochId || fpRef.contains(e))
+    pruneEpochs(s"$outDir/state/vbkt", e => e >= epochId || vRef.contains(e))
+    if (gen3) {
+      // the gen3 commit supersedes every legacy artifact wholesale
+      Seq("sigs", "texts", "fpmap", "epochres", "verdicts")
+        .foreach(d => deleteDir(spark, s"$outDir/state/$d"))
+    } else {
+      // epoch committed by a legacy layout (replay short-circuit only):
+      // the legacy pruning rules, and NEVER sigs/texts — the next real
+      // epoch's migration still needs them
+      Seq(s"$outDir/state/verdicts", s"$outDir/state/fpmap",
+        s"$outDir/state/epochres")
+        .foreach(dir => pruneEpochs(dir, _ >= epochId))
+    }
     deleteDir(spark, s"$outDir/state/staging")
   }
 
-  /** The persisted result row of a committed epoch (written just before
-    * its marker), for the replay short-circuit. Falls back to counts
-    * re-derived from the verdict state if the row is missing (state
-    * written by a pre-staging layout).
+  /** The persisted result row of a committed epoch (written inside its
+    * commit marker), for the replay short-circuit. Falls back to the
+    * legacy `epochres` artifact, then to counts re-derived from the
+    * legacy verdict state — that last fallback reports `added = 0`,
+    * `removed = 0`, `changedShards = Nil` because the pre-staging layout
+    * never persisted its deltas: callers replaying such an epoch get
+    * correct totals but ZEROED delta fields (the state on disk is
+    * complete; only this epoch's movement report is unrecoverable).
     */
   private def readEpochResult(spark: SparkSession, outDir: String,
       epochId: Long): EpochResult = {
-    val path = s"$outDir/state/epochres/epoch=$epochId"
-    if (hasDataFiles(spark, path)) {
-      val r = spark.read.parquet(path).head()
+    val commitPath = s"$outDir/state/commit/epoch=$epochId"
+    val legacyRes = s"$outDir/state/epochres/epoch=$epochId"
+    if (hasDataFiles(spark, commitPath)) {
+      val r = spark.read.parquet(commitPath).filter(col("kind") === "res").head()
+      EpochResult(epochId, r.getAs[Long]("docs_seen"), r.getAs[Long]("docs_kept"),
+        r.getAs[Long]("added"), r.getAs[Long]("removed"),
+        r.getAs[scala.collection.Seq[Int]]("changed_shards").toSeq)
+    } else if (hasDataFiles(spark, legacyRes)) {
+      val r = spark.read.parquet(legacyRes).head()
       EpochResult(epochId, r.getAs[Long]("docs_seen"), r.getAs[Long]("docs_kept"),
         r.getAs[Long]("added"), r.getAs[Long]("removed"),
         r.getAs[scala.collection.Seq[Int]]("changed_shards").toSeq)
@@ -684,20 +1092,37 @@ object Pipeline {
     }
   }
 
-  /** Epoch ids under `path` whose write fully committed (`_SUCCESS`
-    * present — a crash mid-job-commit can leave a partial file set that
+  /** Epoch ids under `outDir` whose write fully committed — the gen3
+    * commit artifact's `_SUCCESS`, or (legacy bases) the verdict-state
+    * `_SUCCESS` (a crash mid-job-commit can leave a partial file set that
     * `hasDataFiles` alone would mistake for a complete state).
     */
-  private def committedEpochs(spark: SparkSession, path: String): Seq[Long] = {
-    val p = new org.apache.hadoop.fs.Path(path)
+  private def committedEpochs(spark: SparkSession, outDir: String): Seq[Long] = {
+    def ids(path: String): Seq[Long] = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).toSeq
+        .filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .filter(_.startsWith("epoch="))
+        .map(_.stripPrefix("epoch=").toLong)
+        .filter(e => isCommitted(spark, s"$path/epoch=$e"))
+    }
+    (ids(s"$outDir/state/commit") ++ ids(s"$outDir/state/verdicts")).distinct
+  }
+
+  /** Integer suffixes of `<prefix>N` child dirs under `dir` — the free
+    * (listing-only) way to learn which partitions a write landed.
+    */
+  private def listPartitionInts(spark: SparkSession, dir: String,
+      prefix: String): Set[Int] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Nil
-    else fs.listStatus(p).toSeq
-      .filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .filter(_.startsWith("epoch="))
-      .map(_.stripPrefix("epoch=").toLong)
-      .filter(e => isCommitted(spark, s"$path/epoch=$e"))
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(prefix))
+      .map(_.stripPrefix(prefix).toInt).toSet
   }
 
   /** True iff `dir` holds a completed Spark write (`_SUCCESS` marker). */
@@ -712,11 +1137,11 @@ object Pipeline {
     if (fs.exists(p)) { fs.delete(p, true); () }
   }
 
-  /** Empty frame with [[graft.operators.Curation.verdictsFullFrom]]'s
-    * schema — the epoch-0 delta base. Derived THROUGH the producer over
-    * empty inputs (only the narrow sigs/winv input contracts are spelled
-    * out here), so a schema change in the one-copy formula can never
-    * leave this branch emitting a stale shape.
+  /** Empty frame with the gen3 verdict-state schema — the epoch-0 delta
+    * base. Derived THROUGH the producer over empty inputs (only the
+    * narrow sigs/winv input contracts are spelled out here), so a schema
+    * change in the one-copy formula can never leave this branch emitting
+    * a stale shape.
     */
   private def emptyVerdictState(spark: SparkSession): DataFrame =
     Curation.verdictsFullFrom(
@@ -724,17 +1149,21 @@ object Pipeline {
         lit("").as("source"), col("id").as("n_tok"), lit(0.0).as("h"),
         lit("").as("bag")),
       spark.range(0).select(col("id").as("doc_id"), col("id").as("fp")))
+      .withColumn("contam", lit(false)).select(StateCols.map(col): _*)
 
   /** Attach the incremental pipeline to a document stream with `doc_id`,
-    * `lang`, `source`, `text`.
+    * `lang`, `source`, `text`. `benchmark` enables the decontamination
+    * gate for every epoch (fixed for the life of the outDir — see
+    * [[curateEpoch]]).
     */
   def startIncremental(docs: org.apache.spark.sql.DataFrame, outDir: String,
-      checkpoint: String, numShards: Int = 16)
+      checkpoint: String, numShards: Int = 16,
+      benchmark: Option[DataFrame] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
-        if (!b.isEmpty) { curateEpoch(b, outDir, numShards, id); () }
+        if (!b.isEmpty) { curateEpoch(b, outDir, numShards, id, benchmark); () }
       }
       .start()
 

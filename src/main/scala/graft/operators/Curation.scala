@@ -379,6 +379,45 @@ object Curation {
     // q138/q137/q102 chains, inlined over the shared `toks` array.
     verdictsFrom(docSignals(SignalStore.tokens(s, dir)), SignalStore.winFps(s, dir))
 
+  /** The ONE copy of the decontamination-gate composition over an
+    * already-evaluated funnel verdict: a benchmark-contaminated doc is
+    * dropped no matter what the other gates said. Shared by the one-shot
+    * [[graft.Pipeline.curate]] and the incremental epoch assembler.
+    */
+  private[graft] def contamKept(kept: Column, contam: Column): Column =
+    kept && !contam
+
+  /** Distinct width-[[DecontamWidth]] window fingerprints of a benchmark
+    * `(doc_id, text)` frame — the train/eval-set side of the q104
+    * contamination formula, reused by the pipeline's opt-in gate. A
+    * benchmark is an eval set: small by definition, so downstream probes
+    * broadcast it.
+    */
+  private[graft] def benchmarkFps(bench: DataFrame): DataFrame =
+    winFpsOver(
+      bench.select(col("doc_id"),
+        graft.functions.TextFunctions.wsTokens(col("text")).as("toks")),
+      DecontamWidth).select(col("fp")).distinct()
+
+  /** Doc ids of `wins` (a `(doc_id, fp)` width-[[DecontamWidth]] window
+    * inventory) sharing at least one window with the benchmark — q104's
+    * verdict reduced to the binary gate the curation funnel composes
+    * (`n_hit >= 1`; the fraction-valued q104 remains the audit query).
+    */
+  private[graft] def contaminatedOf(wins: DataFrame, benchFps: DataFrame): DataFrame =
+    wins.join(broadcast(benchFps), Seq("fp"), "left_semi")
+      .select(col("doc_id")).distinct()
+
+  /** Contaminated doc ids of the corpus at `dir` vs a benchmark frame —
+    * the one-shot pipeline's gate input (window inventory over the shared
+    * tokenized base; ONE corpus pass).
+    */
+  private[graft] def contaminatedIds(s: SparkSession, dir: String,
+      bench: DataFrame): DataFrame =
+    contaminatedOf(
+      winFpsOver(SignalStore.tokens(s, dir), DecontamWidth),
+      benchmarkFps(bench))
+
   /** Per-document funnel signals `(doc_id, lang, source, n_tok, h, bag)`
     * over a `(doc_id, lang, source, toks)` frame — everything about a doc
     * the funnel needs that does NOT depend on the rest of the corpus
@@ -470,12 +509,26 @@ object Curation {
     * the report can never drift from the verified query.
     */
   private[graft] def funnelRollup(verdicts: DataFrame): DataFrame =
+    funnelRollupEx(verdicts, withContam = false)
+
+  /** [[funnelRollup]] with an optional `docs_contaminated` column (counts
+    * the `contam`-flagged docs per group) — the report shape of a
+    * decontamination-gated [[graft.Pipeline]] run. One aggregate, one
+    * copy: the plain rollup is the `withContam = false` projection.
+    */
+  private[graft] def funnelRollupEx(verdicts: DataFrame,
+      withContam: Boolean): DataFrame = {
+    val base = Seq(count(lit(1)).as("docs_in"),
+      sum(when(col("kept"), 1L).otherwise(0L)).as("docs_kept"),
+      sum(when(col("kept"), col("n_tok")).otherwise(0L)).as("tokens_kept"))
+    val aggs = if (withContam)
+      base :+ sum(when(col("contam"), 1L).otherwise(0L)).as("docs_contaminated")
+    else base
     verdicts
       .groupBy(col("lang"), col("source"))
-      .agg(count(lit(1)).as("docs_in"),
-        sum(when(col("kept"), 1L).otherwise(0L)).as("docs_kept"),
-        sum(when(col("kept"), col("n_tok")).otherwise(0L)).as("tokens_kept"))
+      .agg(aggs.head, aggs.tail: _*)
       .orderBy(col("lang"), col("source"))
+  }
 
   private def q139(s: SparkSession, dir: String): DataFrame =
     funnelRollup(funnelVerdicts(s, dir))

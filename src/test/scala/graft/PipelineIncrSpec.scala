@@ -41,6 +41,21 @@ class PipelineIncrSpec extends AnyFunSuite {
     spark.read.parquet(path).orderBy(order.map(col): _*)
       .collect().map(_.toString).toSeq
 
+  /** Pointer rows (`bucket -> epoch`) of `kind` ('fp' | 'v') from an
+    * epoch's commit artifact.
+    */
+  private def ptrOf(out: String, e: Long, kind: String): Map[Int, Long] =
+    spark.read.parquet(s"$out/state/commit/epoch=$e")
+      .filter(col("kind") === kind)
+      .select(col("bucket"), col("epoch")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+  private def epochDirsOf(path: String): Set[Long] =
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) Set.empty
+    else java.nio.file.Files.list(java.nio.file.Paths.get(path))
+      .toArray.map(_.toString).filter(_.contains("epoch="))
+      .map(_.split("epoch=").last.toLong).toSet
+
   private def assertEqualsOneShot(out: String, oneShot: Pipeline.CurationRun): Unit = {
     assert(corpusRows(out) === corpusRowsAt(oneShot.corpusPath))
     assert(rows(s"$out/manifest", "shard") === rows(oneShot.manifestPath, "shard"))
@@ -64,12 +79,15 @@ class PipelineIncrSpec extends AnyFunSuite {
     val oneShot = Pipeline.curate(spark, dir,
       Files.createTempDirectory("graft-incr-ref").toString, Shards)
     assertEqualsOneShot(out, oneShot)
-    // superseded verdict epochs are pruned once the newer marker lands —
-    // state stays O(docs), not O(docs × epochs)
-    val epochs = Files.list(java.nio.file.Paths.get(s"$out/state/verdicts"))
-      .toArray.map(_.toString).filter(_.contains("epoch=")).toSeq
-    assert(epochs.map(_.split("epoch=").last) === Seq("2"),
-      s"only the newest committed epoch may remain, got $epochs")
+    // superseded commit artifacts are pruned once the newer marker lands,
+    // and verdict/fp bucket epochs survive exactly as long as the CURRENT
+    // pointer maps reference them — state stays O(docs), not O(docs × epochs)
+    assert(epochDirsOf(s"$out/state/commit") === Set(2L),
+      "only the newest committed epoch's commit artifact may remain")
+    assert(epochDirsOf(s"$out/state/vbkt") === ptrOf(out, 2L, "v").values.toSet,
+      "every retained verdict-bucket epoch must still be referenced")
+    assert(epochDirsOf(s"$out/state/fpcnt") === ptrOf(out, 2L, "fp").values.toSet,
+      "every retained fp-bucket epoch must still be referenced")
   }
 
   test("a crash-stranded fileless manifest (only _temporary inside) is repaired, not fatal") {
@@ -220,6 +238,9 @@ class PipelineIncrSpec extends AnyFunSuite {
       .write.parquet(s"$out/meta")
     Curation.funnelRollup(v5).write.parquet(s"$out/report")
     v5.write.parquet(s"$out/state/verdicts/epoch=0")
+    // a legacy full-text mirror rides along: once consumed by the
+    // migration it must be DELETED, not kept on disk forever
+    c0.select(col("doc_id"), col("text")).write.parquet(s"$out/state/texts")
     // the NEW code must rebuild its delta state from sigs+winv and fold
     // the next (overlapping, keeper-displacing) chunk to convergence
     val r1 = Pipeline.curateEpoch(chunk(0, 160), out, Shards, 1L)
@@ -227,6 +248,13 @@ class PipelineIncrSpec extends AnyFunSuite {
     val oneShot = Pipeline.curate(spark, dir,
       Files.createTempDirectory("graft-incr-legacy-ref").toString, Shards)
     assertEqualsOneShot(out, oneShot)
+    // the migration consumed the legacy dirs exactly once — after the gen3
+    // commit none of them (incl. the full-text mirror) may survive
+    Seq("sigs", "texts", "verdicts", "fpmap", "epochres").foreach { d =>
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$out/state/$d")),
+        s"legacy state/$d must be deleted once the gen3 commit lands")
+    }
   }
 
   test("fp-count state is bucket-incremental: a small epoch rewrites only its touched buckets") {
@@ -258,14 +286,56 @@ class PipelineIncrSpec extends AnyFunSuite {
     assert(small < founding,
       s"a small epoch must rewrite only touched buckets ($small vs founding $founding)")
     // untouched buckets still point at (and retain) the founding epoch
-    val fpmap = spark.read.parquet(s"$out/state/fpmap/epoch=1")
-    val pointed = fpmap.select(col("epoch")).distinct()
-      .collect().map(_.getLong(0)).toSet
+    val pointed = ptrOf(out, 1L, "fp").values.toSet
     assert(pointed === Set(0L, 1L),
       s"pointer map must split across both epochs, got $pointed")
     assert(java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$out/state/fpcnt/epoch=0")),
       "a still-referenced epoch must survive the prune")
+  }
+
+  test("verdict state is bucket-incremental: a small epoch's write volume is batch-bound") {
+    // the round-12 pin: the doc-scale verdict state must not be rewritten
+    // corpus-wide every epoch — an epoch writes only the buckets holding
+    // its batch's docs plus the docs its deltas flip, so both the bucket
+    // count and the ROW count of the written state are small fractions of
+    // the founding epoch's
+    val out = Files.createTempDirectory("graft-incr-vbkt").toString
+    val all = Fixtures.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+    val tailDoc = all.filter(col("n") >= 20).orderBy(col("n"), col("doc_id"))
+      .head().getLong(0)
+    def docsExcept(id: Long) =
+      Fixtures.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+        .filter(col("doc_id") =!= id)
+    def docOnly(id: Long) =
+      Fixtures.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+        .filter(col("doc_id") === id)
+    Pipeline.curateEpoch(docsExcept(tailDoc), out, Shards, 0L)
+    def bucketsOf(e: Long): Int =
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$out/state/vbkt/epoch=$e"))
+        .toArray.map(_.toString).count(_.contains("bucket="))
+    val foundingBuckets = bucketsOf(0L)
+    val foundingRows = spark.read.parquet(s"$out/state/vbkt/epoch=0").count()
+    assert(foundingBuckets > 1, "the founding epoch must populate multiple buckets")
+    Pipeline.curateEpoch(docOnly(tailDoc), out, Shards, 1L)
+    assert(bucketsOf(1L) < foundingBuckets,
+      s"a small epoch must rewrite only touched buckets (${bucketsOf(1L)} vs $foundingBuckets)")
+    val smallRows = spark.read.parquet(s"$out/state/vbkt/epoch=1").count()
+    assert(smallRows < foundingRows / 2,
+      s"a small epoch's verdict WRITE volume must be batch-bound, not " +
+        s"corpus-bound ($smallRows rows vs founding $foundingRows)")
+    // untouched buckets still point at (and retain) the founding epoch
+    assert(ptrOf(out, 1L, "v").values.toSet === Set(0L, 1L))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$out/state/vbkt/epoch=0")),
+      "a still-referenced verdict epoch must survive the prune")
+    // and the folded state still converges
+    val oneShot = Pipeline.curate(spark, dir,
+      Files.createTempDirectory("graft-incr-vbkt-ref").toString, Shards)
+    assertEqualsOneShot(out, oneShot)
   }
 
   test("pointer fan-out compacts: many tiny epochs stay within the reference bound") {
@@ -277,9 +347,7 @@ class PipelineIncrSpec extends AnyFunSuite {
     (0 until 10).foreach { i =>
       Pipeline.curateEpoch(chunk(cuts(9 - i), cuts(10 - i)), out, Shards, (i + 1).toLong)
     }
-    val fpmap = spark.read.parquet(s"$out/state/fpmap/epoch=10")
-    val pointed = fpmap.select(col("epoch")).distinct()
-      .collect().map(_.getLong(0)).toSet
+    val pointed = ptrOf(out, 10L, "fp").values.toSet
     assert(pointed.size < Pipeline.FpCompactAt,
       s"compaction must bound pointer fan-out, got ${pointed.size} epochs: $pointed")
     val onDisk = java.nio.file.Files.list(
@@ -327,9 +395,8 @@ class PipelineIncrSpec extends AnyFunSuite {
     val oneShot = Pipeline.curate(spark, dir,
       Files.createTempDirectory("graft-incr-flatfp-ref").toString, Shards)
     assertEqualsOneShot(out, oneShot)
-    val fpmap = spark.read.parquet(s"$out/state/fpmap/epoch=1")
-    assert(fpmap.select(col("epoch")).distinct().collect().map(_.getLong(0)).toSet
-      === Set(1L), "compaction must point every bucket at the migrating epoch")
+    assert(ptrOf(out, 1L, "fp").values.toSet === Set(1L),
+      "compaction must point every bucket at the migrating epoch")
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$out/state/fpcnt/epoch=0")),
       "the unreferenced flat fpcnt dir must be pruned")
@@ -367,6 +434,139 @@ class PipelineIncrSpec extends AnyFunSuite {
       Pipeline.curateEpoch(chunk(0, 210), out, Shards * 2, 1L)
     }
     assert(e.getMessage.contains("numShards"))
+  }
+
+  test("a wiped-and-recreated outDir re-founds cleanly under a different shard count") {
+    // the JVM-lifetime numShards cache must yield to the DISK: after the
+    // outDir is deleted, a legitimate re-founding with a new count must
+    // succeed instead of failing against the stale cached entry
+    val out = Files.createTempDirectory("graft-incr-refound").toString
+    Pipeline.curateEpoch(chunk(200, Long.MaxValue), out, Shards, 0L)
+    val root = java.nio.file.Paths.get(out)
+    Files.walk(root).toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_ != root).sortBy(-_.getNameCount).foreach(Files.delete)
+    val r = Pipeline.curateEpoch(chunk(200, Long.MaxValue), out, Shards * 2, 0L)
+    assert(r.docsKept > 0)
+    assert(spark.read.parquet(s"$out/meta").head().getAs[Int]("num_shards")
+      === Shards * 2, "the re-founded meta must carry the NEW shard count")
+  }
+
+  test("an out-of-order winv state dir (batch > epoch) is ignored, not folded in") {
+    import graft.operators.Curation
+    val out = Files.createTempDirectory("graft-incr-ooo").toString
+    Pipeline.curateEpoch(chunk(100, Long.MaxValue), out, Shards, 0L)
+    // fabricate a FUTURE batch dir pairing state docs with every fp the
+    // next epoch delivers: if the crossed-fp probe folded it in, any fp
+    // that crosses the dup threshold in epoch 1 would inflate n_dup
+    // across these docs and convergence would fail. (cross join is the
+    // test fixture's intent: a worst-case poisoned dir)
+    val nextToks = chunk(0, 120).select(col("doc_id"),
+      graft.functions.TextFunctions.wsTokens(col("text")).as("toks"))
+    val futureFps = Curation.winFpsOver(
+      nextToks.select(col("doc_id"), col("toks")), Curation.SubWidth)
+      .select(col("fp")).distinct()
+    spark.read.parquet(s"$out/state/winv").select(col("doc_id")).distinct()
+      .limit(50).crossJoin(futureFps)
+      .write.parquet(s"$out/state/winv/batch=99")
+    Pipeline.curateEpoch(chunk(0, 120), out, Shards, 1L)
+    val oneShot = Pipeline.curate(spark, dir,
+      Files.createTempDirectory("graft-incr-ooo-ref").toString, Shards)
+    assertEqualsOneShot(out, oneShot)
+  }
+
+  test("a no-new-docs epoch is a heartbeat: pointers carried, no state rewrite, no report job") {
+    // the steady-state contract: a batch of pure re-deliveries cannot move
+    // any verdict, so the epoch writes ONLY its commit marker — no verdict
+    // or fp bucket for the epoch, pointer maps carried verbatim, and the
+    // report/manifest bytes untouched (the round-12 "no full-verdict
+    // aggregation in a no-change epoch" pin, checked at the file level)
+    val out = Files.createTempDirectory("graft-incr-heartbeat").toString
+    Pipeline.curateEpoch(chunk(100, Long.MaxValue), out, Shards, 0L)
+    val p0v = ptrOf(out, 0L, "v")
+    val p0f = ptrOf(out, 0L, "fp")
+    def artifactStamp(sub: String): Seq[(String, Long)] =
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$out/$sub"))
+        .toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .map(p => (p.getFileName.toString,
+          java.nio.file.Files.getLastModifiedTime(p).toMillis))
+        .toSeq.sortBy(_._1)
+    val report0 = artifactStamp("report")
+    val manifest0 = artifactStamp("manifest")
+    val r = Pipeline.curateEpoch(chunk(150, 400), out, Shards, 1L) // all seen
+    assert(r.added === 0L && r.removed === 0L && r.changedShards.isEmpty)
+    assert(r.docsSeen > 0L && r.docsKept > 0L,
+      "the heartbeat result must still report the cumulative totals")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$out/state/vbkt/epoch=1")),
+      "a heartbeat epoch must not rewrite any verdict bucket")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$out/state/fpcnt/epoch=1")),
+      "a heartbeat epoch must not rewrite any fp bucket")
+    assert(ptrOf(out, 1L, "v") === p0v, "verdict pointers carried verbatim")
+    assert(ptrOf(out, 1L, "fp") === p0f, "fp pointers carried verbatim")
+    assert(artifactStamp("report") === report0,
+      "a heartbeat epoch must not rewrite the report")
+    assert(artifactStamp("manifest") === manifest0,
+      "a heartbeat epoch must not rewrite the manifest")
+    // and a real epoch after the heartbeat still converges
+    Pipeline.curateEpoch(chunk(0, 110), out, Shards, 2L)
+    val oneShot = Pipeline.curate(spark, dir,
+      Files.createTempDirectory("graft-incr-hb-ref").toString, Shards)
+    assertEqualsOneShot(out, oneShot)
+  }
+
+  test("an oversized fp tally falls back to shuffle joins and still converges") {
+    // the broadcast gate (FpBroadcastMaxRows): a founding/backfill epoch
+    // whose distinct-window-fp tally exceeds the cap must not force GBs
+    // through broadcast — forced to 0, every fp-keyed probe takes the
+    // shuffle-join path, and the fold must stay byte-identical
+    val old = Pipeline.FpBroadcastMaxRows
+    Pipeline.FpBroadcastMaxRows = 0L
+    try {
+      val out = Files.createTempDirectory("graft-incr-nobcast").toString
+      Pipeline.curateEpoch(chunk(150, Long.MaxValue), out, Shards, 0L)
+      Pipeline.curateEpoch(chunk(0, 160), out, Shards, 1L)
+      val oneShot = Pipeline.curate(spark, dir,
+        Files.createTempDirectory("graft-incr-nobcast-ref").toString, Shards)
+      assertEqualsOneShot(out, oneShot)
+    } finally Pipeline.FpBroadcastMaxRows = old
+  }
+
+  test("decontamination-gated epochs converge to the gated one-shot; benchmark drift fails loudly") {
+    // opt-in q104 gate: docs sharing a window with the benchmark are
+    // dropped, the report carries docs_contaminated, and the flag folds
+    // through epochs exactly like the other gates (fixed at first sight)
+    val bench = Fixtures.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .filter(size(split(col("text"), " ")) >= 8)
+      .orderBy(col("doc_id")).limit(3).localCheckpoint()
+    val out = Files.createTempDirectory("graft-incr-decontam").toString
+    Pipeline.curateEpoch(chunk(300, Long.MaxValue), out, Shards, 0L, Some(bench))
+    Pipeline.curateEpoch(chunk(100, 320), out, Shards, 1L, Some(bench))
+    Pipeline.curateEpoch(chunk(0, 120), out, Shards, 2L, Some(bench))
+    val oneShot = Pipeline.curate(spark, dir,
+      Files.createTempDirectory("graft-incr-decontam-ref").toString, Shards,
+      Some(bench))
+    assertEqualsOneShot(out, oneShot)
+    val report = spark.read.parquet(s"$out/report")
+    assert(report.columns.contains("docs_contaminated"),
+      "a gated run's report must carry the contamination column")
+    assert(report.agg(sum(col("docs_contaminated"))).head().getLong(0) > 0L,
+      "the benchmark is drawn from the corpus, so contamination must fire")
+    // the benchmark is pinned for the life of the outDir: toggling the
+    // gate off, or swapping the benchmark, must fail loudly
+    val eOff = intercept[IllegalArgumentException] {
+      Pipeline.curateEpoch(chunk(0, 50), out, Shards, 3L, None)
+    }
+    assert(eOff.getMessage.contains("benchmark"))
+    val otherBench = Fixtures.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .filter(size(split(col("text"), " ")) >= 8)
+      .orderBy(col("doc_id").desc).limit(2).localCheckpoint()
+    val eSwap = intercept[IllegalArgumentException] {
+      Pipeline.curateEpoch(chunk(0, 50), out, Shards, 3L, Some(otherBench))
+    }
+    assert(eSwap.getMessage.contains("benchmark"))
   }
 
   test("an epoch retry (same id) is idempotent across every artifact") {

@@ -64,6 +64,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(corpus2 === corpusRows)
   }
 
+  test("curate with a benchmark drops exactly the contaminated docs and reports them") {
+    // the opt-in q104 gate, one-shot: the gated corpus equals the ungated
+    // corpus minus the docs sharing a window with the benchmark, and the
+    // report's docs_contaminated counts every flagged doc (kept or not)
+    val bench = Fixtures.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .filter(size(split(col("text"), " ")) >= 8)
+      .orderBy(col("doc_id")).limit(3).localCheckpoint()
+    val contaminated = graft.operators.Curation
+      .contaminatedIds(spark, dir, bench)
+      .collect().map(_.getLong(0)).toSet
+    assert(contaminated.size >= 3,
+      "a benchmark drawn from the corpus must at least flag itself")
+    val plain = Pipeline.curate(spark, dir,
+      Files.createTempDirectory("graft-pipeline-nogate").toString)
+    val gated = Pipeline.curate(spark, dir,
+      Files.createTempDirectory("graft-pipeline-gate").toString,
+      benchmark = Some(bench))
+    def ids(path: String): Set[Long] = spark.read.parquet(path)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(ids(gated.corpusPath) === ids(plain.corpusPath) -- contaminated,
+      "the gate must remove exactly the contaminated docs")
+    assert(gated.docsIn === plain.docsIn)
+    val report = spark.read.parquet(gated.reportPath)
+    assert(report.columns.contains("docs_contaminated"))
+    assert(report.agg(sum(col("docs_contaminated"))).head().getLong(0)
+      === contaminated.size.toLong,
+      "docs_contaminated must count every flagged doc, kept or dropped")
+    assert(Pipeline.validateCorpus(spark,
+      gated.corpusPath.stripSuffix("/corpus")).isEmpty)
+  }
+
   test("curate on an empty corpus returns zero counts and writes empty artifacts") {
     val emptyDir = Files.createTempDirectory("graft-pipeline-empty").toString
     Fixtures.documents(spark, dir).limit(0)
