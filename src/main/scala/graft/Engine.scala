@@ -34,6 +34,13 @@ object Engine {
       // read it as a raw long and convert (ns → µs) in Fixtures.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // the incremental pipeline's layered state dirs (≤ FpCompactAt
+      // epoch layers × 64 bucket subdirs) sit just above the default
+      // 32-path threshold, so every layer read would otherwise spawn a
+      // parallel-listing JOB — per-epoch job count then grows with layer
+      // depth for listing work a driver thread does in microseconds.
+      // 1024 keeps listing driver-local up to the compaction bound.
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
       // RocksDB-backed state: the analogue of the reference's RocksDB tables
       // (streams/KVStores.scala) — state lives off-heap, per shuffle partition.
       .config(

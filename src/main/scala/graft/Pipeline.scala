@@ -172,7 +172,10 @@ object Pipeline {
   /** One row of the per-epoch commit artifact `state/commit/epoch=<e>` —
     * ALL of an epoch's driver-scale state in one parquet write, which is
     * also the epoch's COMMIT MARKER (written last):
-    * `kind='fp'|'v'`: pointer rows of the fp-count / verdict bucket maps;
+    * `kind='fp'|'v'`: pointer rows of the fp-count / verdict DELTA LOGS
+    * (one row per (bucket, contributing epoch) — a bucket's current value
+    * is the MERGE of every pointed epoch's rows for it: counts sum for
+    * 'fp', newest row wins for 'v');
     * `kind='roll'`: the cumulative per-(lang, source) report rollup;
     * `kind='shard'`: per-shard kept-doc counts (manifest validation);
     * `kind='res'`: the epoch's [[EpochResult]] row.
@@ -193,10 +196,14 @@ object Pipeline {
   private[graft] final case class RollRow(lang: String, source: String,
       docsIn: Long, docsKept: Long, tokensKept: Long, docsContam: Long)
 
-  /** In-memory image of a committed epoch's commit artifact. */
+  /** In-memory image of a committed epoch's commit artifact. The pointer
+    * maps are DELTA LOGS: `bucket -> every epoch holding live rows for
+    * it`, oldest epoch first (the founding/compaction full copy precedes
+    * the per-epoch deltas layered on top of it).
+    */
   private[graft] final case class EpochState(
-      fpPtr: Map[Int, Long], fpNB: Int,
-      vPtr: Map[Int, Long], vNB: Int,
+      fpPtr: Map[Int, Seq[Long]], fpNB: Int,
+      vPtr: Map[Int, Seq[Long]], vNB: Int,
       rollup: Map[(String, String), RollRow],
       shardKept: Map[Int, Long]) {
     def docsSeen: Long = rollup.values.map(_.docsIn).sum
@@ -277,21 +284,33 @@ object Pipeline {
     *
     * Scale shape: per epoch the shuffled rows are O(batch + touched keys)
     * (PipelineIncrSpec pins this with a task-metrics listener) and the
-    * verdict-state WRITE volume is O(touched buckets), not O(corpus)
-    * (pinned by the bucket-count + row-count spec). Both token-scale
-    * (`state/fpcnt`) and doc-scale (`state/vbkt`) state are HASH-BUCKETED
-    * with per-epoch pointer rows in the commit artifact: an epoch reads
-    * and rewrites only the buckets its batch touches, unchanged buckets
-    * keep their bytes and their pointer, and a bounded compaction
-    * ([[FpCompactAt]]) folds every referenced bucket forward before
-    * pointer fan-out or dead superseded copies can grow past about one
-    * live-state's worth. The window-fp log (`state/winv`, append-only,
-    * batch-keyed) is read only under a broadcast of crossing fps, and not
-    * at all in the no-crossing steady state. Driver-side collects stay
-    * ≤ max(numShards, FpBuckets, VBuckets, |lang×source| — the report's
-    * own reviewable cardinality) rows. Re-delivered docs (same doc_id in
-    * several batches, same text — the at-least-once contract) collapse
-    * via the seen-id probe.
+    * state WRITE volume is O(batch + flipped docs), not O(corpus) —
+    * even when the batch's keys saturate every hash bucket. Both
+    * token-scale (`state/fpcnt`) and doc-scale (`state/vbkt`) state are
+    * DELTA LOGS over hash buckets: an epoch APPENDS only its own rows
+    * (the batch's fp tallies; the fresh + flipped verdict rows) as a new
+    * epoch layer, the commit artifact's pointer rows record which epochs
+    * hold live rows per bucket, and readers MERGE the pointed layers
+    * (counts sum for fps; the newest row wins per doc, resolved by
+    * broadcast anti-joins of the batch-scale newer layers against the
+    * one full base copy — shuffle-free). A bounded compaction
+    * ([[FpCompactAt]]) folds all layers into a fresh full copy before
+    * read fan-out can grow — the one O(state) write, amortized over the
+    * compaction interval. This is the LSM shape: without it, a
+    * micro-batch whose fps touch every bucket (any realistic batch does
+    * — B distinct fps saturate K << B buckets) would force an O(state)
+    * rewrite per epoch no matter how fine the bucketing. Reads stay
+    * bucket-pruned where the probe allows it (seen-ids, flip rows); the
+    * per-fp prior-count probe and the keeper scan read O(touched-bucket
+    * bytes) columnar — the parquet-state analogue of the point lookups a
+    * KV state store (the streaming twin's RocksDB) would serve. The
+    * window-fp log (`state/winv`, append-only, batch-keyed) is read only
+    * under a broadcast of crossing fps, and not at all in the
+    * no-crossing steady state. Driver-side collects stay ≤ max(numShards,
+    * FpBuckets, VBuckets, |lang×source| — the report's own reviewable
+    * cardinality) rows. Re-delivered docs (same doc_id in several
+    * batches, same text — the at-least-once contract) collapse via the
+    * seen-id probe.
     *
     * With `benchmark` set, fresh docs additionally carry the q104
     * contamination flag (window-fp intersection with the benchmark,
@@ -414,12 +433,14 @@ object Pipeline {
           .withColumn("contam", lit(false)).select(StateCols.map(col): _*)
       case (None, _) => emptyVerdictState(spark)
     }
-    // bucket-pruned view (only available under gen3 — legacy bases fall
-    // back to the full frame, which the compacting migration consumes
-    // exactly once anyway)
-    def vPrevFor(buckets: Seq[Int]): DataFrame = prevState match {
-      case Some(st) => readVBuckets(spark, outDir, st.vPtr, Some(buckets.toSet))
-      case None => vPrevAll
+    // layered (rank-tagged) view for the per-epoch probes: precedence is
+    // resolved AFTER each probe shrinks the candidate set (bag join, flip
+    // semi-join), so a steady-state epoch never materializes a full
+    // merged view — gen3 only; legacy bases fall back to the merged full
+    // frame, which the compacting migration consumes exactly once anyway
+    def vLayersFor(buckets: Option[Seq[Int]]): DataFrame = prevState match {
+      case Some(st) => vLayersRanked(spark, outDir, st.vPtr, buckets.map(_.toSet))
+      case None => vPrevAll.withColumn("_layer", lit(0))
     }
 
     // fp-count base, by layout generation: (gen3) pointer rows from the
@@ -427,25 +448,27 @@ object Pipeline {
     // an un-bucketed fpcnt dir or none at all (rebuild from winv) — the
     // last two force a compacting full fold into the bucketed layout.
     val emptyFp = spark.range(0).select(col("id").as("fp"), col("id").as("nd"))
-    val (fpPtrBase: Map[Int, Long], fpNBBase: Int, fullFpBase: Option[DataFrame]) =
+    val (fpPtrBase: Map[Int, Seq[Long]], fpNBBase: Int,
+        fullFpBase: Option[DataFrame]) =
       (prevState, lastCommitted) match {
         case (Some(st), _) => (st.fpPtr, st.fpNB, None)
         case (None, Some(e)) if hasDataFiles(spark, s"$outDir/state/fpmap/epoch=$e") =>
+          // r11 legacy: single full-copy pointers — a one-element layer list
           val rows = spark.read.parquet(s"$outDir/state/fpmap/epoch=$e")
             .select(col("bucket"), col("epoch"), col("n_buckets")).collect()
-          (rows.map(r => r.getInt(0) -> r.getLong(1)).toMap,
+          (rows.map(r => r.getInt(0) -> Seq(r.getLong(1))).toMap,
             rows.headOption.map(_.getInt(2)).getOrElse(FpBuckets), None)
         case (None, Some(e)) if hasDataFiles(spark, s"$outDir/state/fpcnt/epoch=$e") =>
-          (Map.empty[Int, Long], FpBuckets,
+          (Map.empty[Int, Seq[Long]], FpBuckets,
             Some(spark.read.parquet(s"$outDir/state/fpcnt/epoch=$e")
               .select(col("fp"), col("nd"))))
         case (None, Some(e)) =>
-          (Map.empty[Int, Long], FpBuckets,
+          (Map.empty[Int, Seq[Long]], FpBuckets,
             Some(spark.read.parquet(s"$outDir/state/winv")
               .filter(col("batch") <= e)
               .select(col("doc_id"), col("fp")).distinct()
               .groupBy(col("fp")).agg(count(lit(1)).as("nd"))))
-        case (None, None) => (Map.empty[Int, Long], FpBuckets, None)
+        case (None, None) => (Map.empty[Int, Seq[Long]], FpBuckets, None)
       }
 
     // re-delivery: batch ids already in the state contribute nothing new
@@ -456,8 +479,8 @@ object Pipeline {
     val batchIds = docs.select(col("doc_id"))
     val batchBuckets: Seq[Int] = base.select(vBucket(col("doc_id")).as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val seenIds = vPrevFor(batchBuckets).select(col("doc_id"))
-      .join(broadcast(batchIds), Seq("doc_id")).localCheckpoint()
+    val seenIds = vLayersFor(Some(batchBuckets)).select(col("doc_id"))
+      .join(broadcast(batchIds), Seq("doc_id")).distinct().localCheckpoint()
     val batchSigs = Curation.docSignals(base)
     val newSigs = batchSigs.join(broadcast(seenIds), Seq("doc_id"), "left_anti")
       .localCheckpoint()
@@ -498,60 +521,83 @@ object Pipeline {
     val bcastFp: DataFrame => DataFrame =
       if (nContribFps <= FpBroadcastMaxRows) df => broadcast(df)
       else df => df
-    // compaction folds EVERY referenced bucket forward into this epoch:
-    // on a layout migration (un-bucketed or winv-rebuilt base, or a
-    // changed FpBuckets constant), and whenever the pointer map references
-    // more than FpCompactAt epochs — that bound caps both the number of
-    // per-epoch state reads and the dead superseded-bucket copies old
-    // epochs can accumulate (≲ one live-state's worth between compactions)
+    // compaction folds EVERY layer into one fresh full copy: on a layout
+    // migration (un-bucketed or winv-rebuilt base, or a changed FpBuckets
+    // constant), and whenever the log references FpCompactAt distinct
+    // epochs — that bound caps the per-read layer fan-out and the stale
+    // superseded rows old layers accumulate (≲ one live-state's worth
+    // between compactions). Between compactions an epoch WRITES only its
+    // own tallies (O(batch)); the merged view is (re)constructed on read
+    // by summing the pointed layers.
     val mustCompactFp = fullFpBase.isDefined ||
       (fpPtrBase.nonEmpty && fpNBBase != FpBuckets) ||
-      fpPtrBase.values.toSet.size >= FpCompactAt
+      fpPtrBase.values.flatten.toSet.size >= FpCompactAt
+    def fpLayers(buckets: Option[Seq[Int]]): DataFrame = {
+      val wanted = buckets match {
+        case Some(b) => fpPtrBase.view.filterKeys(b.toSet).toMap
+        case None => fpPtrBase
+      }
+      // every distinct layer epoch once; the bucket filter prunes the
+      // partitions a layer holds for other buckets. Sum-merge: a bucket's
+      // count is the sum of its rows across layers (the oldest layer is
+      // the last full copy, newer ones are per-epoch tallies).
+      wanted.values.flatten.toSet.toSeq.sorted.map { e =>
+        val df = spark.read.parquet(s"$outDir/state/fpcnt/epoch=$e")
+        (buckets match {
+          case Some(b) => df.filter(col("bucket").isInCollection(b))
+          case None => df
+        }).select(col("fp"), col("nd"))
+      }.reduceOption(_ unionByName _).getOrElse(emptyFp)
+    }
+    def sumFp(layers: DataFrame): DataFrame =
+      layers.groupBy(col("fp")).agg(sum(col("nd")).as("nd"))
+    // prior merged counts of exactly the BATCH's fps: filter the layered
+    // scan to the batch's fp set (broadcast semi) BEFORE the sum-merge,
+    // so the aggregation's exchange moves O(batch × layers) rows — a
+    // groupBy over the raw layers would re-shuffle every fp in the
+    // touched buckets each epoch, breaking the pinned shuffle budget
     val fPrevFold: DataFrame = fullFpBase match {
       case Some(full) => full
-      case None =>
-        // epoch -> buckets to read from it (every bucket from exactly its
-        // pointed epoch — a superseded copy in an older epoch dir is dead
-        // and must not be read, or its counts would double)
-        val wanted = (if (mustCompactFp) fpPtrBase.toSeq
-          else fpPtrBase.toSeq.filter(t => touched.contains(t._1)))
-          .groupBy(_._2).view.mapValues(_.map(_._1)).toSeq
-        wanted.map { case (e, buckets) =>
-          spark.read.parquet(s"$outDir/state/fpcnt/epoch=$e")
-            .filter(col("bucket").isInCollection(buckets))
-            .select(col("fp"), col("nd"))
-        }.reduceOption(_ unionByName _).getOrElse(emptyFp)
+      case None => sumFp(fpLayers(Some(touched))
+        .join(bcastFp(contrib.select(col("fp"))), Seq("fp"), "left_semi"))
     }
     val updated = fPrevFold.join(bcastFp(contrib.select(col("fp"), col("add"))),
       Seq("fp")).localCheckpoint()
     val fresh = contrib.join(bcastFp(updated.select(col("fp"))),
       Seq("fp"), "left_anti").select(col("fp"), col("add").as("nd"))
-    val fpPtrNew: Map[Int, Long] =
+    val fpPtrNew: Map[Int, Seq[Long]] =
       if (touched.isEmpty && !mustCompactFp) fpPtrBase
       else {
-        val fNowFold = fPrevFold
-          .join(bcastFp(contrib.select(col("fp"), col("add"))), Seq("fp"), "left")
-          .select(col("fp"), (col("nd") + coalesce(col("add"), lit(0L))).as("nd"))
-          .unionByName(fresh)
-          .withColumn("bucket", fpBucket(col("fp")))
-        // coalesce before the partitioned write: without it every task
-        // holds every touched bucket and the write fans out tasks ×
-        // buckets small files per epoch. Coalesce (not repartition) keeps
-        // the fold SHUFFLE-FREE — a batch that happens to touch every
-        // bucket would otherwise re-exchange the whole fp state each
-        // epoch, violating the O(batch + touched) shuffle budget the spec
-        // pins — at the price of write parallelism 8, ample for the
-        // narrow (fp, nd) rows.
-        fNowFold.coalesce(8)
-          .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+        // the epoch's fp layer: on the normal path just the batch's own
+        // tallies (value column named nd so layers sum uniformly; a
+        // layer row IS the delta it contributes) — O(batch) write, one
+        // file; a compaction instead writes the full merged counts with
+        // write parallelism 8. Coalesce (not repartition) keeps both
+        // shuffle-free — a state-keyed exchange here would violate the
+        // O(batch + touched) shuffle budget the spec pins.
+        val layer =
+          if (mustCompactFp)
+            // the one O(state) fold, amortized over the compaction
+            // interval: full merged counts + the batch's tallies
+            fullFpBase.getOrElse(sumFp(fpLayers(None)))
+              .join(bcastFp(contrib.select(col("fp"), col("add"))), Seq("fp"), "left")
+              .select(col("fp"), (col("nd") + coalesce(col("add"), lit(0L))).as("nd"))
+              .unionByName(fresh)
+              .withColumn("bucket", fpBucket(col("fp")))
+              .coalesce(8)
+          else contrib.select(col("fp"), col("add").as("nd"), col("bucket"))
+            .coalesce(1)
+        layer.write.mode(SaveMode.Overwrite).partitionBy("bucket")
           .parquet(s"$outDir/state/fpcnt/epoch=$epochId")
-        // pointer rows forward: untouched buckets keep pointing at their
-        // current epoch; written buckets (from the FREE directory
-        // listing, no re-read job) point here
+        // pointer rows forward: a compaction points every written bucket
+        // at this epoch alone; a delta epoch APPENDS this epoch to its
+        // touched buckets' layer lists (from the FREE directory listing,
+        // no re-read job)
         val written = listPartitionInts(spark,
           s"$outDir/state/fpcnt/epoch=$epochId", "bucket=")
-        if (mustCompactFp) written.map(_ -> epochId).toMap
-        else fpPtrBase ++ written.map(_ -> epochId)
+        if (mustCompactFp) written.map(_ -> Seq(epochId)).toMap
+        else fpPtrBase ++ written.map(b =>
+          b -> (fpPtrBase.getOrElse(b, Seq.empty) :+ epochId))
       }
 
     // fps that CROSSED the duplicate threshold this epoch (an existing
@@ -585,12 +631,20 @@ object Pipeline {
     // keeper displacement: batch minima vs the previous keepers (both
     // probes broadcast the batch side; outputs ≤ batch-sized). The keeper
     // probe is keyed by BAG, which the state is not bucketed by, so this
-    // is the one full (columns-pruned, shuffle-free) scan of the verdict
-    // state an epoch pays.
+    // is the one full (columns-pruned) scan of the verdict layers an
+    // epoch pays. Bag-join FIRST, newest-row-wins per doc AFTER (a
+    // displaced keeper's newer bag_keep=false row must shadow its old
+    // keeper row), keepers-only filter LAST — so the precedence
+    // aggregation shuffles only the bag-matched candidate rows.
     val batchMin = newSigs.groupBy(col("bag")).agg(min(col("doc_id")).as("b_min"))
-    val bagMatch = vPrevAll.filter(col("bag_keep"))
-      .select(col("bag"), col("doc_id").as("k_id"))
-      .join(broadcast(batchMin), Seq("bag")).localCheckpoint()
+    val bagMatch = vLayersFor(None)
+      .select(col("doc_id"), col("bag"), col("bag_keep"), col("_layer"))
+      .join(broadcast(batchMin), Seq("bag"))
+      .groupBy(col("doc_id"), col("bag"), col("b_min"))
+      .agg(max_by(col("bag_keep"), col("_layer")).as("bag_keep"))
+      .filter(col("bag_keep"))
+      .select(col("bag"), col("doc_id").as("k_id"), col("b_min"))
+      .localCheckpoint()
     val displaced = bagMatch.filter(col("b_min") < col("k_id"))
       .select(col("k_id").as("doc_id"), lit(true).as("_disp"))
 
@@ -605,29 +659,42 @@ object Pipeline {
         .withColumn("_cont", lit(true))
     }
 
-    // the buckets this epoch must rewrite: the batch's new docs plus the
-    // existing docs its deltas flip (displaced keepers + crossing-fp
-    // holders). ONE local job over checkpointed/tiny frames.
-    val touchedExistIds = displaced.select(col("doc_id"))
-      .unionByName(dDup.select(col("doc_id")))
-    val bucketsToRewrite: Seq[Int] = newIds.unionByName(touchedExistIds)
+    // the existing docs this epoch's deltas FLIP (displaced keepers +
+    // crossing-fp holders) — the only old rows the epoch re-emits. ONE
+    // tiny collect yields their buckets for the pruned state read.
+    val flipIds = displaced.select(col("doc_id"))
+      .unionByName(dDup.select(col("doc_id"))).distinct().localCheckpoint()
+    val flipBuckets: Seq[Int] = flipIds
       .select(vBucket(col("doc_id")).as("b")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
 
     // verdict-state compaction mirrors the fp-state rule; a legacy base
     // always compacts (that IS the migration into the bucketed layout)
-    val vPtrBase: Map[Int, Long] = prevState.map(_.vPtr).getOrElse(Map.empty)
+    val vPtrBase: Map[Int, Seq[Long]] =
+      prevState.map(_.vPtr).getOrElse(Map.empty)
     val mustCompactV = legacyBase ||
       (vPtrBase.nonEmpty && prevState.exists(_.vNB != VBuckets)) ||
-      vPtrBase.values.toSet.size >= FpCompactAt
+      vPtrBase.values.flatten.toSet.size >= FpCompactAt
 
-    // assemble the new verdict rows: ONLY the touched buckets' old rows
-    // re-emitted with the flips applied (bucket-pruned scan + broadcast
-    // joins, map-side), plus the batch's fresh rows. kept_prev/is_new
-    // ride along so added/removed and the report deltas fall out of the
-    // same pass.
-    val oldTouched = if (mustCompactV) vPrevAll else vPrevFor(bucketsToRewrite)
-    val exist = oldTouched.withColumnRenamed("kept", "kept_prev")
+    // assemble the epoch's CHANGED verdict rows only: the flipped docs'
+    // old rows re-emitted with the flips applied (bucket-pruned merged
+    // read + broadcast joins, map-side) plus the batch's fresh rows —
+    // batch-scale, never corpus-scale. kept_prev/is_new ride along so
+    // added/removed and the report deltas fall out of the same pass.
+    val flipOld = {
+      // candidates = every layer's rows for the flip docs (bucket-pruned
+      // read + broadcast semi-join), then newest row wins per doc — the
+      // precedence aggregation shuffles only flip-scale rows
+      val cand = vLayersFor(Some(flipBuckets))
+        .join(broadcast(flipIds), Seq("doc_id"))
+      cand.groupBy(col("doc_id")).agg(
+        max_by(struct(StateCols.filterNot(_ == "doc_id").map(col): _*),
+          col("_layer")).as("_s"))
+        .select(col("doc_id") +:
+          StateCols.filterNot(_ == "doc_id").map(c => col("_s." + c)): _*)
+    }
+    val exist = flipOld
+      .withColumnRenamed("kept", "kept_prev")
       .join(broadcast(displaced), Seq("doc_id"), "left")
       .join(broadcast(dDup), Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"), col("source"), col("n_tok"),
@@ -668,21 +735,31 @@ object Pipeline {
           Curation.spanDropExpr(col("n_win"), col("n_dup"))), col("contam")))
       .localCheckpoint() // consumed by deltas, corpus, verdict write
 
-    // the new verdict buckets (write volume = touched buckets only; the
-    // pointer rows carry everything else forward)
-    val vPtrNew: Map[Int, Long] =
-      if (bucketsToRewrite.isEmpty && !mustCompactV) vPtrBase
+    // the epoch's verdict layer: normally just the changed rows
+    // (O(batch + flips) write — newest row wins on read); a compaction
+    // writes the full merged state (carried rows + changes) and resets
+    // every bucket's layer list to this epoch
+    val vPtrNew: Map[Int, Seq[Long]] = {
+      val changed = assembled.drop("kept_prev", "is_new")
+      val layer =
+        if (mustCompactV)
+          vPrevAll.join(broadcast(changed.select(col("doc_id"))),
+              Seq("doc_id"), "left_anti")
+            .unionByName(changed)
+            .withColumn("bucket", vBucket(col("doc_id")))
+            .coalesce(8)
+        else changed.withColumn("bucket", vBucket(col("doc_id"))).coalesce(1)
+      if (assembled.isEmpty && !mustCompactV) vPtrBase
       else {
-        assembled.drop("kept_prev", "is_new")
-          .withColumn("bucket", vBucket(col("doc_id")))
-          .coalesce(8)
-          .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+        layer.write.mode(SaveMode.Overwrite).partitionBy("bucket")
           .parquet(s"$outDir/state/vbkt/epoch=$epochId")
         val written = listPartitionInts(spark,
           s"$outDir/state/vbkt/epoch=$epochId", "bucket=")
-        if (mustCompactV) written.map(_ -> epochId).toMap
-        else vPtrBase ++ written.map(_ -> epochId)
+        if (mustCompactV) written.map(_ -> Seq(epochId)).toMap
+        else vPtrBase ++ written.map(b =>
+          b -> (vPtrBase.getOrElse(b, Seq.empty) :+ epochId))
       }
+    }
 
     // added ⊆ the batch (an existing doc can never flip TO kept under
     // append-only monotonicity); removed = previously-kept docs whose
@@ -698,7 +775,11 @@ object Pipeline {
     val added = assembled.filter(isNewKept)
     val removed = assembled.filter(isRemovedNow).select(col("doc_id"))
     val shardOf = Layout.shardKey(col("doc_id"), numShards)
-    val dRoll = assembled.groupBy(col("lang"), col("source")).agg(
+    // ONE aggregation over the (batch-scale) changed rows yields both the
+    // report and the shard deltas: cardinality ≤ |lang×source×numShards|,
+    // folded both ways on the driver
+    val dAgg = assembled.groupBy(col("lang"), col("source"),
+        shardOf.as("shard")).agg(
       sum(when(col("is_new"), 1L).otherwise(0L)).as("d_in"),
       sum(when(isNewKept, 1L).otherwise(0L)).as("d_add"),
       sum(when(isRemovedNow, 1L).otherwise(0L)).as("d_rem"),
@@ -706,13 +787,19 @@ object Pipeline {
       sum(when(isRemovedNow, col("n_tok")).otherwise(0L)).as("d_tok_rem"),
       sum(when(col("is_new") && col("contam"), 1L).otherwise(0L)).as("d_cont"))
       .collect()
-      .filter(r => r.getLong(2) != 0L || r.getLong(3) != 0L ||
-        r.getLong(4) != 0L || r.getLong(7) != 0L)
-    val dShard = assembled.groupBy(shardOf.as("shard")).agg(
-      sum(when(isNewKept, 1L).otherwise(0L)).as("d_add"),
-      sum(when(isRemovedNow, 1L).otherwise(0L)).as("d_rem"))
-      .collect()
-      .filter(r => r.getLong(1) != 0L || r.getLong(2) != 0L)
+    // (lang, source) -> (d_in, d_add, d_rem, d_tok_add, d_tok_rem, d_cont)
+    val dRoll = dAgg.groupBy(r => (r.getString(0), r.getString(1)))
+      .view.mapValues(rs => (rs.map(_.getLong(3)).sum, rs.map(_.getLong(4)).sum,
+        rs.map(_.getLong(5)).sum, rs.map(_.getLong(6)).sum,
+        rs.map(_.getLong(7)).sum, rs.map(_.getLong(8)).sum))
+      .filter { case (_, d) =>
+        d._1 != 0L || d._2 != 0L || d._3 != 0L || d._6 != 0L }
+      .toMap
+    // shard -> (d_add, d_rem)
+    val dShard = dAgg.groupBy(_.getInt(2))
+      .view.mapValues(rs => (rs.map(_.getLong(4)).sum, rs.map(_.getLong(5)).sum))
+      .filter { case (_, d) => d._1 != 0L || d._2 != 0L }
+      .toMap
 
     // previous cumulative values: from the gen3 commit artifact, or —
     // legacy-migration only, exactly once — rebuilt by aggregating the
@@ -737,24 +824,22 @@ object Pipeline {
         case None => (Map.empty[(String, String), RollRow], Map.empty[Int, Long])
       }
     val rollupNew: Map[(String, String), RollRow] =
-      dRoll.foldLeft(prevRoll) { (acc, r) =>
-        val key = (r.getString(0), r.getString(1))
+      dRoll.foldLeft(prevRoll) { case (acc, (key, d)) =>
         val p = acc.getOrElse(key, RollRow(key._1, key._2, 0L, 0L, 0L, 0L))
         acc + (key -> RollRow(key._1, key._2,
-          p.docsIn + r.getLong(2),
-          p.docsKept + r.getLong(3) - r.getLong(4),
-          p.tokensKept + r.getLong(5) - r.getLong(6),
-          p.docsContam + r.getLong(7)))
+          p.docsIn + d._1,
+          p.docsKept + d._2 - d._3,
+          p.tokensKept + d._4 - d._5,
+          p.docsContam + d._6))
       }
     val shardKeptNew: Map[Int, Long] =
-      dShard.foldLeft(prevShardKept) { (acc, r) =>
-        val sh = r.getInt(0)
-        val n = acc.getOrElse(sh, 0L) + r.getLong(1) - r.getLong(2)
+      dShard.foldLeft(prevShardKept) { case (acc, (sh, d)) =>
+        val n = acc.getOrElse(sh, 0L) + d._1 - d._2
         if (n == 0L) acc - sh else acc + (sh -> n)
       }
-    val deltas: Seq[Int] = dShard.map(_.getInt(0)).toSeq.sorted
-    val nAdded = dRoll.map(_.getLong(3)).sum
-    val nRemoved = dRoll.map(_.getLong(4)).sum
+    val deltas: Seq[Int] = dShard.keys.toSeq.sorted
+    val nAdded = dRoll.values.map(_._2).sum
+    val nRemoved = dRoll.values.map(_._3).sum
 
     // rewrite only the changed shards, via crash-safe STAGING: the full
     // new content of every changed shard lands (atomically, _SUCCESS)
@@ -897,19 +982,60 @@ object Pipeline {
   private val StateCols = Seq("doc_id", "lang", "source", "n_tok", "h",
     "bag", "bag_keep", "n_win", "n_dup", "contam", "kept")
 
-  /** Union of the pointed verdict buckets, optionally restricted to a
-    * bucket subset (partition-pruned reads — an epoch's probes only open
-    * the buckets its batch can touch).
+  /** Pointed verdict layers (optionally bucket-pruned), each row tagged
+    * with a `_layer` rank (higher = newer). Callers shrink the row set
+    * FIRST (bag join, flip semi-join, presence probe), then resolve
+    * newest-row-wins per doc via `max_by(_layer)` over the small
+    * candidate set — the steady-state read path. Materializing the full
+    * merged view ([[readVBuckets]]) is reserved for compaction and
+    * migration epochs: its per-layer anti-join chain costs a broadcast
+    * per layer, which a steady-state epoch must not pay.
+    */
+  private def vLayersRanked(spark: SparkSession, outDir: String,
+      ptr: Map[Int, Seq[Long]], only: Option[Set[Int]]): DataFrame = {
+    val wanted = only.map(b => ptr.view.filterKeys(b).toMap).getOrElse(ptr)
+    val epochsAsc = wanted.values.flatten.toSet.toSeq.sorted
+    epochsAsc.zipWithIndex.map { case (e, rank) =>
+      val df = spark.read.parquet(s"$outDir/state/vbkt/epoch=$e")
+      (only match {
+        case Some(b) => df.filter(col("bucket").isInCollection(b))
+        case None => df
+      }).select(StateCols.map(col): _*).withColumn("_layer", lit(rank))
+    }.reduceOption(_ unionByName _)
+      .getOrElse(emptyVerdictState(spark).withColumn("_layer", lit(0)))
+  }
+
+  /** Merged view of the pointed verdict LAYERS, optionally restricted to
+    * a bucket subset (partition-pruned reads — an epoch's probes only
+    * open the buckets its batch can touch). Newest row wins per doc: the
+    * oldest layer is the last full copy, every newer layer holds only
+    * the rows its epoch changed, so a layer's rows are shadowed by the
+    * (batch-scale) union of newer layers' doc ids — resolved by
+    * broadcast anti-joins, shuffle-free. A doc's bucket is a pure hash
+    * of its id, so bucket pruning never splits a doc across layers.
     */
   private def readVBuckets(spark: SparkSession, outDir: String,
-      ptr: Map[Int, Long], only: Option[Set[Int]]): DataFrame = {
-    val wanted = only.map(b => ptr.filter(kv => b(kv._1))).getOrElse(ptr)
-      .toSeq.groupBy(_._2).view.mapValues(_.map(_._1)).toSeq
-    wanted.map { case (e, buckets) =>
-      spark.read.parquet(s"$outDir/state/vbkt/epoch=$e")
-        .filter(col("bucket").isInCollection(buckets))
-        .select(StateCols.map(col): _*)
-    }.reduceOption(_ unionByName _).getOrElse(emptyVerdictState(spark))
+      ptr: Map[Int, Seq[Long]], only: Option[Set[Int]]): DataFrame = {
+    val wanted = only.map(b => ptr.view.filterKeys(b).toMap).getOrElse(ptr)
+    val layersDesc = wanted.values.flatten.toSet.toSeq.sorted.reverse
+    def layer(e: Long): DataFrame = {
+      val df = spark.read.parquet(s"$outDir/state/vbkt/epoch=$e")
+      (only match {
+        case Some(b) => df.filter(col("bucket").isInCollection(b))
+        case None => df
+      }).select(StateCols.map(col): _*)
+    }
+    if (layersDesc.isEmpty) emptyVerdictState(spark)
+    else {
+      val dfs = layersDesc.map(layer)
+      dfs.zipWithIndex.map { case (df, i) =>
+        if (i == 0) df
+        else df.join(
+          broadcast(dfs.take(i).map(_.select(col("doc_id")))
+            .reduce(_ unionByName _).distinct()),
+          Seq("doc_id"), "left_anti")
+      }.reduce(_ unionByName _)
+    }
   }
 
   /** Benchmark fingerprint: (distinct window-fp count, their bit-XOR) —
@@ -945,12 +1071,12 @@ object Pipeline {
   private def writeCommit(spark: SparkSession, outDir: String, epochId: Long,
       st: EpochState, res: EpochResult): Unit = {
     val rows: Seq[CommitRow] =
-      st.fpPtr.toSeq.sortBy(_._1).map { case (b, e) =>
-        CommitRow("fp", bucket = Some(b), epoch = Some(e),
-          n_buckets = Some(st.fpNB)) } ++
-      st.vPtr.toSeq.sortBy(_._1).map { case (b, e) =>
-        CommitRow("v", bucket = Some(b), epoch = Some(e),
-          n_buckets = Some(st.vNB)) } ++
+      st.fpPtr.toSeq.sortBy(_._1).flatMap { case (b, es) =>
+        es.map(e => CommitRow("fp", bucket = Some(b), epoch = Some(e),
+          n_buckets = Some(st.fpNB))) } ++
+      st.vPtr.toSeq.sortBy(_._1).flatMap { case (b, es) =>
+        es.map(e => CommitRow("v", bucket = Some(b), epoch = Some(e),
+          n_buckets = Some(st.vNB))) } ++
       st.rollup.values.toSeq.sortBy(r => (r.lang, r.source)).map(r =>
         CommitRow("roll", lang = Some(r.lang), source = Some(r.source),
           docs_in = Some(r.docsIn), docs_kept = Some(r.docsKept),
@@ -988,10 +1114,13 @@ object Pipeline {
           val rows = spark.read.parquet(path).as[CommitRow].collect()
           val fp = rows.filter(_.kind == "fp")
           val v = rows.filter(_.kind == "v")
+          def ptrOf(rs: Array[CommitRow]): Map[Int, Seq[Long]] =
+            rs.groupBy(_.bucket.get)
+              .view.mapValues(_.map(_.epoch.get).toSeq.sorted).toMap
           val st = EpochState(
-            fp.map(r => r.bucket.get -> r.epoch.get).toMap,
+            ptrOf(fp),
             fp.headOption.flatMap(_.n_buckets).getOrElse(FpBuckets),
-            v.map(r => r.bucket.get -> r.epoch.get).toMap,
+            ptrOf(v),
             v.headOption.flatMap(_.n_buckets).getOrElse(VBuckets),
             rows.filter(_.kind == "roll").map(r =>
               (r.lang.get, r.source.get) -> RollRow(r.lang.get, r.source.get,
@@ -1037,13 +1166,13 @@ object Pipeline {
     pruneEpochs(s"$outDir/state/commit", _ >= epochId)
     // bucket state lives as long as the CURRENT pointer maps reference it
     // (a bucket an epoch didn't touch keeps pointing at its older copy)
-    val fpRef: Set[Long] = st.map(_.fpPtr.values.toSet).getOrElse {
+    val fpRef: Set[Long] = st.map(_.fpPtr.values.flatten.toSet).getOrElse {
       // legacy-committed epoch: referenced set from its fpmap artifact
       if (!hasDataFiles(spark, s"$outDir/state/fpmap/epoch=$epochId")) Set.empty
       else spark.read.parquet(s"$outDir/state/fpmap/epoch=$epochId")
         .select(col("epoch")).distinct().collect().map(_.getLong(0)).toSet
     }
-    val vRef: Set[Long] = st.map(_.vPtr.values.toSet).getOrElse(Set.empty)
+    val vRef: Set[Long] = st.map(_.vPtr.values.flatten.toSet).getOrElse(Set.empty)
     pruneEpochs(s"$outDir/state/fpcnt", e => e >= epochId || fpRef.contains(e))
     pruneEpochs(s"$outDir/state/vbkt", e => e >= epochId || vRef.contains(e))
     if (gen3) {

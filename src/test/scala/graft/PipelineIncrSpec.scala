@@ -41,14 +41,15 @@ class PipelineIncrSpec extends AnyFunSuite {
     spark.read.parquet(path).orderBy(order.map(col): _*)
       .collect().map(_.toString).toSeq
 
-  /** Pointer rows (`bucket -> epoch`) of `kind` ('fp' | 'v') from an
-    * epoch's commit artifact.
+  /** Pointer rows (`bucket -> layer epochs`) of `kind` ('fp' | 'v') from
+    * an epoch's commit artifact.
     */
-  private def ptrOf(out: String, e: Long, kind: String): Map[Int, Long] =
+  private def ptrOf(out: String, e: Long, kind: String): Map[Int, Set[Long]] =
     spark.read.parquet(s"$out/state/commit/epoch=$e")
       .filter(col("kind") === kind)
       .select(col("bucket"), col("epoch")).collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      .groupBy(_.getInt(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
 
   private def epochDirsOf(path: String): Set[Long] =
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) Set.empty
@@ -84,9 +85,9 @@ class PipelineIncrSpec extends AnyFunSuite {
     // pointer maps reference them — state stays O(docs), not O(docs × epochs)
     assert(epochDirsOf(s"$out/state/commit") === Set(2L),
       "only the newest committed epoch's commit artifact may remain")
-    assert(epochDirsOf(s"$out/state/vbkt") === ptrOf(out, 2L, "v").values.toSet,
+    assert(epochDirsOf(s"$out/state/vbkt") === ptrOf(out, 2L, "v").values.flatten.toSet,
       "every retained verdict-bucket epoch must still be referenced")
-    assert(epochDirsOf(s"$out/state/fpcnt") === ptrOf(out, 2L, "fp").values.toSet,
+    assert(epochDirsOf(s"$out/state/fpcnt") === ptrOf(out, 2L, "fp").values.flatten.toSet,
       "every retained fp-bucket epoch must still be referenced")
   }
 
@@ -286,7 +287,7 @@ class PipelineIncrSpec extends AnyFunSuite {
     assert(small < founding,
       s"a small epoch must rewrite only touched buckets ($small vs founding $founding)")
     // untouched buckets still point at (and retain) the founding epoch
-    val pointed = ptrOf(out, 1L, "fp").values.toSet
+    val pointed = ptrOf(out, 1L, "fp").values.flatten.toSet
     assert(pointed === Set(0L, 1L),
       s"pointer map must split across both epochs, got $pointed")
     assert(java.nio.file.Files.exists(
@@ -328,7 +329,7 @@ class PipelineIncrSpec extends AnyFunSuite {
       s"a small epoch's verdict WRITE volume must be batch-bound, not " +
         s"corpus-bound ($smallRows rows vs founding $foundingRows)")
     // untouched buckets still point at (and retain) the founding epoch
-    assert(ptrOf(out, 1L, "v").values.toSet === Set(0L, 1L))
+    assert(ptrOf(out, 1L, "v").values.flatten.toSet === Set(0L, 1L))
     assert(java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$out/state/vbkt/epoch=0")),
       "a still-referenced verdict epoch must survive the prune")
@@ -347,7 +348,7 @@ class PipelineIncrSpec extends AnyFunSuite {
     (0 until 10).foreach { i =>
       Pipeline.curateEpoch(chunk(cuts(9 - i), cuts(10 - i)), out, Shards, (i + 1).toLong)
     }
-    val pointed = ptrOf(out, 10L, "fp").values.toSet
+    val pointed = ptrOf(out, 10L, "fp").values.flatten.toSet
     assert(pointed.size < Pipeline.FpCompactAt,
       s"compaction must bound pointer fan-out, got ${pointed.size} epochs: $pointed")
     val onDisk = java.nio.file.Files.list(
@@ -395,7 +396,7 @@ class PipelineIncrSpec extends AnyFunSuite {
     val oneShot = Pipeline.curate(spark, dir,
       Files.createTempDirectory("graft-incr-flatfp-ref").toString, Shards)
     assertEqualsOneShot(out, oneShot)
-    assert(ptrOf(out, 1L, "fp").values.toSet === Set(1L),
+    assert(ptrOf(out, 1L, "fp").values.flatten.toSet === Set(1L),
       "compaction must point every bucket at the migrating epoch")
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$out/state/fpcnt/epoch=0")),
