@@ -64,12 +64,20 @@ object IncrBench {
             e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
           jobsSeen.incrementAndGet()
       })
+    // onJobStart arrives on the async listener-bus thread — poll until
+    // the counter goes quiet before reading an epoch's delta, or jobs
+    // still queued on the bus would be attributed to NO epoch's window
+    def drained(): Long = {
+      var prev = -1L
+      while (prev != jobsSeen.get) { prev = jobsSeen.get; Thread.sleep(100) }
+      prev
+    }
     val runs = ranges.zipWithIndex.map { case ((lo, hi), i) =>
       val chunk = docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
-      val j0 = jobsSeen.get
+      val j0 = drained()
       val t0 = System.nanoTime()
       Pipeline.curateEpoch(chunk, out, 16, i.toLong)
-      ((System.nanoTime() - t0) / 1e9, jobsSeen.get - j0)
+      ((System.nanoTime() - t0) / 1e9, drained() - j0)
     }
     val times = runs.map(_._1)
     println(s"""{"metric":"incr_epochs","founding":${f"${times.head}%.3f"},"tail":[${

@@ -85,7 +85,7 @@ object Pipeline {
     // be called with the wrong shard count (or a drifted benchmark)
     val sig = benchmark.map(b => benchSig(Curation.benchmarkFps(b)))
       .getOrElse((0L, 0L))
-    writeMeta(spark, outDir, numShards, sig)
+    writeMeta(spark, outDir, numShards, sig, gate)
     val reportPath = s"$outDir/report"
     Curation.funnelRollupEx(verdicts, withContam = gate)
       .write.mode(SaveMode.Overwrite).parquet(reportPath)
@@ -163,11 +163,18 @@ object Pipeline {
   private def vBucket(id: Column): Column =
     pmod(xxhash64(id), lit(VBuckets.toLong)).cast("int")
 
-  // numShards + benchmark signature validated once per (JVM, outDir)
-  // against the meta artifact; the DISK stays the authority (see the
-  // re-validation note in curateEpoch)
+  // numShards + benchmark (gate flag, fp signature) validated once per
+  // (JVM, outDir) against the meta artifact; the DISK stays the
+  // authority (see the re-validation note in curateEpoch)
   private val metaCache =
-    scala.collection.concurrent.TrieMap[String, (Int, Long, Long)]()
+    scala.collection.concurrent.TrieMap[String, (Int, Boolean, Long, Long)]()
+
+  // the benchmark's checkpointed window-fp frame + signature, cached per
+  // (JVM, outDir) for the SAME frame object only (identity, not
+  // semantics — a different frame must recompute so benchmark drift
+  // still reaches the meta check): (frame passed in, its fps, its sig)
+  private[graft] val benchCache =
+    scala.collection.concurrent.TrieMap[String, (DataFrame, DataFrame, (Long, Long))]()
 
   /** One row of the per-epoch commit artifact `state/commit/epoch=<e>` —
     * ALL of an epoch's driver-scale state in one parquet write, which is
@@ -340,16 +347,35 @@ object Pipeline {
     }
 
     // the benchmark's window-fp set: used for the meta fingerprint AND
-    // the fresh-doc contamination probe (gate-on epochs only)
-    val benchFps: Option[DataFrame] =
-      benchmark.map(b => Curation.benchmarkFps(b).localCheckpoint())
-    val sig: (Long, Long) = benchFps.map(benchSig).getOrElse((0L, 0L))
+    // the fresh-doc contamination probe (gate-on epochs only). The
+    // benchmark is pinned immutable for the life of the outDir, so its
+    // fps + signature are cached per (JVM, outDir) — but ONLY for the
+    // same frame OBJECT (the startIncremental loop passes one reference
+    // per run): a different frame recomputes, so in-JVM benchmark drift
+    // still reaches the meta check below instead of hiding behind the
+    // cache. Steady-state epochs thus pay zero benchmark-scale jobs.
+    val gateOn = benchmark.isDefined
+    val benchFps: Option[DataFrame] = benchmark.map { b =>
+      benchCache.get(outDir) match {
+        case Some((orig, fps, _)) if orig eq b => fps
+        case _ =>
+          val fps = Curation.benchmarkFps(b).localCheckpoint()
+          benchCache.put(outDir, (b, fps, benchSig(fps)))
+          fps
+      }
+    }
+    val sig: (Long, Long) =
+      if (gateOn) benchCache(outDir)._3 else (0L, 0L)
 
     // the shard count and benchmark are immutable per outDir — PIN both
     // before any write: an epoch called with a different shard count
     // would silently mix two layouts in one corpus while the audit keeps
     // the founding count, and a drifted benchmark would break the
     // fixed-at-first-sight monotonicity of the contamination flag.
+    // The gate FLAG is pinned separately from the fp fingerprint: a
+    // benchmark with zero window fps signs (0, 0) — identical to
+    // gate-off — so the flag alone is what keeps a fp-less benchmark
+    // from silently toggling the report shape between epochs.
     // Validated once per (JVM, outDir), so the check costs a 1-row read
     // only on the first epoch after a restart; the meta artifact itself
     // writes once (a crash mid-write leaves a fileless dir, which
@@ -359,29 +385,38 @@ object Pipeline {
     // against the stale cached ones (the per-epoch listing of the 1-file
     // meta dir is the price of that correctness).
     val metaLive = hasDataFiles(spark, s"$outDir/meta")
-    def requireMeta(stored: (Int, Long, Long)): Unit = {
+    def requireMeta(stored: (Int, Boolean, Long, Long)): Unit = {
       require(stored._1 == numShards,
         s"outDir $outDir was founded with numShards=${stored._1}; " +
           s"epoch called with $numShards")
-      require((stored._2, stored._3) == sig,
-        s"outDir $outDir was founded with benchmark fingerprint " +
-          s"(${stored._2}, ${stored._3}); epoch called with $sig — the " +
-          "decontamination benchmark must stay fixed for the life of an " +
-          "incremental outDir (gate toggles included)")
+      require(stored._2 == gateOn && (stored._3, stored._4) == sig,
+        s"outDir $outDir was founded with benchmark " +
+          s"(gate=${stored._2}, fingerprint (${stored._3}, ${stored._4})); " +
+          s"epoch called with (gate=$gateOn, $sig) — the decontamination " +
+          "benchmark must stay fixed for the life of an incremental " +
+          "outDir (gate toggles included)")
     }
     metaCache.get(outDir) match {
       case Some(st) if metaLive => requireMeta(st)
       case _ =>
         if (metaLive) {
           val r = spark.read.parquet(s"$outDir/meta").head()
-          val stored = (r.getAs[Int]("num_shards"),
+          val storedN =
             if (r.schema.fieldNames.contains("bench_n"))
-              r.getAs[Long]("bench_n") else 0L,
+              r.getAs[Long]("bench_n") else 0L
+          val storedX =
             if (r.schema.fieldNames.contains("bench_x"))
-              r.getAs[Long]("bench_x") else 0L)
-          requireMeta(stored)
-        } else writeMeta(spark, outDir, numShards, sig)
-        metaCache.put(outDir, (numShards, sig._1, sig._2))
+              r.getAs[Long]("bench_x") else 0L
+          // metas written before the explicit flag: gate-on iff the
+          // fingerprint is nonzero (a fp-less benchmark was
+          // indistinguishable from gate-off under that layout anyway)
+          val storedOn =
+            if (r.schema.fieldNames.contains("bench_on"))
+              r.getAs[Boolean]("bench_on")
+            else (storedN, storedX) != (0L, 0L)
+          requireMeta((r.getAs[Int]("num_shards"), storedOn, storedN, storedX))
+        } else writeMeta(spark, outDir, numShards, sig, gateOn)
+        metaCache.put(outDir, (numShards, gateOn, sig._1, sig._2))
     }
 
     val docs = batch.select(col("doc_id"), col("lang"), col("source"), col("text"))
@@ -389,14 +424,6 @@ object Pipeline {
     val base = docs.select(col("doc_id"), col("lang"), col("source"),
       graft.functions.TextFunctions.wsTokens(col("text")).as("toks"))
       .localCheckpoint() // feeds the signal + window derivations below
-
-    // the batch's window-fp log, appended batch-keyed (overwrite → an
-    // at-least-once retry rewrites the same bytes). This is the only
-    // token-scale state kept, and it is only ever probed under a
-    // broadcast of crossing fps.
-    Curation.winFpsOver(base.select(col("doc_id"), col("toks")), Curation.SubWidth)
-      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/state/winv/batch=$epochId")
-    val batchWins = spark.read.parquet(s"$outDir/state/winv/batch=$epochId")
 
     // delta base: the newest COMMITTED earlier epoch (marker = the commit
     // artifact's _SUCCESS, or the legacy verdict-state _SUCCESS for bases
@@ -437,9 +464,17 @@ object Pipeline {
     // resolved AFTER each probe shrinks the candidate set (bag join, flip
     // semi-join), so a steady-state epoch never materializes a full
     // merged view — gen3 only; legacy bases fall back to the merged full
-    // frame, which the compacting migration consumes exactly once anyway
+    // frame, which the compacting migration consumes exactly once anyway.
+    // Bucket pruning is only sound when the state was written under the
+    // CURRENT VBuckets constant — probe bucket sets are computed with the
+    // current hash, so pruning old-constant partitions with them would
+    // silently drop state rows (missed re-deliveries ⇒ duplicate corpus
+    // rows) one epoch BEFORE the compacting re-bucket runs; a mismatch
+    // epoch compacts anyway, so the unpruned read costs nothing extra.
     def vLayersFor(buckets: Option[Seq[Int]]): DataFrame = prevState match {
-      case Some(st) => vLayersRanked(spark, outDir, st.vPtr, buckets.map(_.toSet))
+      case Some(st) =>
+        val prunable = if (st.vNB == VBuckets) buckets else None
+        vLayersRanked(spark, outDir, st.vPtr, prunable.map(_.toSet))
       case None => vPrevAll.withColumn("_layer", lit(0))
     }
 
@@ -485,13 +520,17 @@ object Pipeline {
     val newSigs = batchSigs.join(broadcast(seenIds), Seq("doc_id"), "left_anti")
       .localCheckpoint()
     val newIds = newSigs.select(col("doc_id"))
-    val newWins = batchWins.join(broadcast(seenIds), Seq("doc_id"), "left_anti")
+    // NEW docs only — every probe and state write below derives from the
+    // seen-filtered batch, so re-delivered docs contribute nothing twice
+    val newBase = base.join(broadcast(seenIds), Seq("doc_id"), "left_anti")
 
     // FAST PATH: a batch with no new docs cannot move any verdict (flips
     // only arise from new docs' bags and window fps), so the epoch is a
     // heartbeat — carry every pointer and cumulative value forward and
-    // write only the commit marker. Gen3 bases only: a legacy base must
-    // run the full path so the compacting migration happens.
+    // write only the commit marker (no winv dir either — a re-delivered
+    // doc's windows already sit in the batch dir that first landed it).
+    // Gen3 bases only: a legacy base must run the full path so the
+    // compacting migration happens.
     if (prevState.isDefined && newSigs.isEmpty) {
       val st = prevState.get
       val result = EpochResult(epochId, st.docsSeen, st.docsKept, 0L, 0L, Nil)
@@ -499,6 +538,18 @@ object Pipeline {
       cleanupAfterCommit(spark, outDir, epochId, Some(st))
       return result
     }
+
+    // the epoch's window-fp log, appended batch-keyed, holding the NEW
+    // docs' windows only (filtered BEFORE the write: a re-delivered doc's
+    // windows are already in its first batch's dir, so appending them
+    // again would grow the one unbounded token-scale state by pure
+    // duplicates on every re-delivery — and the seen filter is
+    // deterministic on a same-epoch replay, so overwrite rewrites the
+    // same bytes). Probed only under a broadcast of crossing fps.
+    Curation.winFpsOver(newBase.select(col("doc_id"), col("toks")),
+        Curation.SubWidth)
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/state/winv/batch=$epochId")
+    val newWins = spark.read.parquet(s"$outDir/state/winv/batch=$epochId")
 
     // per-fp distinct-doc counts: merge the batch's tallies into the
     // BUCKETED fp state. The state is hash-partitioned on pmod(fp,
@@ -533,7 +584,14 @@ object Pipeline {
       (fpPtrBase.nonEmpty && fpNBBase != FpBuckets) ||
       fpPtrBase.values.flatten.toSet.size >= FpCompactAt
     def fpLayers(buckets: Option[Seq[Int]]): DataFrame = {
-      val wanted = buckets match {
+      // bucket pruning only when the state was written under the CURRENT
+      // FpBuckets constant — `touched` is computed with the current hash,
+      // so pruning old-constant partitions with it would drop live counts
+      // (missed priors ⇒ doubled fps in the compaction fold, missed
+      // crossings) one epoch before the re-bucket; the mismatch epoch
+      // compacts anyway, so the unpruned read is the same O(state) cost.
+      val prunable = if (fpNBBase == FpBuckets) buckets else None
+      val wanted = prunable match {
         case Some(b) => fpPtrBase.view.filterKeys(b.toSet).toMap
         case None => fpPtrBase
       }
@@ -543,7 +601,7 @@ object Pipeline {
       // the last full copy, newer ones are per-epoch tallies).
       wanted.values.flatten.toSet.toSeq.sorted.map { e =>
         val df = spark.read.parquet(s"$outDir/state/fpcnt/epoch=$e")
-        (buckets match {
+        (prunable match {
           case Some(b) => df.filter(col("bucket").isInCollection(b))
           case None => df
         }).select(col("fp"), col("nd"))
@@ -652,9 +710,7 @@ object Pipeline {
     // formula vs the benchmark, evaluated once at first sight
     val contamIds: Option[DataFrame] = benchFps.map { bf =>
       Curation.contaminatedOf(
-        Curation.winFpsOver(
-          base.join(broadcast(seenIds), Seq("doc_id"), "left_anti")
-            .select(col("doc_id"), col("toks")),
+        Curation.winFpsOver(newBase.select(col("doc_id"), col("toks")),
           Curation.DecontamWidth), bf)
         .withColumn("_cont", lit(true))
     }
@@ -1028,11 +1084,16 @@ object Pipeline {
     if (layersDesc.isEmpty) emptyVerdictState(spark)
     else {
       val dfs = layersDesc.map(layer)
+      // shadow sets materialized ONCE per newer layer (they are the
+      // batch-scale deltas; the oldest layer — the last full copy — never
+      // shadows anything): without the checkpoint, layer i's anti-join
+      // would re-scan layers 0..i-1's parquet from scratch, an O(L²)
+      // read pattern across the compaction's full layer fan-out
+      val shadowIds = dfs.init.map(_.select(col("doc_id")).localCheckpoint())
       dfs.zipWithIndex.map { case (df, i) =>
         if (i == 0) df
         else df.join(
-          broadcast(dfs.take(i).map(_.select(col("doc_id")))
-            .reduce(_ unionByName _).distinct()),
+          broadcast(shadowIds.take(i).reduce(_ unionByName _).distinct()),
           Seq("doc_id"), "left_anti")
       }.reduce(_ unionByName _)
     }
@@ -1048,9 +1109,10 @@ object Pipeline {
   }
 
   private def writeMeta(spark: SparkSession, outDir: String, numShards: Int,
-      sig: (Long, Long)): Unit =
+      sig: (Long, Long), gateOn: Boolean): Unit =
     spark.range(1).select(lit(numShards).as("num_shards"),
-        lit(sig._1).as("bench_n"), lit(sig._2).as("bench_x"))
+        lit(sig._1).as("bench_n"), lit(sig._2).as("bench_x"),
+        lit(gateOn).as("bench_on"))
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/meta")
 
   private def writeReport(spark: SparkSession, path: String,

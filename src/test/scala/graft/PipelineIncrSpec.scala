@@ -570,6 +570,142 @@ class PipelineIncrSpec extends AnyFunSuite {
     assert(eSwap.getMessage.contains("benchmark"))
   }
 
+  test("state written under a different bucket constant re-buckets BEFORE any probe trusts it") {
+    // the upgrade path: a deployment changes VBuckets/FpBuckets, restarts,
+    // and continues an outDir whose state is bucketed under the OLD
+    // constant. The epoch's bucket-pruned probes must not prune
+    // old-constant partitions with new-constant bucket sets — a missed
+    // re-delivery would duplicate corpus rows and a missed fp prior would
+    // double-count in the compaction fold — so pruning is disabled on
+    // mismatch and the epoch compacts into the new scheme.
+    val out0 = Files.createTempDirectory("graft-incr-nb-old").toString
+    Pipeline.curateEpoch(chunk(100, Long.MaxValue), out0, Shards, 0L)
+    // fabricate the old-constant layout: re-bucket both state families
+    // under 32 buckets and rewrite the commit artifact's pointer rows
+    val OldNB = 32
+    val vRe = spark.read.parquet(s"$out0/state/vbkt/epoch=0").drop("bucket")
+      .withColumn("bucket",
+        pmod(xxhash64(col("doc_id")), lit(OldNB.toLong)).cast("int"))
+      .localCheckpoint() // off the dir we are about to overwrite
+    vRe.write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$out0/state/vbkt/epoch=0")
+    val fRe = spark.read.parquet(s"$out0/state/fpcnt/epoch=0").drop("bucket")
+      .withColumn("bucket", pmod(col("fp"), lit(OldNB.toLong)).cast("int"))
+      .localCheckpoint()
+    fRe.write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$out0/state/fpcnt/epoch=0")
+    def bucketsOf(p: String): Seq[Int] =
+      java.nio.file.Files.list(java.nio.file.Paths.get(p)).toArray
+        .map(_.toString).filter(_.contains("bucket="))
+        .map(_.split("bucket=").last.toInt).toSeq
+    val sq = spark
+    import sq.implicits._
+    val commit = spark.read.parquet(s"$out0/state/commit/epoch=0")
+      .localCheckpoint()
+    val ptrs =
+      bucketsOf(s"$out0/state/vbkt/epoch=0").map(b => Pipeline.CommitRow("v",
+        bucket = Some(b), epoch = Some(0L), n_buckets = Some(OldNB))) ++
+      bucketsOf(s"$out0/state/fpcnt/epoch=0").map(b => Pipeline.CommitRow("fp",
+        bucket = Some(b), epoch = Some(0L), n_buckets = Some(OldNB)))
+    commit.filter(!col("kind").isin("fp", "v"))
+      .unionByName(ptrs.toDS().toDF(), allowMissingColumns = true)
+      .localCheckpoint()
+      .write.mode("overwrite").parquet(s"$out0/state/commit/epoch=0")
+    // continue under a FRESH outDir path (copy) — the restart analogue:
+    // the in-JVM state cache is keyed by outDir, and an upgraded process
+    // starts cold, reading the commit artifact from disk
+    val out = Files.createTempDirectory("graft-incr-nb-new").toString
+    java.nio.file.Files.walk(java.nio.file.Paths.get(out0)).forEach { src =>
+      val dst = java.nio.file.Paths.get(out,
+        java.nio.file.Paths.get(out0).relativize(src).toString)
+      if (java.nio.file.Files.isDirectory(src))
+        java.nio.file.Files.createDirectories(dst)
+      else java.nio.file.Files.copy(src, dst)
+    }
+    // overlap re-delivers docs 100-199; descending range displaces keepers
+    Pipeline.curateEpoch(chunk(0, 200), out, Shards, 1L)
+    val oneShot = Pipeline.curate(spark, dir,
+      Files.createTempDirectory("graft-incr-nb-ref").toString, Shards)
+    assertEqualsOneShot(out, oneShot)
+    // and the mismatch epoch compacted into the current scheme: every
+    // bucket points at epoch 1 alone
+    assert(ptrOf(out, 1L, "v").values.flatten.toSet === Set(1L),
+      "a bucket-constant mismatch must compact the verdict state")
+    assert(ptrOf(out, 1L, "fp").values.flatten.toSet === Set(1L),
+      "a bucket-constant mismatch must compact the fp state")
+  }
+
+  test("the winv log stays bounded: re-delivered docs never append their windows twice") {
+    val out = Files.createTempDirectory("graft-incr-winv").toString
+    Pipeline.curateEpoch(chunk(100, Long.MaxValue), out, Shards, 0L)
+    // a pure re-delivery heartbeat writes NO winv dir at all
+    Pipeline.curateEpoch(chunk(150, 400), out, Shards, 1L)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$out/state/winv/batch=1")),
+      "a heartbeat epoch must not append to the window log")
+    // a mixed batch appends only its NEW docs' windows
+    Pipeline.curateEpoch(chunk(0, 120), out, Shards, 2L)
+    val batch2Ids = spark.read.parquet(s"$out/state/winv/batch=2")
+      .select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(batch2Ids.nonEmpty && batch2Ids.forall(_ < 100L),
+      s"re-delivered docs (ids 100-119) must not re-enter the window log; got ${batch2Ids.filter(_ >= 100L)}")
+    val oneShot = Pipeline.curate(spark, dir,
+      Files.createTempDirectory("graft-incr-winv-ref").toString, Shards)
+    assertEqualsOneShot(out, oneShot)
+  }
+
+  test("a benchmark with zero window fps still pins the gate: toggling off fails loudly") {
+    // an all-short-docs benchmark has NO width-8 windows, so its fp
+    // fingerprint is (0, 0) — identical to gate-off. The explicit gate
+    // flag in the meta artifact is what keeps the report shape from
+    // silently flip-flopping between gated and ungated epochs.
+    val sq = spark
+    import sq.implicits._
+    val fpless = Seq((-1L, "too short")).toDF("doc_id", "text").localCheckpoint()
+    val out = Files.createTempDirectory("graft-incr-fpless").toString
+    Pipeline.curateEpoch(chunk(200, Long.MaxValue), out, Shards, 0L, Some(fpless))
+    val report = spark.read.parquet(s"$out/report")
+    assert(report.columns.contains("docs_contaminated"),
+      "a gated run's report carries the contamination column even when nothing matches")
+    val eOff = intercept[IllegalArgumentException] {
+      Pipeline.curateEpoch(chunk(0, 210), out, Shards, 1L, None)
+    }
+    assert(eOff.getMessage.contains("benchmark"))
+    // same gate, same (empty) fingerprint: continues fine and converges
+    Pipeline.curateEpoch(chunk(0, 210), out, Shards, 1L, Some(fpless))
+    val oneShot = Pipeline.curate(spark, dir,
+      Files.createTempDirectory("graft-incr-fpless-ref").toString, Shards,
+      Some(fpless))
+    assertEqualsOneShot(out, oneShot)
+  }
+
+  test("benchmark fps are computed once per run: same frame object hits the cache") {
+    val bench = Fixtures.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .filter(size(split(col("text"), " ")) >= 8)
+      .orderBy(col("doc_id")).limit(3).localCheckpoint()
+    val out = Files.createTempDirectory("graft-incr-bcache").toString
+    Pipeline.curateEpoch(chunk(300, Long.MaxValue), out, Shards, 0L, Some(bench))
+    val fps0 = Pipeline.benchCache(out)._2
+    Pipeline.curateEpoch(chunk(150, 320), out, Shards, 1L, Some(bench))
+    assert(Pipeline.benchCache(out)._2 eq fps0,
+      "the second epoch with the same benchmark object must reuse the checkpointed fps")
+    // a content-equal TWIN is a different object: recomputed (so drift
+    // detection stays live), same fingerprint, run continues
+    val twin = Fixtures.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .filter(size(split(col("text"), " ")) >= 8)
+      .orderBy(col("doc_id")).limit(3).localCheckpoint()
+    Pipeline.curateEpoch(chunk(0, 160), out, Shards, 2L, Some(twin))
+    assert(!(Pipeline.benchCache(out)._2 eq fps0),
+      "a different frame object must recompute so in-JVM drift is still detected")
+    val oneShot = Pipeline.curate(spark, dir,
+      Files.createTempDirectory("graft-incr-bcache-ref").toString, Shards,
+      Some(bench))
+    assertEqualsOneShot(out, oneShot)
+  }
+
   test("an epoch retry (same id) is idempotent across every artifact") {
     val out = Files.createTempDirectory("graft-incr-idem").toString
     Pipeline.curateEpoch(chunk(200, Long.MaxValue), out, Shards, 0L)
