@@ -330,6 +330,29 @@ object Pipeline {
     */
   def curateEpoch(batch: DataFrame, outDir: String, numShards: Int,
       epochId: Long, benchmark: Option[DataFrame] = None): EpochResult = {
+    // AQE off for the epoch's scope (saved/restored like the corpus
+    // overwrite's partitionOverwriteMode): every epoch plan is already
+    // explicitly shaped — size-gated broadcast probes, coalesce'd layer
+    // writes, batch-scale shuffles — so AQE's only observable effect
+    // here is materializing each query stage as its own job, which at
+    // tail-batch scale was ~30 extra driver round-trips (~1.5 s) of
+    // pure fixed overhead per epoch. Skew/coalescing never kick in on
+    // these shapes (measured: plans and shuffle-record counts identical
+    // either way), and the founding epoch's heavy lifting is bounded by
+    // the same explicit shapes.
+    val spark = batch.sparkSession
+    val aqePrev = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try curateEpochBody(batch, outDir, numShards, epochId, benchmark)
+    finally aqePrev match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
+  private def curateEpochBody(batch: DataFrame, outDir: String,
+      numShards: Int, epochId: Long, benchmark: Option[DataFrame])
+      : EpochResult = {
     val spark = batch.sparkSession
     val commitDir = s"$outDir/state/commit"
     val legacyVerdicts = s"$outDir/state/verdicts"
@@ -549,7 +572,8 @@ object Pipeline {
     Curation.winFpsOver(newBase.select(col("doc_id"), col("toks")),
         Curation.SubWidth)
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/state/winv/batch=$epochId")
-    val newWins = spark.read.parquet(s"$outDir/state/winv/batch=$epochId")
+    val newWins = spark.read.schema(winvSchema(spark, withBatch = false))
+      .parquet(s"$outDir/state/winv/batch=$epochId")
 
     // per-fp distinct-doc counts: merge the batch's tallies into the
     // BUCKETED fp state. The state is hash-partitioned on pmod(fp,
@@ -572,6 +596,14 @@ object Pipeline {
     val bcastFp: DataFrame => DataFrame =
       if (nContribFps <= FpBroadcastMaxRows) df => broadcast(df)
       else df => df
+    // delta-layer write parallelism: one write task (one file per touched
+    // bucket dir) is right for a tail batch, but a founding/backfill
+    // epoch's delta IS the state — a coalesce(1) there would funnel the
+    // whole founding write (and the final stage feeding it) through a
+    // single task. Sized from the driver-known fp tally, capped at the
+    // compaction write parallelism so file fan-out stays bounded.
+    val layerParts: Int =
+      math.min(8L, 1L + nContribFps / 4000000L).toInt
     // compaction folds EVERY layer into one fresh full copy: on a layout
     // migration (un-bucketed or winv-rebuilt base, or a changed FpBuckets
     // constant), and whenever the log references FpCompactAt distinct
@@ -600,7 +632,8 @@ object Pipeline {
       // count is the sum of its rows across layers (the oldest layer is
       // the last full copy, newer ones are per-epoch tallies).
       wanted.values.flatten.toSet.toSeq.sorted.map { e =>
-        val df = spark.read.parquet(s"$outDir/state/fpcnt/epoch=$e")
+        val df = spark.read.schema(fpcntSchema(spark))
+          .parquet(s"$outDir/state/fpcnt/epoch=$e")
         (prunable match {
           case Some(b) => df.filter(col("bucket").isInCollection(b))
           case None => df
@@ -628,34 +661,52 @@ object Pipeline {
       else {
         // the epoch's fp layer: on the normal path just the batch's own
         // tallies (value column named nd so layers sum uniformly; a
-        // layer row IS the delta it contributes) — O(batch) write, one
-        // file; a compaction instead writes the full merged counts with
-        // write parallelism 8. Coalesce (not repartition) keeps both
+        // layer row IS the delta it contributes) — O(batch) write; a
+        // compaction instead writes the full merged counts with write
+        // parallelism 8. Coalesce (not repartition) keeps both
         // shuffle-free — a state-keyed exchange here would violate the
         // O(batch + touched) shuffle budget the spec pins.
-        val layer =
-          if (mustCompactFp)
-            // the one O(state) fold, amortized over the compaction
-            // interval: full merged counts + the batch's tallies
-            fullFpBase.getOrElse(sumFp(fpLayers(None)))
-              .join(bcastFp(contrib.select(col("fp"), col("add"))), Seq("fp"), "left")
-              .select(col("fp"), (col("nd") + coalesce(col("add"), lit(0L))).as("nd"))
-              .unionByName(fresh)
-              .withColumn("bucket", fpBucket(col("fp")))
-              .coalesce(8)
-          else contrib.select(col("fp"), col("add").as("nd"), col("bucket"))
-            .coalesce(1)
-        layer.write.mode(SaveMode.Overwrite).partitionBy("bucket")
-          .parquet(s"$outDir/state/fpcnt/epoch=$epochId")
-        // pointer rows forward: a compaction points every written bucket
-        // at this epoch alone; a delta epoch APPENDS this epoch to its
-        // touched buckets' layer lists (from the FREE directory listing,
-        // no re-read job)
-        val written = listPartitionInts(spark,
-          s"$outDir/state/fpcnt/epoch=$epochId", "bucket=")
-        if (mustCompactFp) written.map(_ -> Seq(epochId)).toMap
-        else fpPtrBase ++ written.map(b =>
-          b -> (fpPtrBase.getOrElse(b, Seq.empty) :+ epochId))
+        //
+        // Layout by layer role: FULL-copy layers (founding + compaction
+        // — the state-scale layers reads must prune) are bucket=
+        // PARTITIONED dirs; a tail DELTA layer is written FLAT (bucket
+        // as a data column, layerParts files total). partitionBy on a
+        // batch-scale delta would fan each write task into up to
+        // FpBuckets tiny files — ≈1 s of per-file commit overhead every
+        // epoch for a layer whose reads are batch-scale row filters
+        // anyway (the pointer map already confines which epochs a
+        // bucket's read opens).
+        val fpDir = s"$outDir/state/fpcnt/epoch=$epochId"
+        if (mustCompactFp || fpPtrBase.isEmpty) {
+          val layer =
+            if (mustCompactFp)
+              // the one O(state) fold, amortized over the compaction
+              // interval: full merged counts + the batch's tallies
+              fullFpBase.getOrElse(sumFp(fpLayers(None)))
+                .join(bcastFp(contrib.select(col("fp"), col("add"))), Seq("fp"), "left")
+                .select(col("fp"), (col("nd") + coalesce(col("add"), lit(0L))).as("nd"))
+                .unionByName(fresh)
+                .withColumn("bucket", fpBucket(col("fp")))
+                .coalesce(8)
+            else contrib.select(col("fp"), col("add").as("nd"), col("bucket"))
+              .coalesce(layerParts)
+          layer.write.mode(SaveMode.Overwrite).partitionBy("bucket")
+            .parquet(fpDir)
+          // pointer rows forward from the FREE directory listing: a
+          // compaction points every written bucket at this epoch alone
+          val written = listPartitionInts(spark, fpDir, "bucket=")
+          if (mustCompactFp) written.map(_ -> Seq(epochId)).toMap
+          else fpPtrBase ++ written.map(b =>
+            b -> (fpPtrBase.getOrElse(b, Seq.empty) :+ epochId))
+        } else {
+          contrib.select(col("fp"), col("add").as("nd"), col("bucket"))
+            .coalesce(layerParts)
+            .write.mode(SaveMode.Overwrite).parquet(fpDir)
+          // `touched` IS the flat layer's exact bucket set (the layer is
+          // contrib verbatim), so the pointer append needs no listing
+          fpPtrBase ++ touched.map(b =>
+            b -> (fpPtrBase.getOrElse(b, Seq.empty) :+ epochId))
+        }
       }
 
     // fps that CROSSED the duplicate threshold this epoch (an existing
@@ -673,7 +724,8 @@ object Pipeline {
     val dDup =
       if (crossed.isEmpty)
         spark.range(0).select(col("id").as("doc_id"), col("id").as("d_dup"))
-      else spark.read.parquet(s"$outDir/state/winv")
+      else spark.read.schema(winvSchema(spark, withBatch = true))
+        .parquet(s"$outDir/state/winv")
         // defense in depth: under the sequential foreachBatch contract no
         // batch dir > epochId can exist, but a manually restored or
         // out-of-order state dir must be IGNORED, not silently folded in
@@ -791,32 +843,6 @@ object Pipeline {
           Curation.spanDropExpr(col("n_win"), col("n_dup"))), col("contam")))
       .localCheckpoint() // consumed by deltas, corpus, verdict write
 
-    // the epoch's verdict layer: normally just the changed rows
-    // (O(batch + flips) write — newest row wins on read); a compaction
-    // writes the full merged state (carried rows + changes) and resets
-    // every bucket's layer list to this epoch
-    val vPtrNew: Map[Int, Seq[Long]] = {
-      val changed = assembled.drop("kept_prev", "is_new")
-      val layer =
-        if (mustCompactV)
-          vPrevAll.join(broadcast(changed.select(col("doc_id"))),
-              Seq("doc_id"), "left_anti")
-            .unionByName(changed)
-            .withColumn("bucket", vBucket(col("doc_id")))
-            .coalesce(8)
-        else changed.withColumn("bucket", vBucket(col("doc_id"))).coalesce(1)
-      if (assembled.isEmpty && !mustCompactV) vPtrBase
-      else {
-        layer.write.mode(SaveMode.Overwrite).partitionBy("bucket")
-          .parquet(s"$outDir/state/vbkt/epoch=$epochId")
-        val written = listPartitionInts(spark,
-          s"$outDir/state/vbkt/epoch=$epochId", "bucket=")
-        if (mustCompactV) written.map(_ -> Seq(epochId)).toMap
-        else vPtrBase ++ written.map(b =>
-          b -> (vPtrBase.getOrElse(b, Seq.empty) :+ epochId))
-      }
-    }
-
     // added ⊆ the batch (an existing doc can never flip TO kept under
     // append-only monotonicity); removed = previously-kept docs whose
     // displacement or span flip landed this epoch. Both are filters over
@@ -831,9 +857,10 @@ object Pipeline {
     val added = assembled.filter(isNewKept)
     val removed = assembled.filter(isRemovedNow).select(col("doc_id"))
     val shardOf = Layout.shardKey(col("doc_id"), numShards)
-    // ONE aggregation over the (batch-scale) changed rows yields both the
-    // report and the shard deltas: cardinality ≤ |lang×source×numShards|,
-    // folded both ways on the driver
+    // ONE aggregation over the (batch-scale) changed rows yields the
+    // report deltas, the shard deltas, AND the changed rows' verdict
+    // buckets: cardinality ≤ |lang×source×numShards|, folded on the
+    // driver
     val dAgg = assembled.groupBy(col("lang"), col("source"),
         shardOf.as("shard")).agg(
       sum(when(col("is_new"), 1L).otherwise(0L)).as("d_in"),
@@ -841,8 +868,50 @@ object Pipeline {
       sum(when(isRemovedNow, 1L).otherwise(0L)).as("d_rem"),
       sum(when(isNewKept, col("n_tok")).otherwise(0L)).as("d_tok_add"),
       sum(when(isRemovedNow, col("n_tok")).otherwise(0L)).as("d_tok_rem"),
-      sum(when(col("is_new") && col("contam"), 1L).otherwise(0L)).as("d_cont"))
+      sum(when(col("is_new") && col("contam"), 1L).otherwise(0L)).as("d_cont"),
+      collect_set(vBucket(col("doc_id"))).as("bks"))
       .collect()
+
+    // the epoch's verdict layer: normally just the changed rows
+    // (O(batch + flips) write — newest row wins on read); a compaction
+    // writes the full merged state (carried rows + changes) and resets
+    // every bucket's layer list to this epoch. Layout mirrors the fp
+    // state: full-copy layers (founding + compaction) bucket=
+    // partitioned for pruned reads, tail DELTA layers flat (see the fp
+    // layer's rationale — the exact changed-row bucket set rides the
+    // dAgg collect, so the flat path needs no listing job either).
+    val vPtrNew: Map[Int, Seq[Long]] = {
+      val changed = assembled.drop("kept_prev", "is_new")
+      val vDir = s"$outDir/state/vbkt/epoch=$epochId"
+      if (dAgg.isEmpty && !mustCompactV) vPtrBase
+      else if (mustCompactV || vPtrBase.isEmpty) {
+        val layer =
+          if (mustCompactV)
+            vPrevAll.join(broadcast(changed.select(col("doc_id"))),
+                Seq("doc_id"), "left_anti")
+              .unionByName(changed)
+              .withColumn("bucket", vBucket(col("doc_id")))
+              .coalesce(8)
+          else changed.withColumn("bucket", vBucket(col("doc_id")))
+            // verdict rows ≤ fp tallies (a new doc carries ≥ 0 windows,
+            // a flip carries none), so the fp-derived sizing is a safe
+            // cap
+            .coalesce(layerParts)
+        layer.write.mode(SaveMode.Overwrite).partitionBy("bucket")
+          .parquet(vDir)
+        val written = listPartitionInts(spark, vDir, "bucket=")
+        if (mustCompactV) written.map(_ -> Seq(epochId)).toMap
+        else vPtrBase ++ written.map(b =>
+          b -> (vPtrBase.getOrElse(b, Seq.empty) :+ epochId))
+      } else {
+        changed.withColumn("bucket", vBucket(col("doc_id")))
+          .coalesce(layerParts)
+          .write.mode(SaveMode.Overwrite).parquet(vDir)
+        val changedBuckets = dAgg.iterator.flatMap(_.getSeq[Int](9)).toSet
+        vPtrBase ++ changedBuckets.toSeq.sorted.map(b =>
+          b -> (vPtrBase.getOrElse(b, Seq.empty) :+ epochId))
+      }
+    }
     // (lang, source) -> (d_in, d_add, d_rem, d_tok_add, d_tok_rem, d_cont)
     val dRoll = dAgg.groupBy(r => (r.getString(0), r.getString(1)))
       .view.mapValues(rs => (rs.map(_.getLong(3)).sum, rs.map(_.getLong(4)).sum,
@@ -929,7 +998,11 @@ object Pipeline {
         // shard-keyed repartition keeps the file count at one per changed
         // shard (its exchange moves only the changed shards' content)
         carry.unionByName(addedContent)
-          .repartition(col("shard"))
+          // numPartitions = changed-shard count: the staged content is
+          // exactly those shards, so the default 32 would leave empty
+          // tasks at tail scale (hash collisions just co-locate two
+          // shards in one task; partitionBy still splits the files)
+          .repartition(deltas.size, col("shard"))
           .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(stagingPath)
       }
       if (failAfterStaging)
@@ -1007,7 +1080,12 @@ object Pipeline {
         case None => // epoch 0, or a crash-corrupted manifest: full recompute
           Layout.shardManifest(fullCorpusView, numShards)
       }
-      manifest.orderBy(col("shard")).localCheckpoint()
+      // coalesce(1) + sortWithinPartitions: a total shard sort of
+      // ≤ numShards rows on one task (the upstream aggregation's map
+      // side keeps its scan parallelism — coalesce only collapses the
+      // post-exchange reduce side), skipping orderBy's range-sample job
+      manifest.coalesce(1).sortWithinPartitions(col("shard"))
+        .localCheckpoint()
         .write.mode(SaveMode.Overwrite).parquet(manifestPath)
     }
 
@@ -1052,7 +1130,8 @@ object Pipeline {
     val wanted = only.map(b => ptr.view.filterKeys(b).toMap).getOrElse(ptr)
     val epochsAsc = wanted.values.flatten.toSet.toSeq.sorted
     epochsAsc.zipWithIndex.map { case (e, rank) =>
-      val df = spark.read.parquet(s"$outDir/state/vbkt/epoch=$e")
+      val df = spark.read.schema(vbktSchema(spark))
+        .parquet(s"$outDir/state/vbkt/epoch=$e")
       (only match {
         case Some(b) => df.filter(col("bucket").isInCollection(b))
         case None => df
@@ -1075,7 +1154,8 @@ object Pipeline {
     val wanted = only.map(b => ptr.view.filterKeys(b).toMap).getOrElse(ptr)
     val layersDesc = wanted.values.flatten.toSet.toSeq.sorted.reverse
     def layer(e: Long): DataFrame = {
-      val df = spark.read.parquet(s"$outDir/state/vbkt/epoch=$e")
+      val df = spark.read.schema(vbktSchema(spark))
+        .parquet(s"$outDir/state/vbkt/epoch=$e")
       (only match {
         case Some(b) => df.filter(col("bucket").isInCollection(b))
         case None => df
@@ -1124,9 +1204,12 @@ object Pipeline {
       .toDF("lang", "source", "docs_in", "docs_kept", "tokens_kept",
         "docs_contaminated")
     val shaped = if (withContam) full else full.drop("docs_contaminated")
-    // orderBy + coalesce(1): the report is sorted by Spark's own string
-    // ordering, byte-identical to the one-shot funnelRollup artifact
-    shaped.orderBy(col("lang"), col("source")).coalesce(1)
+    // coalesce(1) + sortWithinPartitions ≡ a total sort by Spark's own
+    // string ordering (one partition), matching the one-shot
+    // funnelRollup artifact's row order — without the range-sampling
+    // job + 32-task exchange an orderBy would run for ≤|lang×source|
+    // driver-held rows
+    shaped.coalesce(1).sortWithinPartitions(col("lang"), col("source"))
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
@@ -1173,7 +1256,9 @@ object Pipeline {
         else {
           val sq = spark
           import sq.implicits._
-          val rows = spark.read.parquet(path).as[CommitRow].collect()
+          val rows = spark.read
+            .schema(org.apache.spark.sql.Encoders.product[CommitRow].schema)
+            .parquet(path).as[CommitRow].collect()
           val fp = rows.filter(_.kind == "fp")
           val v = rows.filter(_.kind == "v")
           def ptrOf(rs: Array[CommitRow]): Map[Int, Seq[Long]] =
@@ -1341,6 +1426,30 @@ object Pipeline {
         lit("").as("bag")),
       spark.range(0).select(col("id").as("doc_id"), col("id").as("fp")))
       .withColumn("contam", lit(false)).select(StateCols.map(col): _*)
+
+  /** Explicit read schemas for the hot state dirs. A schema-inferring
+    * `spark.read.parquet` runs a footer-read job per call, and one
+    * steady-state epoch opens these dirs a dozen-plus times (three
+    * layered verdict probes × pointed layers, the fp layers, the winv
+    * log) — at ~20–50 ms of job+scheduling latency each, inference was
+    * a visible slice of the fixed per-epoch overhead. Derived THROUGH
+    * the producer formulas (one-copy rule) so a formula change can
+    * never strand a stale shape here; `bucket`/`batch` resolve as
+    * partition columns on partitioned layers and as data columns on
+    * flat delta layers — the same schema satisfies both layouts.
+    */
+  private def vbktSchema(spark: SparkSession) =
+    emptyVerdictState(spark).withColumn("bucket", vBucket(col("doc_id")))
+      .schema
+  private def fpcntSchema(spark: SparkSession) =
+    spark.range(0).select(col("id").as("fp"), col("id").as("nd"),
+      fpBucket(col("id")).as("bucket")).schema
+  private def winvSchema(spark: SparkSession, withBatch: Boolean) = {
+    val base = Curation.winFpsOver(
+      spark.range(0).select(col("id").as("doc_id"),
+        array(lit("")).as("toks")), 1)
+    (if (withBatch) base.withColumn("batch", col("doc_id")) else base).schema
+  }
 
   /** Attach the incremental pipeline to a document stream with `doc_id`,
     * `lang`, `source`, `text`. `benchmark` enables the decontamination
