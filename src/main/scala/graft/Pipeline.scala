@@ -163,6 +163,14 @@ object Pipeline {
   private def vBucket(id: Column): Column =
     pmod(xxhash64(id), lit(VBuckets.toLong)).cast("int")
 
+  /** Append `epochId` to each touched bucket's layer list — the ONE copy
+    * of the pointer-forward rule shared by the fp and verdict states.
+    */
+  private def appendPtr(base: Map[Int, Seq[Long]], touched: Iterable[Int],
+      epochId: Long): Map[Int, Seq[Long]] =
+    base ++ touched.map(b =>
+      b -> (base.getOrElse(b, Seq.empty) :+ epochId))
+
   // numShards + benchmark (gate flag, fp signature) validated once per
   // (JVM, outDir) against the meta artifact; the DISK stays the
   // authority (see the re-validation note in curateEpoch)
@@ -340,15 +348,36 @@ object Pipeline {
     // these shapes (measured: plans and shuffle-record counts identical
     // either way), and the founding epoch's heavy lifting is bounded by
     // the same explicit shapes.
+    // Reentrancy-safe per SESSION (concurrent epochs of different
+    // outDirs may share one session): only the first epoch in saves
+    // the prior value and sets false, only the last one out restores —
+    // a naive save/restore pair could interleave as save(true),
+    // save(false), restore(true), restore(false) and leave AQE off for
+    // the session permanently.
     val spark = batch.sparkSession
-    val aqePrev = spark.conf.getOption("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    aqeScope.synchronized {
+      val (depth, saved) = aqeScope.getOrElse(spark, (0,
+        spark.conf.getOption("spark.sql.adaptive.enabled")))
+      aqeScope.put(spark, (depth + 1, saved))
+      if (depth == 0) spark.conf.set("spark.sql.adaptive.enabled", "false")
+    }
     try curateEpochBody(batch, outDir, numShards, epochId, benchmark)
-    finally aqePrev match {
-      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
-      case None => spark.conf.unset("spark.sql.adaptive.enabled")
+    finally aqeScope.synchronized {
+      val (depth, saved) = aqeScope(spark)
+      if (depth > 1) aqeScope.put(spark, (depth - 1, saved))
+      else {
+        aqeScope.remove(spark)
+        saved match {
+          case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+          case None => spark.conf.unset("spark.sql.adaptive.enabled")
+        }
+      }
     }
   }
+
+  // session -> (active curateEpoch count, AQE value to restore at 0)
+  private val aqeScope =
+    scala.collection.mutable.Map[SparkSession, (Int, Option[String])]()
 
   private def curateEpochBody(batch: DataFrame, outDir: String,
       numShards: Int, epochId: Long, benchmark: Option[DataFrame])
@@ -677,6 +706,11 @@ object Pipeline {
         // anyway (the pointer map already confines which epochs a
         // bucket's read opens).
         val fpDir = s"$outDir/state/fpcnt/epoch=$epochId"
+        // ONE copy of the delta frame: both layouts below write exactly
+        // this (the flat path verbatim, the founding path partitioned),
+        // so the written layer and its pointer bookkeeping cannot drift
+        val delta = contrib.select(col("fp"), col("add").as("nd"), col("bucket"))
+          .coalesce(layerParts)
         if (mustCompactFp || fpPtrBase.isEmpty) {
           val layer =
             if (mustCompactFp)
@@ -688,24 +722,19 @@ object Pipeline {
                 .unionByName(fresh)
                 .withColumn("bucket", fpBucket(col("fp")))
                 .coalesce(8)
-            else contrib.select(col("fp"), col("add").as("nd"), col("bucket"))
-              .coalesce(layerParts)
+            else delta
           layer.write.mode(SaveMode.Overwrite).partitionBy("bucket")
             .parquet(fpDir)
           // pointer rows forward from the FREE directory listing: a
           // compaction points every written bucket at this epoch alone
           val written = listPartitionInts(spark, fpDir, "bucket=")
           if (mustCompactFp) written.map(_ -> Seq(epochId)).toMap
-          else fpPtrBase ++ written.map(b =>
-            b -> (fpPtrBase.getOrElse(b, Seq.empty) :+ epochId))
+          else appendPtr(fpPtrBase, written, epochId)
         } else {
-          contrib.select(col("fp"), col("add").as("nd"), col("bucket"))
-            .coalesce(layerParts)
-            .write.mode(SaveMode.Overwrite).parquet(fpDir)
+          delta.write.mode(SaveMode.Overwrite).parquet(fpDir)
           // `touched` IS the flat layer's exact bucket set (the layer is
           // contrib verbatim), so the pointer append needs no listing
-          fpPtrBase ++ touched.map(b =>
-            b -> (fpPtrBase.getOrElse(b, Seq.empty) :+ epochId))
+          appendPtr(fpPtrBase, touched, epochId)
         }
       }
 
@@ -869,7 +898,8 @@ object Pipeline {
       sum(when(isNewKept, col("n_tok")).otherwise(0L)).as("d_tok_add"),
       sum(when(isRemovedNow, col("n_tok")).otherwise(0L)).as("d_tok_rem"),
       sum(when(col("is_new") && col("contam"), 1L).otherwise(0L)).as("d_cont"),
-      collect_set(vBucket(col("doc_id"))).as("bks"))
+      collect_set(vBucket(col("doc_id"))).as("bks"),
+      count(lit(1)).as("d_rows"))
       .collect()
 
     // the epoch's verdict layer: normally just the changed rows
@@ -883,6 +913,15 @@ object Pipeline {
     val vPtrNew: Map[Int, Seq[Long]] = {
       val changed = assembled.drop("kept_prev", "is_new")
       val vDir = s"$outDir/state/vbkt/epoch=$epochId"
+      // write parallelism from the driver-known CHANGED-ROW count (the
+      // fp tally is the wrong proxy here: a founding batch of short or
+      // heavily-duplicated docs has ~0 distinct fps but corpus-scale
+      // verdict rows, and would funnel through one task)
+      val nChanged = dAgg.iterator.map(_.getLong(10)).sum
+      val vParts = math.min(8L, 1L + nChanged / 1000000L).toInt
+      // ONE copy of the delta frame for both layouts (see the fp layer)
+      val delta = changed.withColumn("bucket", vBucket(col("doc_id")))
+        .coalesce(vParts)
       if (dAgg.isEmpty && !mustCompactV) vPtrBase
       else if (mustCompactV || vPtrBase.isEmpty) {
         val layer =
@@ -892,24 +931,16 @@ object Pipeline {
               .unionByName(changed)
               .withColumn("bucket", vBucket(col("doc_id")))
               .coalesce(8)
-          else changed.withColumn("bucket", vBucket(col("doc_id")))
-            // verdict rows ≤ fp tallies (a new doc carries ≥ 0 windows,
-            // a flip carries none), so the fp-derived sizing is a safe
-            // cap
-            .coalesce(layerParts)
+          else delta
         layer.write.mode(SaveMode.Overwrite).partitionBy("bucket")
           .parquet(vDir)
         val written = listPartitionInts(spark, vDir, "bucket=")
         if (mustCompactV) written.map(_ -> Seq(epochId)).toMap
-        else vPtrBase ++ written.map(b =>
-          b -> (vPtrBase.getOrElse(b, Seq.empty) :+ epochId))
+        else appendPtr(vPtrBase, written, epochId)
       } else {
-        changed.withColumn("bucket", vBucket(col("doc_id")))
-          .coalesce(layerParts)
-          .write.mode(SaveMode.Overwrite).parquet(vDir)
+        delta.write.mode(SaveMode.Overwrite).parquet(vDir)
         val changedBuckets = dAgg.iterator.flatMap(_.getSeq[Int](9)).toSet
-        vPtrBase ++ changedBuckets.toSeq.sorted.map(b =>
-          b -> (vPtrBase.getOrElse(b, Seq.empty) :+ epochId))
+        appendPtr(vPtrBase, changedBuckets.toSeq.sorted, epochId)
       }
     }
     // (lang, source) -> (d_in, d_add, d_rem, d_tok_add, d_tok_rem, d_cont)
@@ -1438,18 +1469,26 @@ object Pipeline {
     * partition columns on partitioned layers and as data columns on
     * flat delta layers — the same schema satisfies both layouts.
     */
+  // memoized per JVM (a StructType is session-independent, and the
+  // derivation analyzes a multi-join plan — not something to re-run on
+  // every one of an epoch's dozen-plus layer opens)
+  private val stateSchemas =
+    scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.types.StructType]()
   private def vbktSchema(spark: SparkSession) =
-    emptyVerdictState(spark).withColumn("bucket", vBucket(col("doc_id")))
-      .schema
+    stateSchemas.getOrElseUpdate("vbkt",
+      emptyVerdictState(spark).withColumn("bucket", vBucket(col("doc_id")))
+        .schema)
   private def fpcntSchema(spark: SparkSession) =
-    spark.range(0).select(col("id").as("fp"), col("id").as("nd"),
-      fpBucket(col("id")).as("bucket")).schema
-  private def winvSchema(spark: SparkSession, withBatch: Boolean) = {
-    val base = Curation.winFpsOver(
-      spark.range(0).select(col("id").as("doc_id"),
-        array(lit("")).as("toks")), 1)
-    (if (withBatch) base.withColumn("batch", col("doc_id")) else base).schema
-  }
+    stateSchemas.getOrElseUpdate("fpcnt",
+      spark.range(0).select(col("id").as("fp"), col("id").as("nd"),
+        fpBucket(col("id")).as("bucket")).schema)
+  private def winvSchema(spark: SparkSession, withBatch: Boolean) =
+    stateSchemas.getOrElseUpdate(s"winv:$withBatch", {
+      val base = Curation.winFpsOver(
+        spark.range(0).select(col("id").as("doc_id"),
+          array(lit("")).as("toks")), 1)
+      (if (withBatch) base.withColumn("batch", col("doc_id")) else base).schema
+    })
 
   /** Attach the incremental pipeline to a document stream with `doc_id`,
     * `lang`, `source`, `text`. `benchmark` enables the decontamination
