@@ -338,8 +338,7 @@ object Pipeline {
     */
   def curateEpoch(batch: DataFrame, outDir: String, numShards: Int,
       epochId: Long, benchmark: Option[DataFrame] = None): EpochResult = {
-    // AQE off for the epoch's scope (saved/restored like the corpus
-    // overwrite's partitionOverwriteMode): every epoch plan is already
+    // AQE off for the epoch's scope: every epoch plan is already
     // explicitly shaped — size-gated broadcast probes, coalesce'd layer
     // writes, batch-scale shuffles — so AQE's only observable effect
     // here is materializing each query stage as its own job, which at
@@ -1054,14 +1053,15 @@ object Pipeline {
         val newContent = spark.read.parquet(stagingPath)
           .select(col("doc_id"), col("lang"), col("source"), col("n_tok"),
             col("text"), col("shard"))
-        val mode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try newContent.write.mode(SaveMode.Overwrite)
+        // per-WRITE dynamic overwrite (the writer option overrides the
+        // session conf) — a session-conf save/restore here was a race
+        // under concurrent epochs sharing one session: an interleaving
+        // could strand the SESSION in dynamic mode, silently flipping
+        // every later static Overwrite in the process from
+        // delete-the-dir to merge-into-it
+        newContent.write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
           .partitionBy("shard").parquet(corpusPath)
-        finally mode match {
-          case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
-          case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-        }
       }
       // explicitly drop shards whose kept set emptied (dynamic overwrite
       // never touches a partition the output frame doesn't mention)

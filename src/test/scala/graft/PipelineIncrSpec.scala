@@ -206,6 +206,74 @@ class PipelineIncrSpec extends AnyFunSuite {
     assertEqualsOneShot(out, oneShot)
   }
 
+  test("steady-state job count stays constant as delta layers accumulate") {
+    // the round-12 fixed-overhead pin: reading a pointed layer must not
+    // cost a driver job (schema inference, listings), so an epoch's job
+    // count is a function of its batch SHAPE, not of how many layers the
+    // log has accumulated — pre-fix each accumulated layer added ~5 jobs
+    // per epoch (schema-inferring footer reads at three probe sites).
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    def measured(fn: => Unit): Long = {
+      jobs.set(0L)
+      fn
+      var prev = -1L
+      while (prev != jobs.get) { prev = jobs.get; Thread.sleep(300) }
+      jobs.get
+    }
+    val out = Files.createTempDirectory("graft-incr-jobs").toString
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Pipeline.curateEpoch(chunk(150, Long.MaxValue), out, Shards, 0L)
+      val tails = (1 to 3).map { i =>
+        measured { Pipeline.curateEpoch(
+          chunk(150 - 50 * i, 200 - 50 * i), out, Shards, i.toLong) }
+      }
+      // tail 3 reads three more layers than tail 1; equal-shaped batches
+      // must cost the same jobs modulo small branch variation (a batch
+      // with crossing fps runs one extra probe) — far below the ~5 jobs
+      // PER LAYER the schema-inference reads used to add
+      assert(tails.last <= tails.head + 3,
+        s"job count must not creep with accumulated layers (${tails.mkString(", ")})")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("curateEpoch restores the session's AQE setting, including concurrent epochs") {
+    val key = "spark.sql.adaptive.enabled"
+    val saved = spark.conf.getOption(key)
+    try {
+      for (v <- Seq("true", "false")) {
+        spark.conf.set(key, v)
+        val out = Files.createTempDirectory("graft-incr-aqe").toString
+        Pipeline.curateEpoch(chunk(200, 260), out, Shards, 0L)
+        assert(spark.conf.get(key) === v,
+          s"a single epoch must restore $key=$v")
+      }
+      // two interleaved epochs on one session: the naive save/restore
+      // pair would end with the INNER save's value (false) stuck
+      spark.conf.set(key, "true")
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fs = (1 to 2).map { i =>
+        Future {
+          val out = Files.createTempDirectory(s"graft-incr-aqe-c$i").toString
+          Pipeline.curateEpoch(chunk(200, 260), out, Shards, 0L)
+        }
+      }
+      fs.foreach(Await.result(_, 5.minutes))
+      assert(spark.conf.get(key) === "true",
+        "concurrent epochs must leave the session's AQE value restored")
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("a state dir written by the pre-delta layout migrates and continues, not crashes") {
     import graft.operators.{Curation, Layout}
     // fabricate the round-10 layout exactly: batch-keyed sigs + winv
