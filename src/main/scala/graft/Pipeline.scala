@@ -112,6 +112,14 @@ object Pipeline {
     */
   @volatile private[graft] var failAfterStaging: Boolean = false
 
+  /** Test seam: when set, epochs await this barrier right after entering
+    * the AQE scope, so a spec can force two concurrent epochs to overlap
+    * deterministically (the interleaving the scope's depth counter
+    * exists for would otherwise depend on scheduling luck).
+    */
+  @volatile private[graft] var testEpochBarrier
+      : Option[java.util.concurrent.CyclicBarrier] = None
+
   /** Hash-bucket count of the per-fp count state
     * (`state/fpcnt/epoch=<e>/bucket=pmod(fp, FpBuckets)`). A layout
     * constant: changing it is safe — the stored count rides the commit
@@ -360,8 +368,11 @@ object Pipeline {
       aqeScope.put(spark, (depth + 1, saved))
       if (depth == 0) spark.conf.set("spark.sql.adaptive.enabled", "false")
     }
-    try curateEpochBody(batch, outDir, numShards, epochId, benchmark)
-    finally aqeScope.synchronized {
+    try {
+      testEpochBarrier.foreach(
+        _.await(60, java.util.concurrent.TimeUnit.SECONDS))
+      curateEpochBody(batch, outDir, numShards, epochId, benchmark)
+    } finally aqeScope.synchronized {
       val (depth, saved) = aqeScope(spark)
       if (depth > 1) aqeScope.put(spark, (depth - 1, saved))
       else {

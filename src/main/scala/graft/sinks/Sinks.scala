@@ -247,14 +247,14 @@ object Sinks {
       val merged = all.groupBy(col(keyCol))
         .agg(max_by(struct(payload.map(col): _*), col(idCol)).as("__p"))
         .select(col(keyCol) +: payload.map(c => col("__p").getField(c).as(c)): _*)
-      val key = "spark.sql.sources.partitionOverwriteMode"
-      val prev = spark.conf.getOption(key)
-      spark.conf.set(key, "dynamic")
-      try merged.write.mode("overwrite").partitionBy("__bucket").parquet(viewPath)
-      finally { prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }}
+      // per-WRITE dynamic overwrite (the writer option overrides the
+      // session conf): upsertView runs from foreachBatch, and two
+      // streaming queries sharing one session could interleave a
+      // session-conf save/restore and strand the session in dynamic
+      // mode — turning every later static Overwrite into a merge
+      merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__bucket").parquet(viewPath)
     } finally withB.unpersist()
   }
 

@@ -177,14 +177,7 @@ class PipelineIncrSpec extends AnyFunSuite {
         if (e.taskMetrics != null)
           shuffled.addAndGet(e.taskMetrics.shuffleWriteMetrics.recordsWritten)
     }
-    def measured(fn: => Unit): Long = {
-      shuffled.set(0L)
-      fn
-      // the listener bus is async — poll until the counter goes quiet
-      var prev = -1L
-      while (prev != shuffled.get) { prev = shuffled.get; Thread.sleep(300) }
-      shuffled.get
-    }
+    def measured(fn: => Unit): Long = drained(shuffled)(fn)
     val out = Files.createTempDirectory("graft-incr-shuf").toString
     spark.sparkContext.addSparkListener(listener)
     try {
@@ -206,6 +199,25 @@ class PipelineIncrSpec extends AnyFunSuite {
     assertEqualsOneShot(out, oneShot)
   }
 
+  /** Run `fn`, then return `counter`'s value after the async listener
+    * bus has gone quiet (capped poll, so a pathological event trickle
+    * fails the assertion instead of hanging the suite). Shared by the
+    * shuffle-budget and job-count pins; callers reset-and-drain each
+    * measured block, so a preceding UNmeasured block's stragglers
+    * cannot inflate the next reading.
+    */
+  private def drained(counter: java.util.concurrent.atomic.AtomicLong)(
+      fn: => Unit): Long = {
+    counter.set(0L)
+    fn
+    var prev = -1L
+    var spins = 0
+    while (prev != counter.get && spins < 100) {
+      prev = counter.get; Thread.sleep(300); spins += 1
+    }
+    counter.get
+  }
+
   test("steady-state job count stays constant as delta layers accumulate") {
     // the round-12 fixed-overhead pin: reading a pointed layer must not
     // cost a driver job (schema inference, listings), so an epoch's job
@@ -218,25 +230,22 @@ class PipelineIncrSpec extends AnyFunSuite {
           e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
         jobs.incrementAndGet()
     }
-    def measured(fn: => Unit): Long = {
-      jobs.set(0L)
-      fn
-      var prev = -1L
-      while (prev != jobs.get) { prev = jobs.get; Thread.sleep(300) }
-      jobs.get
-    }
     val out = Files.createTempDirectory("graft-incr-jobs").toString
     spark.sparkContext.addSparkListener(listener)
     try {
-      Pipeline.curateEpoch(chunk(150, Long.MaxValue), out, Shards, 0L)
+      // founding measured too: the drain inside keeps its trailing
+      // async job events out of tail 1's count
+      drained(jobs) {
+        Pipeline.curateEpoch(chunk(150, Long.MaxValue), out, Shards, 0L) }
       val tails = (1 to 3).map { i =>
-        measured { Pipeline.curateEpoch(
+        drained(jobs) { Pipeline.curateEpoch(
           chunk(150 - 50 * i, 200 - 50 * i), out, Shards, i.toLong) }
       }
-      // tail 3 reads three more layers than tail 1; equal-shaped batches
-      // must cost the same jobs modulo small branch variation (a batch
-      // with crossing fps runs one extra probe) — far below the ~5 jobs
-      // PER LAYER the schema-inference reads used to add
+      // tail 3 reads TWO more accumulated layers than tail 1 (epochs 0-2
+      // vs epoch 0 alone); equal-shaped batches must cost the same jobs
+      // modulo small branch variation (a batch with crossing fps runs
+      // one extra probe) — the pre-fix schema-inference reads added ~5
+      // jobs per layer, i.e. ~+10 by tail 3, far above the +3 slack
       assert(tails.last <= tails.head + 3,
         s"job count must not creep with accumulated layers (${tails.mkString(", ")})")
     } finally spark.sparkContext.removeSparkListener(listener)
@@ -253,19 +262,26 @@ class PipelineIncrSpec extends AnyFunSuite {
         assert(spark.conf.get(key) === v,
           s"a single epoch must restore $key=$v")
       }
-      // two interleaved epochs on one session: the naive save/restore
-      // pair would end with the INNER save's value (false) stuck
+      // two epochs FORCED to overlap (both await the barrier inside the
+      // AQE scope before either exits): the naive save/restore pair
+      // would interleave as save(true), save(false), restore(true),
+      // restore(false) and leave the session stuck at false — without
+      // the barrier the epochs could serialize and hide the regression
       spark.conf.set(key, "true")
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration._
       import scala.concurrent.ExecutionContext.Implicits.global
-      val fs = (1 to 2).map { i =>
-        Future {
-          val out = Files.createTempDirectory(s"graft-incr-aqe-c$i").toString
-          Pipeline.curateEpoch(chunk(200, 260), out, Shards, 0L)
+      Pipeline.testEpochBarrier =
+        Some(new java.util.concurrent.CyclicBarrier(2))
+      try {
+        val fs = (1 to 2).map { i =>
+          Future {
+            val out = Files.createTempDirectory(s"graft-incr-aqe-c$i").toString
+            Pipeline.curateEpoch(chunk(200, 260), out, Shards, 0L)
+          }
         }
-      }
-      fs.foreach(Await.result(_, 5.minutes))
+        fs.foreach(Await.result(_, 5.minutes))
+      } finally Pipeline.testEpochBarrier = None
       assert(spark.conf.get(key) === "true",
         "concurrent epochs must leave the session's AQE value restored")
     } finally saved match {
