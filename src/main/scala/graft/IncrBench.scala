@@ -67,10 +67,15 @@ object IncrBench {
     // onJobStart arrives on the async listener-bus thread — poll until
     // the counter goes quiet before reading an epoch's delta, or jobs
     // still queued on the bus would be attributed to NO epoch's window
+    // capped: a pathological event trickle (a background job per poll
+    // interval) skews the attribution instead of hanging the bench
     def drained(): Long = {
       var prev = -1L
-      while (prev != jobsSeen.get) { prev = jobsSeen.get; Thread.sleep(100) }
-      prev
+      var spins = 0
+      while (prev != jobsSeen.get && spins < 300) {
+        prev = jobsSeen.get; Thread.sleep(100); spins += 1
+      }
+      jobsSeen.get
     }
     val runs = ranges.zipWithIndex.map { case ((lo, hi), i) =>
       val chunk = docs.filter(col("doc_id") >= lo && col("doc_id") < hi)

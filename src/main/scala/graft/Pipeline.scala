@@ -43,15 +43,21 @@ object Pipeline {
   def curate(spark: SparkSession, sfDir: String, outDir: String,
       numShards: Int = 16, benchmark: Option[DataFrame] = None): CurationRun = {
     val gate = benchmark.isDefined
-    val vBase = benchmark match {
+    // the benchmark's window fps, derived ONCE (checkpointed — both the
+    // contamination probe and the meta signature consume them, and each
+    // is its own action)
+    val benchFps = benchmark.map(b => Curation.benchmarkFps(b).localCheckpoint())
+    val vBase = benchFps match {
       case None => Curation.funnelVerdicts(spark, sfDir)
         .withColumn("contam", lit(false))
-      case Some(b) =>
+      case Some(fps) =>
         // contamination is corpus-scale on the left (every doc can carry
         // the flag), so the flag joins by a plain left join — only the
-        // benchmark side is broadcast (inside contaminatedIds)
+        // benchmark side is broadcast (inside contaminatedOf)
         Curation.funnelVerdicts(spark, sfDir)
-          .join(Curation.contaminatedIds(spark, sfDir, b)
+          .join(Curation.contaminatedOf(
+              Curation.winFpsOver(graft.operators.SignalStore.tokens(spark, sfDir),
+                Curation.DecontamWidth), fps)
             .withColumn("contam", lit(true)), Seq("doc_id"), "left")
           .withColumn("contam", coalesce(col("contam"), lit(false)))
     }
@@ -83,9 +89,13 @@ object Pipeline {
       .write.mode(SaveMode.Overwrite).parquet(manifestPath)
     // run parameters ride their own tiny artifact so the audit can never
     // be called with the wrong shard count (or a drifted benchmark)
-    val sig = benchmark.map(b => benchSig(Curation.benchmarkFps(b)))
-      .getOrElse((0L, 0L))
+    val sig = benchFps.map(benchSig).getOrElse((0L, 0L))
     writeMeta(spark, outDir, numShards, sig, gate)
+    // keep the in-JVM parameter cache coherent with the meta just
+    // written: without this, a same-JVM wipe-and-refound through curate()
+    // would leave a later curateEpoch validating against the PREVIOUS
+    // deployment's cached parameters instead of the disk's
+    metaCache.put(outDir, (numShards, gate, sig._1, sig._2))
     val reportPath = s"$outDir/report"
     Curation.funnelRollupEx(verdicts, withContam = gate)
       .write.mode(SaveMode.Overwrite).parquet(reportPath)
@@ -188,9 +198,23 @@ object Pipeline {
   // the benchmark's checkpointed window-fp frame + signature, cached per
   // (JVM, outDir) for the SAME frame object only (identity, not
   // semantics — a different frame must recompute so benchmark drift
-  // still reaches the meta check): (frame passed in, its fps, its sig)
+  // still reaches the meta check): (frame passed in, its fps, its sig).
+  // Bounded: entries pin checkpointed executor blocks (freed by the
+  // ContextCleaner once unreferenced), so a long-lived driver cycling
+  // many outDirs must not accumulate one forever-live frame per dir.
   private[graft] val benchCache =
     scala.collection.concurrent.TrieMap[String, (DataFrame, DataFrame, (Long, Long))]()
+  private val BenchCacheMax = 16
+  private def benchCachePut(outDir: String,
+      v: (DataFrame, DataFrame, (Long, Long))): Unit = {
+    while (benchCache.size >= BenchCacheMax)
+      benchCache.keys.find(_ != outDir) match {
+        case Some(k) => benchCache.remove(k)
+        case None => return
+      }
+    benchCache.put(outDir, v)
+    ()
+  }
 
   /** One row of the per-epoch commit artifact `state/commit/epoch=<e>` —
     * ALL of an epoch's driver-scale state in one parquet write, which is
@@ -354,7 +378,11 @@ object Pipeline {
     // pure fixed overhead per epoch. Skew/coalescing never kick in on
     // these shapes (measured: plans and shuffle-record counts identical
     // either way), and the founding epoch's heavy lifting is bounded by
-    // the same explicit shapes.
+    // the same explicit shapes. Scope boundary: startIncremental's
+    // foreachBatch hands each batch a CLONED session with isolated conf,
+    // so production streams never see this toggle; only ad-hoc queries
+    // sharing a session with DIRECT curateEpoch calls plan inside the
+    // epoch's AQE-off window.
     // Reentrancy-safe per SESSION (concurrent epochs of different
     // outDirs may share one session): only the first epoch in saves
     // the prior value and sets false, only the last one out restores —
@@ -422,7 +450,7 @@ object Pipeline {
         case Some((orig, fps, _)) if orig eq b => fps
         case _ =>
           val fps = Curation.benchmarkFps(b).localCheckpoint()
-          benchCache.put(outDir, (b, fps, benchSig(fps)))
+          benchCachePut(outDir, (b, fps, benchSig(fps)))
           fps
       }
     }
@@ -1098,11 +1126,18 @@ object Pipeline {
       if (hasDataFiles(spark, manifestPath))
         Some(spark.read.parquet(manifestPath))
       else None
-    if (deltas.isEmpty && storedManifest.isDefined) ()
+    // the stored shard set is validated on EVERY epoch (one ≤ numShards
+    // collect) — a no-delta epoch may skip the rewrite only when the
+    // stored manifest matches the committed kept-shard set, so external
+    // corruption (partial restore, manual copy) is repaired on the next
+    // epoch rather than persisting behind the skip
+    val manifestShardsOk: Boolean = storedManifest.exists { m =>
+      m.select(col("shard")).collect().map(_.getInt(0)).toSet == prevShards
+    }
+    if (deltas.isEmpty && manifestShardsOk) ()
     else {
-      val carryOver: Option[DataFrame] = storedManifest.filter { m =>
-        m.select(col("shard")).collect().map(_.getInt(0)).toSet == prevShards
-      }
+      val carryOver: Option[DataFrame] =
+        storedManifest.filter(_ => manifestShardsOk)
       val fullCorpusView =
         if (!hasDataFiles(spark, corpusPath))
           docs.select(col("doc_id"), col("text")).limit(0)

@@ -361,11 +361,19 @@ class PipelineIncrSpec extends AnyFunSuite {
         .select(col("doc_id"), col("lang"), col("source"), col("text"))
         .filter(col("doc_id") === id)
     Pipeline.curateEpoch(docsExcept(tailDoc), out, Shards, 0L)
+    // distinct bucket VALUES read from the layer, not bucket= dir counts:
+    // a tail delta layer is FLAT (zero dirs — a dir count would make the
+    // 'fewer buckets' assertion vacuous), while a founding layer is
+    // partitioned; the value count measures both layouts
     val bucketsOf = (e: Long) =>
-      java.nio.file.Files.list(java.nio.file.Paths.get(s"$out/state/fpcnt/epoch=$e"))
-        .toArray.map(_.toString).count(_.contains("bucket="))
+      spark.read.parquet(s"$out/state/fpcnt/epoch=$e")
+        .select(col("bucket")).distinct().count()
     val founding = bucketsOf(0L)
     assert(founding > 1, "the founding epoch must populate multiple buckets")
+    assert(java.nio.file.Files.list(
+      java.nio.file.Paths.get(s"$out/state/fpcnt/epoch=0"))
+      .toArray.map(_.toString).count(_.contains("bucket=")) > 1,
+      "the founding full-copy layer must be bucket=-partitioned for pruned reads")
     Pipeline.curateEpoch(docOnly(tailDoc), out, Shards, 1L)
     val small = bucketsOf(1L)
     assert(small < founding,
@@ -399,9 +407,12 @@ class PipelineIncrSpec extends AnyFunSuite {
         .select(col("doc_id"), col("lang"), col("source"), col("text"))
         .filter(col("doc_id") === id)
     Pipeline.curateEpoch(docsExcept(tailDoc), out, Shards, 0L)
-    def bucketsOf(e: Long): Int =
-      java.nio.file.Files.list(java.nio.file.Paths.get(s"$out/state/vbkt/epoch=$e"))
-        .toArray.map(_.toString).count(_.contains("bucket="))
+    // distinct bucket VALUES, not bucket= dir counts — the tail delta
+    // layer is flat, so a dir count would be vacuously zero (see the
+    // fpcnt twin test)
+    def bucketsOf(e: Long): Long =
+      spark.read.parquet(s"$out/state/vbkt/epoch=$e")
+        .select(col("bucket")).distinct().count()
     val foundingBuckets = bucketsOf(0L)
     val foundingRows = spark.read.parquet(s"$out/state/vbkt/epoch=0").count()
     assert(foundingBuckets > 1, "the founding epoch must populate multiple buckets")
