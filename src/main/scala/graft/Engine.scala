@@ -40,7 +40,12 @@ object Engine {
       // parallel-listing JOB — per-epoch job count then grows with layer
       // depth for listing work a driver thread does in microseconds.
       // 1024 keeps listing driver-local up to the compaction bound.
-      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
+      // Deployment tradeoff: driver-sequential listing of ~1k paths is
+      // free on local disk / HDFS but slow on object stores (S3 LIST
+      // round-trips) — override per process with
+      // SPARK_GRAFT_PARTITION_DISCOVERY_THRESHOLD (see README scale notes).
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        sys.env.getOrElse("SPARK_GRAFT_PARTITION_DISCOVERY_THRESHOLD", "1024"))
       // RocksDB-backed state: the analogue of the reference's RocksDB tables
       // (streams/KVStores.scala) — state lives off-heap, per shuffle partition.
       .config(

@@ -169,8 +169,16 @@ object Pipeline {
     * count, which the epoch contract caps (a stream trigger sizes its
     * batches; a backfill that cannot should call [[curate]] instead).
     * `var` so specs can force the fallback path.
+    *
+    * Deployment knob: the 4 Mi default assumes executors comfortably hold
+    * a few-hundred-MB broadcast (right for this box's 128 GiB / 32
+    * threads). Override per process with `SPARK_GRAFT_FP_BCAST_MAX_ROWS`
+    * — smaller on memory-tight clusters (forcing the shuffle fallback
+    * earlier), larger where driver/executor memory allows.
     */
-  @volatile private[graft] var FpBroadcastMaxRows: Long = 4L << 20
+  @volatile private[graft] var FpBroadcastMaxRows: Long =
+    sys.env.get("SPARK_GRAFT_FP_BCAST_MAX_ROWS").map(_.toLong)
+      .getOrElse(4L << 20)
 
   private def fpBucket(fp: Column): Column =
     pmod(fp, lit(FpBuckets.toLong)).cast("int")
@@ -445,17 +453,23 @@ object Pipeline {
     // still reaches the meta check below instead of hiding behind the
     // cache. Steady-state epochs thus pay zero benchmark-scale jobs.
     val gateOn = benchmark.isDefined
-    val benchFps: Option[DataFrame] = benchmark.map { b =>
-      benchCache.get(outDir) match {
-        case Some((orig, fps, _)) if orig eq b => fps
-        case _ =>
-          val fps = Curation.benchmarkFps(b).localCheckpoint()
-          benchCachePut(outDir, (b, fps, benchSig(fps)))
-          fps
-      }
+    // fps and sig resolve from ONE cache tuple: re-indexing the shared map
+    // after the put was a TOCTOU race — with many concurrent gate-on
+    // outDirs, a sibling epoch's put can evict THIS outDir's entry (the
+    // cache holds 16) between the put and a second lookup
+    val (benchFps: Option[DataFrame], sig: (Long, Long)) = benchmark match {
+      case None => (None, (0L, 0L))
+      case Some(b) =>
+        val entry = benchCache.get(outDir) match {
+          case Some(e) if e._1 eq b => e
+          case _ =>
+            val fps = Curation.benchmarkFps(b).localCheckpoint()
+            val e = (b, fps, benchSig(fps))
+            benchCachePut(outDir, e)
+            e
+        }
+        (Some(entry._2), entry._3)
     }
-    val sig: (Long, Long) =
-      if (gateOn) benchCache(outDir)._3 else (0L, 0L)
 
     // the shard count and benchmark are immutable per outDir — PIN both
     // before any write: an epoch called with a different shard count
@@ -519,8 +533,22 @@ object Pipeline {
     // artifact's _SUCCESS, or the legacy verdict-state _SUCCESS for bases
     // written by earlier layouts; a crashed attempt of THIS epoch is
     // handled by the short-circuit above). Driver FS listing.
+    val committed = committedEpochs(spark, outDir)
+    // defense in depth (mirrors the winv `batch <= epochId` filter): an
+    // epoch OLDER than the newest committed one whose own commit artifact
+    // was already pruned would find no base, re-found from empty state,
+    // and its cleanup would then prune layer dirs the newest commit still
+    // references — silent state corruption. Unreachable under the
+    // sequential foreachBatch contract; a manual / out-of-order replay
+    // must fail loudly instead.
+    require(committed.forall(_ <= epochId),
+      s"epoch $epochId arrived after newer committed epoch(s) " +
+        s"${committed.filter(_ > epochId).sorted.mkString(", ")} in $outDir — " +
+        "an out-of-order replay would re-found from empty state and prune " +
+        "layers the newest commit references; only uncommitted or the " +
+        "newest epoch may replay")
     val lastCommitted: Option[Long] =
-      committedEpochs(spark, outDir).filter(_ < epochId).maxOption
+      committed.filter(_ < epochId).maxOption
     // gen3 base (commit artifact); None for legacy bases AND for epoch 0
     val prevState: Option[EpochState] =
       lastCommitted.flatMap(e => loadEpochState(spark, outDir, e, useCache = true))
@@ -623,6 +651,16 @@ object Pipeline {
     // compacting migration happens.
     if (prevState.isDefined && newSigs.isEmpty) {
       val st = prevState.get
+      // the stored-manifest shard-set validation (and the report-existence
+      // bootstrap) run on heartbeat epochs too — external corruption must
+      // be repaired on the NEXT epoch of any kind, not persist for as long
+      // as only re-delivered batches arrive. Costs one ≤ numShards collect
+      // when consistent; rewrites nothing (artifact bytes untouched — the
+      // heartbeat pin holds).
+      syncManifest(spark, outDir, numShards, st.shardKept.keySet, Nil)
+      if (!hasDataFiles(spark, s"$outDir/report"))
+        writeReport(spark, s"$outDir/report", st.rollup.values.toSeq,
+          withContam = gateOn)
       val result = EpochResult(epochId, st.docsSeen, st.docsKept, 0L, 0L, Nil)
       writeCommit(spark, outDir, epochId, st, result)
       cleanupAfterCommit(spark, outDir, epochId, Some(st))
@@ -1109,62 +1147,7 @@ object Pipeline {
       }
     }
 
-    // manifest: carry-over for untouched shards, recompute changed
-    // shards from the corpus as re-read (partition-pruned); localCheckpoint
-    // decouples the self-overwrite (manifest is both read and rewritten).
-    // The carry-over base is validated against the last COMMITTED shard
-    // set (now folded state in the commit artifact — the manifest
-    // overwrite is the one non-partitioned artifact a crash can leave
-    // partial): its shard set must equal the shards the previous kept set
-    // implies — on any mismatch the epoch repairs by recomputing the FULL
-    // manifest from the corpus on disk.
-    val manifestPath = s"$outDir/manifest"
-    val prevShards: Set[Int] = prevShardKept.keySet
-    val storedManifest: Option[DataFrame] =
-      // hasDataFiles, not fs.exists: a crash mid-overwrite leaves the dir
-      // existing but fileless, and a parquet read on it would throw forever
-      if (hasDataFiles(spark, manifestPath))
-        Some(spark.read.parquet(manifestPath))
-      else None
-    // the stored shard set is validated on EVERY epoch (one ≤ numShards
-    // collect) — a no-delta epoch may skip the rewrite only when the
-    // stored manifest matches the committed kept-shard set, so external
-    // corruption (partial restore, manual copy) is repaired on the next
-    // epoch rather than persisting behind the skip
-    val manifestShardsOk: Boolean = storedManifest.exists { m =>
-      m.select(col("shard")).collect().map(_.getInt(0)).toSet == prevShards
-    }
-    if (deltas.isEmpty && manifestShardsOk) ()
-    else {
-      val carryOver: Option[DataFrame] =
-        storedManifest.filter(_ => manifestShardsOk)
-      val fullCorpusView =
-        if (!hasDataFiles(spark, corpusPath))
-          docs.select(col("doc_id"), col("text")).limit(0)
-        else spark.read.parquet(corpusPath).select(col("doc_id"), col("text"))
-      val manifest = carryOver match {
-        case Some(prev) =>
-          val changedManifest =
-            if (deltas.isEmpty || !hasDataFiles(spark, corpusPath))
-              Layout.shardManifest(docs.select(col("doc_id"), col("text")).limit(0),
-                numShards)
-            else Layout.shardManifest(
-              spark.read.parquet(corpusPath)
-                .filter(col("shard").isInCollection(deltas))
-                .select(col("doc_id"), col("text")), numShards)
-          prev.filter(!col("shard").isInCollection(deltas))
-            .unionByName(changedManifest)
-        case None => // epoch 0, or a crash-corrupted manifest: full recompute
-          Layout.shardManifest(fullCorpusView, numShards)
-      }
-      // coalesce(1) + sortWithinPartitions: a total shard sort of
-      // ≤ numShards rows on one task (the upstream aggregation's map
-      // side keeps its scan parallelism — coalesce only collapses the
-      // post-exchange reduce side), skipping orderBy's range-sample job
-      manifest.coalesce(1).sortWithinPartitions(col("shard"))
-        .localCheckpoint()
-        .write.mode(SaveMode.Overwrite).parquet(manifestPath)
-    }
+    syncManifest(spark, outDir, numShards, prevShardKept.keySet, deltas)
 
     // the user-facing report is the cumulative rollup as folded — written
     // from the driver-held rows (tiny), skipped when nothing moved
@@ -1187,6 +1170,67 @@ object Pipeline {
     // content is live in the corpus now)
     cleanupAfterCommit(spark, outDir, epochId, Some(stNew))
     result
+  }
+
+  /** Manifest maintenance, shared by the main path and the heartbeat fast
+    * path: carry-over for untouched shards, recompute changed shards from
+    * the corpus as re-read (partition-pruned); localCheckpoint decouples
+    * the self-overwrite (the manifest is both read and rewritten). The
+    * carry-over base is validated against the last COMMITTED shard set
+    * (`prevShards` — folded state in the commit artifact; the manifest
+    * overwrite is the one non-partitioned artifact a crash can leave
+    * partial): the stored shard set is checked on EVERY epoch — heartbeat
+    * epochs included — with one ≤ numShards collect, and any mismatch
+    * (external corruption: partial restore, manual copy) repairs by
+    * recomputing the FULL manifest from the corpus on disk rather than
+    * persisting behind the no-delta skip.
+    */
+  private def syncManifest(spark: SparkSession, outDir: String,
+      numShards: Int, prevShards: Set[Int], deltas: Seq[Int]): Unit = {
+    val corpusPath = s"$outDir/corpus"
+    val manifestPath = s"$outDir/manifest"
+    // the all-dropped / epoch-0 empty input for the manifest fold (the
+    // corpus then has no partition files to infer a schema from)
+    def emptyDocs: DataFrame = spark.range(0)
+      .select(col("id").as("doc_id"), lit("").cast("string").as("text"))
+    val storedManifest: Option[DataFrame] =
+      // hasDataFiles, not fs.exists: a crash mid-overwrite leaves the dir
+      // existing but fileless, and a parquet read on it would throw forever
+      if (hasDataFiles(spark, manifestPath))
+        Some(spark.read.parquet(manifestPath))
+      else None
+    val manifestShardsOk: Boolean = storedManifest.exists { m =>
+      m.select(col("shard")).collect().map(_.getInt(0)).toSet == prevShards
+    }
+    if (deltas.isEmpty && manifestShardsOk) ()
+    else {
+      val carryOver: Option[DataFrame] =
+        storedManifest.filter(_ => manifestShardsOk)
+      val fullCorpusView =
+        if (!hasDataFiles(spark, corpusPath)) emptyDocs
+        else spark.read.parquet(corpusPath).select(col("doc_id"), col("text"))
+      val manifest = carryOver match {
+        case Some(prev) =>
+          val changedManifest =
+            if (deltas.isEmpty || !hasDataFiles(spark, corpusPath))
+              Layout.shardManifest(emptyDocs, numShards)
+            else Layout.shardManifest(
+              spark.read.parquet(corpusPath)
+                .filter(col("shard").isInCollection(deltas))
+                .select(col("doc_id"), col("text")), numShards)
+          prev.filter(!col("shard").isInCollection(deltas))
+            .unionByName(changedManifest)
+        case None => // epoch 0, or a crash-corrupted manifest: full recompute
+          Layout.shardManifest(fullCorpusView, numShards)
+      }
+      // coalesce(1) + sortWithinPartitions: a total shard sort of
+      // ≤ numShards rows on one task (the upstream aggregation's map
+      // side keeps its scan parallelism — coalesce only collapses the
+      // post-exchange reduce side), skipping orderBy's range-sample job
+      manifest.coalesce(1).sortWithinPartitions(col("shard"))
+        .localCheckpoint()
+        .write.mode(SaveMode.Overwrite).parquet(manifestPath)
+    }
   }
 
   /** Column order of a verdict-state row (gen3). */
@@ -1563,8 +1607,34 @@ object Pipeline {
     * re-bucket with the wrong parameter.
     */
   def validateCorpus(spark: SparkSession, outDir: String): org.apache.spark.sql.DataFrame = {
-    val numShards = spark.read.parquet(s"$outDir/meta")
-      .head().getAs[Int]("num_shards")
+    val metaRow = spark.read.parquet(s"$outDir/meta").head()
+    val numShards = metaRow.getAs[Int]("num_shards")
+    // gated deployments: the report's docs_contaminated column must agree
+    // with the committed rollup (driver-side, ≤ |lang×source| rows) — a
+    // report tampered with or restored from the wrong run fails LOUDLY
+    // here, so the audit covers the gate column, not just the shard layout
+    val gateOn = metaRow.schema.fieldNames.contains("bench_on") &&
+      metaRow.getAs[Boolean]("bench_on")
+    if (gateOn) {
+      val report = spark.read.parquet(s"$outDir/report")
+      if (!report.columns.contains("docs_contaminated"))
+        throw new IllegalStateException(
+          s"$outDir was founded gate-on but its report lacks docs_contaminated")
+      val fromReport = report
+        .select(col("lang"), col("source"), col("docs_contaminated"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      for {
+        e <- committedEpochs(spark, outDir).maxOption
+        st <- loadEpochState(spark, outDir, e, useCache = false)
+      } {
+        val fromRollup = st.rollup.map { case (k, v) => k -> v.docsContam }
+        if (fromReport != fromRollup)
+          throw new IllegalStateException(
+            s"report docs_contaminated disagrees with the committed rollup " +
+              s"in $outDir: report=$fromReport rollup=$fromRollup")
+      }
+    }
     val fields = Seq("n_docs", "n_tokens", "first_key", "last_key", "order_fp")
     val stored = spark.read.parquet(s"$outDir/manifest").as("m")
     // an all-dropped run writes NO partition files (curate's own manifest

@@ -801,6 +801,71 @@ class PipelineIncrSpec extends AnyFunSuite {
     assertEqualsOneShot(out, oneShot)
   }
 
+  test("an epoch older than the newest committed one fails loudly instead of re-founding") {
+    // once epoch 1 commits, epoch 0's commit artifact is pruned — a manual
+    // or out-of-order replay of epoch 0 then finds no base, would re-found
+    // from empty state, and its cleanup would prune layer dirs epoch 1's
+    // pointers still reference (silent corruption). The epoch-entry guard
+    // must reject it before any write.
+    val out = Files.createTempDirectory("graft-incr-oldreplay").toString
+    Pipeline.curateEpoch(chunk(200, Long.MaxValue), out, Shards, 0L)
+    Pipeline.curateEpoch(chunk(100, 210), out, Shards, 1L)
+    val before = (corpusRows(out), rows(s"$out/manifest", "shard"))
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.curateEpoch(chunk(100, 210), out, Shards, 0L)
+    }
+    assert(e.getMessage.contains("out-of-order"))
+    assert((corpusRows(out), rows(s"$out/manifest", "shard")) === before,
+      "the rejected replay must leave every artifact untouched")
+    // the run continues normally after the rejected replay
+    Pipeline.curateEpoch(chunk(0, 110), out, Shards, 2L)
+    val oneShot = Pipeline.curate(spark, dir,
+      Files.createTempDirectory("graft-incr-oldreplay-ref").toString, Shards)
+    assertEqualsOneShot(out, oneShot)
+  }
+
+  test("a heartbeat epoch repairs an externally corrupted manifest") {
+    // the stored-manifest shard-set validation must run on EVERY epoch,
+    // heartbeats included: with only re-delivered batches arriving, an
+    // externally corrupted manifest (partial restore, manual copy) would
+    // otherwise persist behind the fast path indefinitely
+    val out = Files.createTempDirectory("graft-incr-hbrepair").toString
+    Pipeline.curateEpoch(chunk(100, Long.MaxValue), out, Shards, 0L)
+    val good = rows(s"$out/manifest", "shard")
+    assert(good.size > 1, "fixture must populate multiple shards")
+    // corrupt: drop one shard's manifest row (wrong shard SET, so the
+    // cheap validation catches it)
+    val truncated = spark.read.parquet(s"$out/manifest")
+      .orderBy(col("shard")).limit(good.size - 1).localCheckpoint()
+    truncated.write.mode("overwrite").parquet(s"$out/manifest")
+    // pure re-delivery: a heartbeat, which must still repair
+    val r = Pipeline.curateEpoch(chunk(150, 400), out, Shards, 1L)
+    assert(r.added === 0L && r.removed === 0L, "the epoch must be a heartbeat")
+    assert(rows(s"$out/manifest", "shard") === good,
+      "the heartbeat must recompute the corrupted manifest from the corpus")
+    assert(Pipeline.validateCorpus(spark, out).isEmpty)
+  }
+
+  test("validateCorpus fails loudly when a gated report's contamination column drifts") {
+    val bench = Fixtures.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .filter(size(split(col("text"), " ")) >= 8)
+      .orderBy(col("doc_id")).limit(3).localCheckpoint()
+    val out = Files.createTempDirectory("graft-incr-gateaudit").toString
+    Pipeline.curateEpoch(chunk(100, Long.MaxValue), out, Shards, 0L, Some(bench))
+    Pipeline.curateEpoch(chunk(0, 110), out, Shards, 1L, Some(bench))
+    assert(Pipeline.validateCorpus(spark, out).isEmpty,
+      "an untampered gated run must self-validate")
+    // fabricate an inconsistent report: same rows, contamination zeroed
+    val tampered = spark.read.parquet(s"$out/report")
+      .withColumn("docs_contaminated", lit(0L)).localCheckpoint()
+    tampered.write.mode("overwrite").parquet(s"$out/report")
+    val e = intercept[IllegalStateException] {
+      Pipeline.validateCorpus(spark, out)
+    }
+    assert(e.getMessage.contains("docs_contaminated"))
+  }
+
   test("an epoch retry (same id) is idempotent across every artifact") {
     val out = Files.createTempDirectory("graft-incr-idem").toString
     Pipeline.curateEpoch(chunk(200, Long.MaxValue), out, Shards, 0L)
