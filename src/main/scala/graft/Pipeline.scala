@@ -189,6 +189,18 @@ object Pipeline {
   private def vBucket(id: Column): Column =
     pmod(xxhash64(id), lit(VBuckets.toLong)).cast("int")
 
+  /** Hash-bucket count of the bag-keyed keeper side-state
+    * (`state/kbkt`, rows `(bag, keeper)`): the current bag-dedup keeper
+    * per distinct bag, maintained so the displacement probe reads only
+    * the buckets of the batch's bags instead of scanning every verdict
+    * layer (the last O(corpus-docs) read a steady epoch used to pay).
+    * Same layout contract as [[VBuckets]].
+    */
+  private[graft] val KBuckets = 64
+
+  private def kBucket(bag: Column): Column =
+    pmod(xxhash64(bag), lit(KBuckets.toLong)).cast("int")
+
   /** Append `epochId` to each touched bucket's layer list — the ONE copy
     * of the pointer-forward rule shared by the fp and verdict states.
     */
@@ -252,15 +264,22 @@ object Pipeline {
       docsIn: Long, docsKept: Long, tokensKept: Long, docsContam: Long)
 
   /** In-memory image of a committed epoch's commit artifact. The pointer
-    * maps are DELTA LOGS: `bucket -> every epoch holding live rows for
-    * it`, oldest epoch first (the founding/compaction full copy precedes
-    * the per-epoch deltas layered on top of it).
+    * maps are DELTA LOGS: `bucket -> every layer holding live rows for
+    * it` (layer id: positive e = the `epoch=e` dir — a tail delta, or the
+    * founding/migration full copy; negative -e = the `fold=e` dir — a
+    * rolling-compaction full copy of a bucket subset written at epoch e).
+    * `kPtr` is the bag-keyed keeper side-state's map (empty on states
+    * committed before the family existed — the next epoch migrates).
+    * `wvFolded`: window-log batches ≤ this id are folded into bucketed
+    * chunk dirs (-1 = none; pre-chunk artifacts read back as -1).
     */
   private[graft] final case class EpochState(
       fpPtr: Map[Int, Seq[Long]], fpNB: Int,
       vPtr: Map[Int, Seq[Long]], vNB: Int,
       rollup: Map[(String, String), RollRow],
-      shardKept: Map[Int, Long]) {
+      shardKept: Map[Int, Long],
+      kPtr: Map[Int, Seq[Long]] = Map.empty, kNB: Int = KBuckets,
+      wvFolded: Long = -1L) {
     def docsSeen: Long = rollup.values.map(_.docsIn).sum
     def docsKept: Long = rollup.values.map(_.docsKept).sum
   }
@@ -308,7 +327,11 @@ object Pipeline {
     *    docs they touch come from a broadcast probe of the batch-keyed
     *    window-fp log — shuffle O(touched), not O(corpus);
     *  - keeper displacement comes from a broadcast join of the batch's
-    *    per-bag minima against the previous keepers (scan, small output);
+    *    per-bag minima against the bag-keyed keeper side-state
+    *    (`state/kbkt`, `bag -> keeper`, bucketed by `pmod(xxhash64(bag),
+    *    KBuckets)`) — read pruned to the batch's bag buckets, maintained
+    *    by a ≤ batch-bag-scale delta per epoch, so no epoch scans the
+    *    verdict layers for keepers;
     *  - the new verdict rows are ONLY the touched buckets' rows re-emitted
     *    with the flips applied (map-side scan + broadcast joins) plus the
     *    batch's fresh rows — added/removed fall out of the SAME pass
@@ -354,11 +377,11 @@ object Pipeline {
     * compaction interval. This is the LSM shape: without it, a
     * micro-batch whose fps touch every bucket (any realistic batch does
     * — B distinct fps saturate K << B buckets) would force an O(state)
-    * rewrite per epoch no matter how fine the bucketing. Reads stay
-    * bucket-pruned where the probe allows it (seen-ids, flip rows); the
-    * per-fp prior-count probe and the keeper scan read O(touched-bucket
-    * bytes) columnar — the parquet-state analogue of the point lookups a
-    * KV state store (the streaming twin's RocksDB) would serve. The
+    * rewrite per epoch no matter how fine the bucketing. EVERY state
+    * read is bucket-pruned (seen-ids, flip rows, the keeper probe, the
+    * per-fp prior-count probe) — O(touched-bucket bytes) columnar, the
+    * parquet-state analogue of the point lookups a KV state store (the
+    * streaming twin's RocksDB) would serve. The
     * window-fp log (`state/winv`, append-only, batch-keyed) is read only
     * under a broadcast of crossing fps, and not at all in the
     * no-crossing steady state. Driver-side collects stay ≤ max(numShards,
@@ -727,23 +750,17 @@ object Pipeline {
       // (missed priors ⇒ doubled fps in the compaction fold, missed
       // crossings) one epoch before the re-bucket; the mismatch epoch
       // compacts anyway, so the unpruned read is the same O(state) cost.
+      // (The per-layer POINTED filter inside pointedLayers is sound
+      // either way: the pointer map's bucket keys were computed under the
+      // layer's own constant, consistent with the layer's data.)
+      // Sum-merge: a bucket's count is the sum of its rows across layers
+      // (the oldest layer is the last full copy, newer ones per-epoch
+      // tallies).
       val prunable = if (fpNBBase == FpBuckets) buckets else None
-      val wanted = prunable match {
-        case Some(b) => fpPtrBase.view.filterKeys(b.toSet).toMap
-        case None => fpPtrBase
-      }
-      // every distinct layer epoch once; the bucket filter prunes the
-      // partitions a layer holds for other buckets. Sum-merge: a bucket's
-      // count is the sum of its rows across layers (the oldest layer is
-      // the last full copy, newer ones are per-epoch tallies).
-      wanted.values.flatten.toSet.toSeq.sorted.map { e =>
-        val df = spark.read.schema(fpcntSchema(spark))
-          .parquet(s"$outDir/state/fpcnt/epoch=$e")
-        (prunable match {
-          case Some(b) => df.filter(col("bucket").isInCollection(b))
-          case None => df
-        }).select(col("fp"), col("nd"))
-      }.reduceOption(_ unionByName _).getOrElse(emptyFp)
+      pointedLayers(spark, outDir, "fpcnt", fpcntSchema(spark), fpPtrBase,
+        prunable.map(_.toSet))
+        .map(_.select(col("fp"), col("nd")))
+        .reduceOption(_ unionByName _).getOrElse(emptyFp)
     }
     def sumFp(layers: DataFrame): DataFrame =
       layers.groupBy(col("fp")).agg(sum(col("nd")).as("nd"))
@@ -843,22 +860,40 @@ object Pipeline {
         .groupBy(col("doc_id")).agg(count(lit(1)).as("d_dup"))
         .localCheckpoint()
 
-    // keeper displacement: batch minima vs the previous keepers (both
-    // probes broadcast the batch side; outputs ≤ batch-sized). The keeper
-    // probe is keyed by BAG, which the state is not bucketed by, so this
-    // is the one full (columns-pruned) scan of the verdict layers an
-    // epoch pays. Bag-join FIRST, newest-row-wins per doc AFTER (a
-    // displaced keeper's newer bag_keep=false row must shadow its old
-    // keeper row), keepers-only filter LAST — so the precedence
-    // aggregation shuffles only the bag-matched candidate rows.
+    // keeper displacement: batch minima vs the CURRENT keepers, read
+    // from the bag-keyed side-state (`state/kbkt`, rows (bag, keeper),
+    // bucketed by pmod(xxhash64(bag), KBuckets)) pruned to the batch's
+    // bag buckets — a steady epoch reads O(batch-bag buckets), never a
+    // full verdict scan. Newest row wins per bag, resolved AFTER the
+    // broadcast bag join shrinks the candidates. A base committed before
+    // the family existed (or a legacy base) migrates ONCE by folding the
+    // keepers out of the merged verdict state — the last full verdict
+    // read a displacement probe ever pays.
+    val kPtrBase: Map[Int, Seq[Long]] =
+      prevState.map(_.kPtr).getOrElse(Map.empty)
+    val kNBBase: Int = prevState.map(_.kNB).getOrElse(KBuckets)
+    val kMigrating = lastCommitted.isDefined && kPtrBase.isEmpty
+    lazy val keeperBaseFull: DataFrame =
+      if (kMigrating) vPrevAll.filter(col("bag_keep"))
+        .select(col("bag"), col("doc_id").as("keeper"))
+      else readKBuckets(spark, outDir, kPtrBase, None)
+    def keeperLayers(buckets: Seq[Int]): DataFrame =
+      if (kMigrating) keeperBaseFull.withColumn("_layer", lit(0))
+      else {
+        // pruning gated on the stored bucket constant, like the other
+        // families (probe buckets use the current hash)
+        val prunable = if (kNBBase == KBuckets) Some(buckets.toSet) else None
+        kLayersRanked(spark, outDir, kPtrBase, prunable)
+      }
     val batchMin = newSigs.groupBy(col("bag")).agg(min(col("doc_id")).as("b_min"))
-    val bagMatch = vLayersFor(None)
-      .select(col("doc_id"), col("bag"), col("bag_keep"), col("_layer"))
+      .localCheckpoint()
+    val bagBuckets: Seq[Int] = batchMin.select(kBucket(col("bag")).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val bagMatch = keeperLayers(bagBuckets)
       .join(broadcast(batchMin), Seq("bag"))
-      .groupBy(col("doc_id"), col("bag"), col("b_min"))
-      .agg(max_by(col("bag_keep"), col("_layer")).as("bag_keep"))
-      .filter(col("bag_keep"))
-      .select(col("bag"), col("doc_id").as("k_id"), col("b_min"))
+      .groupBy(col("bag"), col("b_min"))
+      .agg(max_by(col("keeper"), col("_layer")).as("k_id"))
+      .select(col("bag"), col("k_id"), col("b_min"))
       .localCheckpoint()
     val displaced = bagMatch.filter(col("b_min") < col("k_id"))
       .select(col("k_id").as("doc_id"), lit(true).as("_disp"))
@@ -1019,6 +1054,46 @@ object Pipeline {
         appendPtr(vPtrBase, changedBuckets.toSeq.sorted, epochId)
       }
     }
+    // keeper side-state layer: one row per bag whose keeper CHANGED this
+    // epoch (fresh bags elect their batch minimum; displaced keepers hand
+    // off to it) — ≤ batch-bag-scale, derived from the checkpointed
+    // batchMin/bagMatch probes, no state re-read. A migration (pre-keeper
+    // or legacy base, or a changed KBuckets constant) instead writes the
+    // full merged keeper copy, bucket-partitioned.
+    val kDelta = batchMin
+      .join(broadcast(bagMatch.select(col("bag"), col("k_id"))), Seq("bag"), "left")
+      .filter(col("k_id").isNull || col("b_min") < col("k_id"))
+      .select(col("bag"), col("b_min").as("keeper"))
+    val mustCompactK = kMigrating ||
+      (kPtrBase.nonEmpty && kNBBase != KBuckets)
+    val kPtrNew: Map[Int, Seq[Long]] = {
+      val kDir = s"$outDir/state/kbkt/epoch=$epochId"
+      if (mustCompactK || kPtrBase.isEmpty) {
+        // founding / migration: the full keeper copy (base newest-wins
+        // merged, this epoch's changes applied), partitioned for pruned
+        // reads. The founding base is empty, so its layer IS the delta.
+        val layer = keeperBaseFull
+          .join(broadcast(kDelta.select(col("bag"))), Seq("bag"), "left_anti")
+          .unionByName(kDelta)
+          .withColumn("bucket", kBucket(col("bag")))
+          .coalesce(8)
+        layer.write.mode(SaveMode.Overwrite).partitionBy("bucket")
+          .parquet(kDir)
+        listPartitionInts(spark, kDir, "bucket=")
+          .map(_ -> Seq(epochId)).toMap
+      } else {
+        // tail delta: flat, bucket as a data column (see the fp layer's
+        // layout rationale); the touched-bucket set reads back from the
+        // just-written batch-scale file — one tiny job, no listing
+        kDelta.withColumn("bucket", kBucket(col("bag"))).coalesce(1)
+          .write.mode(SaveMode.Overwrite).parquet(kDir)
+        val kBk = spark.read.schema(kbktSchema(spark)).parquet(kDir)
+          .select(col("bucket")).distinct().collect().map(_.getInt(0))
+        if (kBk.isEmpty) { deleteDir(spark, kDir); kPtrBase }
+        else appendPtr(kPtrBase, kBk.toSeq.sorted, epochId)
+      }
+    }
+
     // (lang, source) -> (d_in, d_add, d_rem, d_tok_add, d_tok_rem, d_cont)
     val dRoll = dAgg.groupBy(r => (r.getString(0), r.getString(1)))
       .view.mapValues(rs => (rs.map(_.getLong(3)).sum, rs.map(_.getLong(4)).sum,
@@ -1159,7 +1234,8 @@ object Pipeline {
     // shard counts, and the result row land in ONE tiny write; epoch e's
     // _SUCCESS here ⇒ e fully applied
     val stNew = EpochState(fpPtrNew, FpBuckets, vPtrNew, VBuckets,
-      rollupNew, shardKeptNew)
+      rollupNew, shardKeptNew, kPtrNew, KBuckets,
+      prevState.map(_.wvFolded).getOrElse(-1L))
     val result = EpochResult(epochId, stNew.docsSeen, stNew.docsKept,
       nAdded, nRemoved, deltas)
     writeCommit(spark, outDir, epochId, stNew, result)
@@ -1237,9 +1313,47 @@ object Pipeline {
   private val StateCols = Seq("doc_id", "lang", "source", "n_tok", "h",
     "bag", "bag_keep", "n_win", "n_dup", "contam", "kept")
 
+  /** Path of layer `id` under family dir `fam` ("fpcnt" | "vbkt" |
+    * "kbkt"): positive id = `epoch=<id>` (a tail delta, or the founding /
+    * migration full copy), negative id = `fold=<-id>` (a rolling-
+    * compaction full copy of a bucket subset written at epoch -id).
+    */
+  private def layerPath(outDir: String, fam: String, id: Long): String =
+    if (id >= 0L) s"$outDir/state/$fam/epoch=$id"
+    else s"$outDir/state/$fam/fold=${-id}"
+
+  /** The pointed layers of a bucketed family, oldest first, each filtered
+    * to the buckets whose pointer list actually CONTAINS that layer
+    * (intersected with `only` when given). The per-layer pointed-bucket
+    * filter is the liveness rule that makes rolling folds sound: after
+    * bucket b folds at epoch e (pointer reset to [-e]), older layers
+    * still physically hold b's superseded rows for as long as OTHER
+    * buckets reference them — a read filtered only by the requested set
+    * would double-count b. A row in layer L for bucket b is live iff
+    * L ∈ ptr(b), and that is exactly what each layer's filter applies
+    * (partition-pruned on bucketed full copies, a row filter on flat
+    * deltas). Rank order is by (|id|, sign) — consistent across buckets;
+    * no bucket's list ever holds both the fold and the delta of one
+    * epoch, so the sign tiebreak never decides precedence.
+    */
+  private def pointedLayers(spark: SparkSession, outDir: String, fam: String,
+      schema: org.apache.spark.sql.types.StructType,
+      ptr: Map[Int, Seq[Long]], only: Option[Set[Int]]): Seq[DataFrame] = {
+    val wanted = only.map(b => ptr.view.filterKeys(b).toMap).getOrElse(ptr)
+    val ids = wanted.values.flatten.toSet.toSeq
+      .sortBy((id: Long) => (math.abs(id), id))
+    ids.map { id =>
+      val live = ptr.iterator
+        .collect { case (b, es) if es.contains(id) => b }.toSet
+      val sel = only.map(_ & live).getOrElse(live)
+      spark.read.schema(schema).parquet(layerPath(outDir, fam, id))
+        .filter(col("bucket").isInCollection(sel.toSeq.sorted))
+    }
+  }
+
   /** Pointed verdict layers (optionally bucket-pruned), each row tagged
     * with a `_layer` rank (higher = newer). Callers shrink the row set
-    * FIRST (bag join, flip semi-join, presence probe), then resolve
+    * FIRST (flip semi-join, presence probe), then resolve
     * newest-row-wins per doc via `max_by(_layer)` over the small
     * candidate set — the steady-state read path. Materializing the full
     * merged view ([[readVBuckets]]) is reserved for compaction and
@@ -1247,58 +1361,69 @@ object Pipeline {
     * per layer, which a steady-state epoch must not pay.
     */
   private def vLayersRanked(spark: SparkSession, outDir: String,
-      ptr: Map[Int, Seq[Long]], only: Option[Set[Int]]): DataFrame = {
-    val wanted = only.map(b => ptr.view.filterKeys(b).toMap).getOrElse(ptr)
-    val epochsAsc = wanted.values.flatten.toSet.toSeq.sorted
-    epochsAsc.zipWithIndex.map { case (e, rank) =>
-      val df = spark.read.schema(vbktSchema(spark))
-        .parquet(s"$outDir/state/vbkt/epoch=$e")
-      (only match {
-        case Some(b) => df.filter(col("bucket").isInCollection(b))
-        case None => df
-      }).select(StateCols.map(col): _*).withColumn("_layer", lit(rank))
-    }.reduceOption(_ unionByName _)
+      ptr: Map[Int, Seq[Long]], only: Option[Set[Int]]): DataFrame =
+    pointedLayers(spark, outDir, "vbkt", vbktSchema(spark), ptr, only)
+      .zipWithIndex.map { case (df, rank) =>
+        df.select(StateCols.map(col): _*).withColumn("_layer", lit(rank)) }
+      .reduceOption(_ unionByName _)
       .getOrElse(emptyVerdictState(spark).withColumn("_layer", lit(0)))
-  }
 
-  /** Merged view of the pointed verdict LAYERS, optionally restricted to
-    * a bucket subset (partition-pruned reads — an epoch's probes only
-    * open the buckets its batch can touch). Newest row wins per doc: the
-    * oldest layer is the last full copy, every newer layer holds only
-    * the rows its epoch changed, so a layer's rows are shadowed by the
-    * (batch-scale) union of newer layers' doc ids — resolved by
-    * broadcast anti-joins, shuffle-free. A doc's bucket is a pure hash
-    * of its id, so bucket pruning never splits a doc across layers.
+  /** Newest-row-wins merge of `layersAsc` (oldest first) on `key`. The
+    * oldest layer is the last full copy; every newer layer holds only the
+    * rows its epoch changed, so a layer's rows are shadowed by the
+    * (batch-scale) union of newer layers' keys — resolved by broadcast
+    * anti-joins, shuffle-free. Shadow sets are materialized ONCE per
+    * newer layer: without the checkpoint, layer i's anti-join would
+    * re-scan layers 0..i-1's parquet from scratch, an O(L²) read pattern
+    * across a compaction's full layer fan-out. A row's bucket is a pure
+    * hash of its key, so bucket pruning never splits a key across layers.
     */
-  private def readVBuckets(spark: SparkSession, outDir: String,
-      ptr: Map[Int, Seq[Long]], only: Option[Set[Int]]): DataFrame = {
-    val wanted = only.map(b => ptr.view.filterKeys(b).toMap).getOrElse(ptr)
-    val layersDesc = wanted.values.flatten.toSet.toSeq.sorted.reverse
-    def layer(e: Long): DataFrame = {
-      val df = spark.read.schema(vbktSchema(spark))
-        .parquet(s"$outDir/state/vbkt/epoch=$e")
-      (only match {
-        case Some(b) => df.filter(col("bucket").isInCollection(b))
-        case None => df
-      }).select(StateCols.map(col): _*)
-    }
-    if (layersDesc.isEmpty) emptyVerdictState(spark)
-    else {
-      val dfs = layersDesc.map(layer)
-      // shadow sets materialized ONCE per newer layer (they are the
-      // batch-scale deltas; the oldest layer — the last full copy — never
-      // shadows anything): without the checkpoint, layer i's anti-join
-      // would re-scan layers 0..i-1's parquet from scratch, an O(L²)
-      // read pattern across the compaction's full layer fan-out
-      val shadowIds = dfs.init.map(_.select(col("doc_id")).localCheckpoint())
+  private def newestWins(layersAsc: Seq[DataFrame], key: String)
+      : Option[DataFrame] = {
+    val dfs = layersAsc.reverse
+    if (dfs.isEmpty) None
+    else Some {
+      val shadowIds = dfs.init.map(_.select(col(key)).localCheckpoint())
       dfs.zipWithIndex.map { case (df, i) =>
         if (i == 0) df
         else df.join(
           broadcast(shadowIds.take(i).reduce(_ unionByName _).distinct()),
-          Seq("doc_id"), "left_anti")
+          Seq(key), "left_anti")
       }.reduce(_ unionByName _)
     }
   }
+
+  /** Merged view of the pointed verdict LAYERS, optionally restricted to
+    * a bucket subset (partition-pruned reads — an epoch's probes only
+    * open the buckets its batch can touch); see [[newestWins]].
+    */
+  private def readVBuckets(spark: SparkSession, outDir: String,
+      ptr: Map[Int, Seq[Long]], only: Option[Set[Int]]): DataFrame =
+    newestWins(
+      pointedLayers(spark, outDir, "vbkt", vbktSchema(spark), ptr, only)
+        .map(_.select(StateCols.map(col): _*)), "doc_id")
+      .getOrElse(emptyVerdictState(spark))
+
+  /** Ranked layers of the bag-keyed keeper side-state (`(bag, keeper)`
+    * rows; see [[KBuckets]]) — the displacement probe's read path.
+    */
+  private def kLayersRanked(spark: SparkSession, outDir: String,
+      ptr: Map[Int, Seq[Long]], only: Option[Set[Int]]): DataFrame =
+    pointedLayers(spark, outDir, "kbkt", kbktSchema(spark), ptr, only)
+      .zipWithIndex.map { case (df, rank) =>
+        df.select(col("bag"), col("keeper")).withColumn("_layer", lit(rank)) }
+      .reduceOption(_ unionByName _)
+      .getOrElse(emptyKeeperState(spark).withColumn("_layer", lit(0)))
+
+  /** Merged (newest-wins) view of the keeper side-state — compaction and
+    * fold epochs only.
+    */
+  private def readKBuckets(spark: SparkSession, outDir: String,
+      ptr: Map[Int, Seq[Long]], only: Option[Set[Int]]): DataFrame =
+    newestWins(
+      pointedLayers(spark, outDir, "kbkt", kbktSchema(spark), ptr, only)
+        .map(_.select(col("bag"), col("keeper"))), "bag")
+      .getOrElse(emptyKeeperState(spark))
 
   /** Benchmark fingerprint: (distinct window-fp count, their bit-XOR) —
     * cheap, order-free, and collision-safe enough to catch a swapped or
@@ -1343,6 +1468,11 @@ object Pipeline {
       st.vPtr.toSeq.sortBy(_._1).flatMap { case (b, es) =>
         es.map(e => CommitRow("v", bucket = Some(b), epoch = Some(e),
           n_buckets = Some(st.vNB))) } ++
+      st.kPtr.toSeq.sortBy(_._1).flatMap { case (b, es) =>
+        es.map(e => CommitRow("k", bucket = Some(b), epoch = Some(e),
+          n_buckets = Some(st.kNB))) } ++
+      (if (st.wvFolded >= 0L)
+        Seq(CommitRow("wv", epoch = Some(st.wvFolded))) else Nil) ++
       st.rollup.values.toSeq.sortBy(r => (r.lang, r.source)).map(r =>
         CommitRow("roll", lang = Some(r.lang), source = Some(r.source),
           docs_in = Some(r.docsIn), docs_kept = Some(r.docsKept),
@@ -1382,6 +1512,7 @@ object Pipeline {
             .parquet(path).as[CommitRow].collect()
           val fp = rows.filter(_.kind == "fp")
           val v = rows.filter(_.kind == "v")
+          val k = rows.filter(_.kind == "k")
           def ptrOf(rs: Array[CommitRow]): Map[Int, Seq[Long]] =
             rs.groupBy(_.bucket.get)
               .view.mapValues(_.map(_.epoch.get).toSeq.sorted).toMap
@@ -1395,7 +1526,10 @@ object Pipeline {
                 r.docs_in.get, r.docs_kept.get, r.tokens_kept.get,
                 r.docs_contam.getOrElse(0L))).toMap,
             rows.filter(_.kind == "shard")
-              .map(r => r.shard.get -> r.n_kept.get).toMap)
+              .map(r => r.shard.get -> r.n_kept.get).toMap,
+            ptrOf(k),
+            k.headOption.flatMap(_.n_buckets).getOrElse(KBuckets),
+            rows.find(_.kind == "wv").flatMap(_.epoch).getOrElse(-1L))
           if (useCache) stateCache.put(outDir, (e, st))
           Some(st)
         }
@@ -1441,8 +1575,29 @@ object Pipeline {
         .select(col("epoch")).distinct().collect().map(_.getLong(0)).toSet
     }
     val vRef: Set[Long] = st.map(_.vPtr.values.flatten.toSet).getOrElse(Set.empty)
-    pruneEpochs(s"$outDir/state/fpcnt", e => e >= epochId || fpRef.contains(e))
-    pruneEpochs(s"$outDir/state/vbkt", e => e >= epochId || vRef.contains(e))
+    val kRef: Set[Long] = st.map(_.kPtr.values.flatten.toSet).getOrElse(Set.empty)
+    // family layer dirs: epoch=e live iff not yet superseded or referenced;
+    // fold=f dirs are referenced as the NEGATIVE id -f
+    def pruneFamily(dir: String, refs: Set[Long]): Unit = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p))
+        fs.listStatus(p).toSeq.map(_.getPath).foreach { d =>
+          val n = d.getName
+          val dead =
+            if (n.startsWith("epoch=")) {
+              val e = n.stripPrefix("epoch=").toLong
+              e < epochId && !refs.contains(e)
+            } else if (n.startsWith("fold=")) {
+              val f = n.stripPrefix("fold=").toLong
+              f < epochId && !refs.contains(-f)
+            } else false
+          if (dead) { fs.delete(d, true); () }
+        }
+    }
+    pruneFamily(s"$outDir/state/fpcnt", fpRef)
+    pruneFamily(s"$outDir/state/vbkt", vRef)
+    pruneFamily(s"$outDir/state/kbkt", kRef)
     if (gen3) {
       // the gen3 commit supersedes every legacy artifact wholesale
       Seq("sigs", "texts", "fpmap", "epochres", "verdicts")
@@ -1548,6 +1703,13 @@ object Pipeline {
       spark.range(0).select(col("id").as("doc_id"), col("id").as("fp")))
       .withColumn("contam", lit(false)).select(StateCols.map(col): _*)
 
+  /** Empty keeper side-state frame — the epoch-0 base and the schema
+    * anchor for [[kbktSchema]].
+    */
+  private def emptyKeeperState(spark: SparkSession): DataFrame =
+    spark.range(0).select(lit("").cast("string").as("bag"),
+      col("id").as("keeper"))
+
   /** Explicit read schemas for the hot state dirs. A schema-inferring
     * `spark.read.parquet` runs a footer-read job per call, and one
     * steady-state epoch opens these dirs a dozen-plus times (three
@@ -1572,6 +1734,10 @@ object Pipeline {
     stateSchemas.getOrElseUpdate("fpcnt",
       spark.range(0).select(col("id").as("fp"), col("id").as("nd"),
         fpBucket(col("id")).as("bucket")).schema)
+  private def kbktSchema(spark: SparkSession) =
+    stateSchemas.getOrElseUpdate("kbkt",
+      emptyKeeperState(spark).withColumn("bucket", kBucket(col("bag")))
+        .schema)
   private def winvSchema(spark: SparkSession, withBatch: Boolean) =
     stateSchemas.getOrElseUpdate(s"winv:$withBatch", {
       val base = Curation.winFpsOver(

@@ -801,6 +801,150 @@ class PipelineIncrSpec extends AnyFunSuite {
     assertEqualsOneShot(out, oneShot)
   }
 
+  test("keeper side-state is bucket-incremental and replaces the verdict scan") {
+    // round-13: the displacement probe reads the bag-keyed keeper state
+    // (state/kbkt) pruned to the batch's bag buckets — a small epoch's
+    // keeper WRITE is a flat delta over few buckets, and the probe never
+    // scans the verdict layers
+    val out = Files.createTempDirectory("graft-incr-kbkt").toString
+    val all = Fixtures.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+    val tailDoc = all.filter(col("n") >= 20).orderBy(col("n"), col("doc_id"))
+      .head().getLong(0)
+    def docsExcept(id: Long) =
+      Fixtures.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+        .filter(col("doc_id") =!= id)
+    def docOnly(id: Long) =
+      Fixtures.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+        .filter(col("doc_id") === id)
+    Pipeline.curateEpoch(docsExcept(tailDoc), out, Shards, 0L)
+    val foundingBuckets = spark.read.parquet(s"$out/state/kbkt/epoch=0")
+      .select(col("bucket")).distinct().count()
+    assert(foundingBuckets > 1,
+      "the founding epoch must populate multiple keeper buckets")
+    assert(java.nio.file.Files.list(
+      java.nio.file.Paths.get(s"$out/state/kbkt/epoch=0"))
+      .toArray.map(_.toString).count(_.contains("bucket=")) > 1,
+      "the founding keeper copy must be bucket=-partitioned for pruned reads")
+    Pipeline.curateEpoch(docOnly(tailDoc), out, Shards, 1L)
+    val smallBuckets = spark.read.parquet(s"$out/state/kbkt/epoch=1")
+      .select(col("bucket")).distinct().count()
+    assert(smallBuckets < foundingBuckets,
+      s"a small epoch must write only its bags' keeper buckets " +
+        s"($smallBuckets vs founding $foundingBuckets)")
+    assert(ptrOf(out, 1L, "k").values.flatten.toSet === Set(0L, 1L),
+      "untouched keeper buckets must still point at the founding copy")
+    val oneShot = Pipeline.curate(spark, dir,
+      Files.createTempDirectory("graft-incr-kbkt-ref").toString, Shards)
+    assertEqualsOneShot(out, oneShot)
+  }
+
+  test("a steady epoch's state reads are bucket-pruned: an inflated untouched bucket is never read") {
+    // the round-13 read-volume pin: pre-keeper-state, every epoch's
+    // displacement probe scanned EVERY verdict layer row (vLayersFor(None)
+    // — O(corpus-docs) per epoch). Inflate one verdict bucket the tiny
+    // batch does not touch with 400k synthetic rows and pin, via a
+    // task-metrics listener, that the epoch never reads them: its total
+    // recordsRead stays far below the inflated bucket's row count.
+    val N = 400000L
+    val out0 = Files.createTempDirectory("graft-incr-readpin0").toString
+    val all = Fixtures.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+    val tailDoc = all.filter(col("n") >= 20).orderBy(col("n"), col("doc_id"))
+      .head().getLong(0)
+    Pipeline.curateEpoch(
+      Fixtures.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+        .filter(col("doc_id") =!= tailDoc), out0, Shards, 0L)
+    // synthetic rows: unique huge ids and bags, honest bucket hash, inert
+    // (kept=false, bags match nothing, ids collide with nothing)
+    val dummy = spark.range(N).select(
+      (col("id") + 10000000L).as("doc_id"), lit("zz").as("lang"),
+      lit("pin").as("source"), lit(5L).as("n_tok"), lit(1.0).as("h"),
+      concat(lit("zzpin"), col("id")).as("bag"), lit(true).as("bag_keep"),
+      lit(0L).as("n_win"), lit(0L).as("n_dup"), lit(false).as("contam"),
+      lit(false).as("kept"))
+      .withColumn("bucket",
+        pmod(xxhash64(col("doc_id")), lit(64L)).cast("int"))
+    dummy.write.partitionBy("bucket").parquet(s"$out0/state/vbkt/epoch=77")
+    val dummyBuckets = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$out0/state/vbkt/epoch=77"))
+      .toArray.map(_.toString).filter(_.contains("bucket="))
+      .map(_.split("bucket=").last.toInt).toSeq
+    // pointer surgery: register the inflated layer in the commit artifact
+    val sq = spark
+    import sq.implicits._
+    val commit = spark.read.parquet(s"$out0/state/commit/epoch=0")
+      .localCheckpoint()
+    val extra = dummyBuckets.map(b => Pipeline.CommitRow("v",
+      bucket = Some(b), epoch = Some(77L), n_buckets = Some(64)))
+    commit.unionByName(extra.toDS().toDF(), allowMissingColumns = true)
+      .localCheckpoint()
+      .write.mode("overwrite").parquet(s"$out0/state/commit/epoch=0")
+    // fresh outDir path (copy) so the in-JVM state cache starts cold
+    val out = Files.createTempDirectory("graft-incr-readpin").toString
+    java.nio.file.Files.walk(java.nio.file.Paths.get(out0)).forEach { src =>
+      val dst = java.nio.file.Paths.get(out,
+        java.nio.file.Paths.get(out0).relativize(src).toString)
+      if (java.nio.file.Files.isDirectory(src))
+        java.nio.file.Files.createDirectories(dst)
+      else java.nio.file.Files.copy(src, dst)
+    }
+    val read = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          read.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val got =
+      try drained(read) {
+        Pipeline.curateEpoch(
+          Fixtures.documents(spark, dir)
+            .select(col("doc_id"), col("lang"), col("source"), col("text"))
+            .filter(col("doc_id") === tailDoc), out, Shards, 1L)
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(got < N / 2,
+      s"a tiny epoch must not read the inflated untouched bucket " +
+        s"(recordsRead=$got vs $N inflated rows — a full verdict scan " +
+        "would read them all)")
+  }
+
+  test("a pre-keeper gen3 state migrates the keeper family once and continues") {
+    // upgrade path: a commit artifact written before the kbkt family
+    // existed has no 'k' pointer rows — the next epoch must fold the
+    // keepers out of the verdict state exactly once and continue
+    val out0 = Files.createTempDirectory("graft-incr-kmig0").toString
+    Pipeline.curateEpoch(chunk(100, Long.MaxValue), out0, Shards, 0L)
+    // strip the keeper family: delete its dirs, drop its pointer rows
+    val kdir = java.nio.file.Paths.get(s"$out0/state/kbkt")
+    Files.walk(kdir).toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .sortBy(-_.getNameCount).foreach(Files.delete)
+    val commit = spark.read.parquet(s"$out0/state/commit/epoch=0")
+      .localCheckpoint()
+    commit.filter(col("kind") =!= "k")
+      .localCheckpoint()
+      .write.mode("overwrite").parquet(s"$out0/state/commit/epoch=0")
+    val out = Files.createTempDirectory("graft-incr-kmig").toString
+    java.nio.file.Files.walk(java.nio.file.Paths.get(out0)).forEach { src =>
+      val dst = java.nio.file.Paths.get(out,
+        java.nio.file.Paths.get(out0).relativize(src).toString)
+      if (java.nio.file.Files.isDirectory(src))
+        java.nio.file.Files.createDirectories(dst)
+      else java.nio.file.Files.copy(src, dst)
+    }
+    // descending overlap: displacement must work through the migration
+    Pipeline.curateEpoch(chunk(0, 120), out, Shards, 1L)
+    assert(ptrOf(out, 1L, "k").values.flatten.toSet === Set(1L),
+      "the migration must point every keeper bucket at the migrating epoch")
+    val oneShot = Pipeline.curate(spark, dir,
+      Files.createTempDirectory("graft-incr-kmig-ref").toString, Shards)
+    assertEqualsOneShot(out, oneShot)
+  }
+
   test("an epoch older than the newest committed one fails loudly instead of re-founding") {
     // once epoch 1 commits, epoch 0's commit artifact is pruned — a manual
     // or out-of-order replay of epoch 0 then finds no base, would re-found
