@@ -697,11 +697,35 @@ object Pipeline {
     // duplicates on every re-delivery — and the seen filter is
     // deterministic on a same-epoch replay, so overwrite rewrites the
     // same bytes). Probed only under a broadcast of crossing fps.
-    Curation.winFpsOver(newBase.select(col("doc_id"), col("toks")),
-        Curation.SubWidth)
-      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/state/winv/batch=$epochId")
-    val newWins = spark.read.schema(winvSchema(spark, withBatch = false))
-      .parquet(s"$outDir/state/winv/batch=$epochId")
+    //
+    // Layout by batch role, mirroring the other families: the FOUNDING
+    // batch — the log's token-scale bulk — is written fp-bucketed at
+    // birth (`state/winvc/chunk=<e>/bucket=pmod(fp, FpBuckets)`), so a
+    // later crossing epoch's probe partition-prunes it to the crossed
+    // buckets; tail batches stay FLAT under `state/winv/batch=<e>`
+    // (batch-scale — reading them whole is cheap, and partitionBy on a
+    // batch-scale write is the measured 2 s/epoch file fan-out) until
+    // the chunk fold below re-buckets them in bulk.
+    val winvIsChunk = lastCommitted.isEmpty
+    val newWins =
+      if (winvIsChunk) {
+        Curation.winFpsOver(newBase.select(col("doc_id"), col("toks")),
+            Curation.SubWidth)
+          .withColumn("bucket", fpBucket(col("fp")))
+          .coalesce(8)
+          .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+          .parquet(s"$outDir/state/winvc/chunk=$epochId")
+        spark.read.schema(winvcSchema(spark))
+          .parquet(s"$outDir/state/winvc/chunk=$epochId")
+          .select(col("doc_id"), col("fp"))
+      } else {
+        Curation.winFpsOver(newBase.select(col("doc_id"), col("toks")),
+            Curation.SubWidth)
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"$outDir/state/winv/batch=$epochId")
+        spark.read.schema(winvSchema(spark, withBatch = false))
+          .parquet(s"$outDir/state/winv/batch=$epochId")
+      }
 
     // per-fp distinct-doc counts: merge the batch's tallies into the
     // BUCKETED fp state. The state is hash-partitioned on pmod(fp,
@@ -843,22 +867,42 @@ object Pipeline {
     // state — an epoch that crosses NOTHING — must not scan it at all:
     // `crossed` is a local filter over the checkpointed batch-sized merge,
     // so the emptiness probe costs no job.
+    val prevWvFolded: Long = prevState.map(_.wvFolded).getOrElse(-1L)
     val dDup =
       if (crossed.isEmpty)
         spark.range(0).select(col("id").as("doc_id"), col("id").as("d_dup"))
-      else spark.read.schema(winvSchema(spark, withBatch = true))
-        .parquet(s"$outDir/state/winv")
-        // defense in depth: under the sequential foreachBatch contract no
-        // batch dir > epochId can exist, but a manually restored or
-        // out-of-order state dir must be IGNORED, not silently folded in
-        // (the filter is partition-pruned, so it costs nothing)
-        .filter(col("batch") <= epochId)
-        .select(col("doc_id"), col("fp"))
-        .join(bcastFp(crossed), Seq("fp"))
-        .distinct()
-        .join(broadcast(newIds), Seq("doc_id"), "left_anti")
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("d_dup"))
-        .localCheckpoint()
+      else {
+        // the log's CHUNKED mass (the founding batch + every fold) is
+        // read pruned to the crossed fps' buckets — O(crossed-bucket
+        // bytes), not O(log); only the flat tails (≤ FpCompactAt recent
+        // batch-scale dirs) are read whole. Live chunks are the COMMITTED
+        // ones ≤ the delta base (this epoch's own crash-replayed fold, if
+        // any, would double-count the flats it covers — those are only
+        // deleted after the commit marker); live flats are the batches in
+        // (wvFolded, epochId] — the upper bound is defense in depth
+        // against a manually restored out-of-order dir, the lower bound
+        // skips folded flats cleanup has not yet pruned.
+        val crossedBuckets: Seq[Int] = crossed
+          .select(fpBucket(col("fp")).as("b")).distinct()
+          .collect().map(_.getInt(0)).toSeq.sorted
+        val flats = spark.read.schema(winvSchema(spark, withBatch = true))
+          .parquet(s"$outDir/state/winv")
+          .filter(col("batch") <= epochId && col("batch") > prevWvFolded)
+          .select(col("doc_id"), col("fp"))
+        val chunks = committedChunks(spark, outDir)
+          .filter(c => lastCommitted.exists(c <= _))
+          .map(c => spark.read.schema(winvcSchema(spark))
+            .parquet(s"$outDir/state/winvc/chunk=$c")
+            .filter(col("bucket").isInCollection(crossedBuckets))
+            .select(col("doc_id"), col("fp")))
+          .reduceOption(_ unionByName _)
+        chunks.map(_.unionByName(flats)).getOrElse(flats)
+          .join(bcastFp(crossed), Seq("fp"))
+          .distinct()
+          .join(broadcast(newIds), Seq("doc_id"), "left_anti")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("d_dup"))
+          .localCheckpoint()
+      }
 
     // keeper displacement: batch minima vs the CURRENT keepers, read
     // from the bag-keyed side-state (`state/kbkt`, rows (bag, keeper),
@@ -1094,6 +1138,36 @@ object Pipeline {
       }
     }
 
+    // window-log fold: once FpCompactAt flat tail batches accumulate,
+    // re-bucket the batches OLDER than this epoch into one immutable
+    // fp-bucketed chunk (`state/winvc/chunk=<e>`); the folded flats are
+    // pruned after the commit marker. Cost is O(folded batches) once per
+    // FpCompactAt epochs — batch-scale amortized, never O(log), because
+    // the founding mass was bucketed at birth and chunks are never
+    // merged or rewritten (the log is append-only: no row is ever
+    // superseded, so pruning works per chunk and no compaction of chunks
+    // into chunks is needed — each winv row is written at most twice).
+    val foldable: Seq[Long] = listPartitionLongs(spark,
+        s"$outDir/state/winv", "batch=")
+      .filter(b => b > prevWvFolded && b < epochId).toSeq.sorted
+    val wvFoldedNew: Long =
+      if (foldable.size < FpCompactAt) prevWvFolded
+      else {
+        val chunkDir = s"$outDir/state/winvc/chunk=$epochId"
+        val bytes = foldable.map(b =>
+          dirBytes(spark, s"$outDir/state/winv/batch=$b")).sum
+        val parts = math.min(8L, 1L + bytes / (256L << 20)).toInt
+        spark.read.schema(winvSchema(spark, withBatch = true))
+          .parquet(s"$outDir/state/winv")
+          .filter(col("batch").isInCollection(foldable))
+          .select(col("doc_id"), col("fp"))
+          .withColumn("bucket", fpBucket(col("fp")))
+          .coalesce(parts)
+          .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+          .parquet(chunkDir)
+        foldable.max
+      }
+
     // (lang, source) -> (d_in, d_add, d_rem, d_tok_add, d_tok_rem, d_cont)
     val dRoll = dAgg.groupBy(r => (r.getString(0), r.getString(1)))
       .view.mapValues(rs => (rs.map(_.getLong(3)).sum, rs.map(_.getLong(4)).sum,
@@ -1234,8 +1308,7 @@ object Pipeline {
     // shard counts, and the result row land in ONE tiny write; epoch e's
     // _SUCCESS here ⇒ e fully applied
     val stNew = EpochState(fpPtrNew, FpBuckets, vPtrNew, VBuckets,
-      rollupNew, shardKeptNew, kPtrNew, KBuckets,
-      prevState.map(_.wvFolded).getOrElse(-1L))
+      rollupNew, shardKeptNew, kPtrNew, KBuckets, wvFoldedNew)
     val result = EpochResult(epochId, stNew.docsSeen, stNew.docsKept,
       nAdded, nRemoved, deltas)
     writeCommit(spark, outDir, epochId, stNew, result)
@@ -1598,6 +1671,18 @@ object Pipeline {
     pruneFamily(s"$outDir/state/fpcnt", fpRef)
     pruneFamily(s"$outDir/state/vbkt", vRef)
     pruneFamily(s"$outDir/state/kbkt", kRef)
+    // window-log flats folded into a chunk are superseded once the fold's
+    // commit landed (chunks themselves are immutable and permanent — the
+    // append-only log's bucketed form)
+    st.map(_.wvFolded).filter(_ >= 0L).foreach { ft =>
+      val p = new org.apache.hadoop.fs.Path(s"$outDir/state/winv")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p))
+        fs.listStatus(p).toSeq.map(_.getPath)
+          .filter(_.getName.startsWith("batch="))
+          .filter(_.getName.stripPrefix("batch=").toLong <= ft)
+          .foreach(d => fs.delete(d, true))
+    }
     if (gen3) {
       // the gen3 commit supersedes every legacy artifact wholesale
       Seq("sigs", "texts", "fpmap", "epochres", "verdicts")
@@ -1677,6 +1762,34 @@ object Pipeline {
       .map(_.stripPrefix(prefix).toInt).toSet
   }
 
+  private def listPartitionLongs(spark: SparkSession, dir: String,
+      prefix: String): Set[Long] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(prefix))
+      .map(_.stripPrefix(prefix).toLong).toSet
+  }
+
+  /** Recursive byte size of `dir` (driver FS metadata — free on local
+    * disk/HDFS), used to size fold write parallelism.
+    */
+  private def dirBytes(spark: SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L else fs.getContentSummary(p).getLength
+  }
+
+  /** Ids of fully-written window-log chunks (`state/winvc/chunk=<e>` with
+    * a `_SUCCESS` marker). Callers additionally bound by the delta base:
+    * a chunk is LIVE only once the epoch that wrote it committed.
+    */
+  private def committedChunks(spark: SparkSession, outDir: String): Seq[Long] =
+    listPartitionLongs(spark, s"$outDir/state/winvc", "chunk=")
+      .filter(c => isCommitted(spark, s"$outDir/state/winvc/chunk=$c"))
+      .toSeq.sorted
+
   /** True iff `dir` holds a completed Spark write (`_SUCCESS` marker). */
   private def isCommitted(spark: SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS")
@@ -1745,6 +1858,12 @@ object Pipeline {
           array(lit("")).as("toks")), 1)
       (if (withBatch) base.withColumn("batch", col("doc_id")) else base).schema
     })
+  private def winvcSchema(spark: SparkSession) =
+    stateSchemas.getOrElseUpdate("winvc",
+      Curation.winFpsOver(
+        spark.range(0).select(col("id").as("doc_id"),
+          array(lit("")).as("toks")), 1)
+        .withColumn("bucket", fpBucket(col("fp"))).schema)
 
   /** Attach the incremental pipeline to a document stream with `doc_id`,
     * `lang`, `source`, `text`. `benchmark` enables the decontamination

@@ -561,7 +561,10 @@ class PipelineIncrSpec extends AnyFunSuite {
     val futureFps = Curation.winFpsOver(
       nextToks.select(col("doc_id"), col("toks")), Curation.SubWidth)
       .select(col("fp")).distinct()
-    spark.read.parquet(s"$out/state/winv").select(col("doc_id")).distinct()
+    // the founding mass lives fp-bucketed under winvc; the poisoned dir
+    // is fabricated in the flat tail namespace where an out-of-order
+    // restore would land
+    spark.read.parquet(s"$out/state/winvc").select(col("doc_id")).distinct()
       .limit(50).crossJoin(futureFps)
       .write.parquet(s"$out/state/winv/batch=99")
     Pipeline.curateEpoch(chunk(0, 120), out, Shards, 1L)
@@ -943,6 +946,89 @@ class PipelineIncrSpec extends AnyFunSuite {
     val oneShot = Pipeline.curate(spark, dir,
       Files.createTempDirectory("graft-incr-kmig-ref").toString, Shards)
     assertEqualsOneShot(out, oneShot)
+  }
+
+  test("the window log chunks: founding bucketed at birth, tails fold, flats stay bounded") {
+    val out = Files.createTempDirectory("graft-incr-winvc").toString
+    val cuts = (0 to 10).map(i => i * 15L)
+    Pipeline.curateEpoch(chunk(cuts.last, Long.MaxValue), out, Shards, 0L)
+    // the founding mass lives fp-bucketed under winvc from birth — no
+    // corpus-scale flat dir ever exists to re-fold later
+    assert(java.nio.file.Files.list(
+      java.nio.file.Paths.get(s"$out/state/winvc/chunk=0"))
+      .toArray.map(_.toString).count(_.contains("bucket=")) > 1,
+      "the founding window log must be bucket=-partitioned at birth")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$out/state/winv/batch=0")),
+      "the founding batch must not also land in the flat tail namespace")
+    (0 until 10).foreach { i =>
+      Pipeline.curateEpoch(chunk(cuts(9 - i), cuts(10 - i)), out, Shards,
+        (i + 1).toLong)
+    }
+    // 10 tail batches > FpCompactAt: a fold must have re-bucketed the
+    // older flats into a chunk and pruned them
+    val flatBatches = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$out/state/winv"))
+      .toArray.map(_.toString).filter(_.contains("batch="))
+      .map(_.split("batch=").last.toLong).toSeq.sorted
+    assert(flatBatches.size <= Pipeline.FpCompactAt,
+      s"flat tail batches must stay bounded by the fold, got $flatBatches")
+    val chunks = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$out/state/winvc"))
+      .toArray.map(_.toString).filter(_.contains("chunk="))
+      .map(_.split("chunk=").last.toLong).toSeq.sorted
+    assert(chunks.size >= 2, s"a tail fold chunk must exist, got $chunks")
+    // no row lost or duplicated: chunked + flat rows = the one-shot log
+    // (distinct (doc, fp) per doc delivered once — overlaps re-deliver)
+    val live = spark.read.parquet(s"$out/state/winvc")
+      .select(col("doc_id"), col("fp"))
+      .unionByName(spark.read.parquet(s"$out/state/winv")
+        .select(col("doc_id"), col("fp")))
+    assert(live.count() === live.distinct().count(),
+      "fold + tails must hold each (doc, fp) exactly once")
+    val oneShot = Pipeline.curate(spark, dir,
+      Files.createTempDirectory("graft-incr-winvc-ref").toString, Shards)
+    assertEqualsOneShot(out, oneShot)
+  }
+
+  test("a crossing epoch's window-log read volume scales with the crossed buckets") {
+    // round-13 pin: the crossing probe partition-prunes the chunked log
+    // to the crossed fps' buckets instead of scanning the full
+    // token-scale log. A synthetic duplicate of one SHORT existing doc
+    // crosses only that doc's few window fps, so the epoch must read far
+    // less than the log.
+    val out = Files.createTempDirectory("graft-incr-wvpin").toString
+    Pipeline.curateEpoch(chunk(0, Long.MaxValue), out, Shards, 0L)
+    val logRows = spark.read.parquet(s"$out/state/winvc").count()
+    // the shortest doc that still has windows: few fps => few buckets
+    val src = Fixtures.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        size(split(col("text"), " ")).as("n"))
+      .filter(col("n") >= 20).orderBy(col("n"), col("doc_id")).limit(1)
+      .localCheckpoint()
+    val dup = src.select(lit(9999999L).as("doc_id"), col("lang"),
+      col("source"), col("text"))
+    val read = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          read.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val got =
+      try drained(read) { Pipeline.curateEpoch(dup, out, Shards, 1L) }
+      finally spark.sparkContext.removeSparkListener(listener)
+    // the crossing genuinely fired (otherwise the read bound is vacuous):
+    // the source doc's verdict row was re-emitted with a span-dup delta
+    val srcId = src.head().getLong(0)
+    val flipped = spark.read.parquet(s"$out/state/vbkt/epoch=1")
+      .filter(col("doc_id") === srcId)
+    assert(flipped.count() === 1 && flipped.head().getAs[Long]("n_dup") > 0L,
+      "the duplicate delivery must cross the source doc's window fps")
+    assert(got < logRows / 2,
+      s"a crossing epoch must read only the crossed buckets of the log " +
+        s"(recordsRead=$got vs $logRows log rows)")
   }
 
   test("an epoch older than the newest committed one fails loudly instead of re-founding") {
