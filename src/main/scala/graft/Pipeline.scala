@@ -149,11 +149,12 @@ object Pipeline {
     */
   private[graft] val VBuckets = 64
 
-  /** Compact (fold every referenced bucket forward into one epoch) when
-    * a pointer map references this many distinct epochs — bounds both
-    * the per-epoch state-read fan-out and the dead superseded-bucket
-    * copies old epoch dirs accumulate between compactions. Shared by the
-    * fp-count and verdict pointer maps.
+  /** Per-BUCKET layer fan-out bound of the bucketed state families:
+    * the rolling fold ([[rollSet]]) keeps every bucket's pointer list at
+    * ≤ this many layers by folding a bucket slice each epoch (no
+    * all-at-once compaction cliff), which also bounds the dead
+    * superseded rows old layers accumulate. Doubles as the window-log
+    * chunk-fold trigger (fold the flat tails once this many accumulate).
     */
   private[graft] val FpCompactAt = 8
 
@@ -202,12 +203,68 @@ object Pipeline {
     pmod(xxhash64(bag), lit(KBuckets.toLong)).cast("int")
 
   /** Append `epochId` to each touched bucket's layer list — the ONE copy
-    * of the pointer-forward rule shared by the fp and verdict states.
+    * of the pointer-forward rule shared by the bucketed state families.
     */
   private def appendPtr(base: Map[Int, Seq[Long]], touched: Iterable[Int],
       epochId: Long): Map[Int, Seq[Long]] =
     base ++ touched.map(b =>
       b -> (base.getOrElse(b, Seq.empty) :+ epochId))
+
+  /** ROLLING-compaction bucket selection: the k buckets with the longest
+    * layer lists (k = ceil(nBuckets / (FpCompactAt - 2)), only lists of
+    * ≥ 3 layers are worth folding), plus every bucket at the hard bound.
+    * Called on the pointer map AFTER this epoch's delta append; a pure
+    * function of it, so a crash replay folds the same set. With uniform
+    * touching the selection rotates through all buckets in
+    * ~(FpCompactAt - 2) epochs, keeping every bucket's fan-out ≤
+    * FpCompactAt while each epoch folds only a ~1/(FpCompactAt - 2)
+    * slice of the state — the smooth form of the old all-buckets-at-once
+    * compaction cliff (same amortized bandwidth, no periodic 2× epoch).
+    * Skewed streams self-target: lists only grow for touched buckets, so
+    * the longest-list rule folds exactly the hot ones.
+    */
+  private[graft] def rollSet(ptr: Map[Int, Seq[Long]], nBuckets: Int)
+      : Set[Int] = {
+    val k = math.max(1, (nBuckets + FpCompactAt - 3) / (FpCompactAt - 2))
+    val cands = ptr.toSeq.filter(_._2.size >= 3)
+      .sortBy { case (b, es) => (-es.size, b) }
+    (cands.take(k) ++ cands.filter(_._2.size >= FpCompactAt))
+      .map(_._1).toSet
+  }
+
+  /** Write the rolling fold of `fam`: `merged(rolled)` (the family's
+    * merged view of the rolled buckets, INCLUDING this epoch's
+    * just-written delta, with its `bucket` column) lands bucket=-
+    * partitioned under `fold=<epochId>`, and the rolled buckets' pointer
+    * lists reset to the fold alone (encoded as the NEGATIVE id; see
+    * [[layerPath]]). Write parallelism is sized from the driver-listed
+    * byte size of the layers the rolled buckets reference (an
+    * overestimate — layers hold other buckets too — but the right order
+    * of magnitude, and free FS metadata).
+    */
+  private def rollFamily(spark: SparkSession, outDir: String, fam: String,
+      ptr: Map[Int, Seq[Long]], nBuckets: Int, epochId: Long,
+      merged: Set[Int] => DataFrame): Map[Int, Seq[Long]] = {
+    val rolled = rollSet(ptr, nBuckets)
+    if (rolled.isEmpty) ptr
+    else {
+      val refBytes = ptr.view.filterKeys(rolled).values.flatten.toSet
+        .iterator.map((id: Long) =>
+          dirBytes(spark, layerPath(outDir, fam, id))).sum
+      val parts = math.min(8L, 1L + refBytes / (256L << 20)).toInt
+      val foldDir = s"$outDir/state/$fam/fold=$epochId"
+      merged(rolled).coalesce(parts)
+        .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+        .parquet(foldDir)
+      // only buckets the fold actually wrote re-point (a rolled bucket
+      // whose merged rows emptied — possible for keepers only in theory —
+      // keeps no pointer at all); the rest of the rolled set drops to
+      // empty lists rather than dangling at a fold without rows
+      val written = listPartitionInts(spark, foldDir, "bucket=")
+      ptr ++ rolled.map(b =>
+        b -> (if (written(b)) Seq(-epochId) else Seq.empty[Long]))
+    }
+  }
 
   // numShards + benchmark (gate flag, fp signature) validated once per
   // (JVM, outDir) against the meta artifact; the DISK stays the
@@ -371,10 +428,13 @@ object Pipeline {
     * hold live rows per bucket, and readers MERGE the pointed layers
     * (counts sum for fps; the newest row wins per doc, resolved by
     * broadcast anti-joins of the batch-scale newer layers against the
-    * one full base copy — shuffle-free). A bounded compaction
-    * ([[FpCompactAt]]) folds all layers into a fresh full copy before
-    * read fan-out can grow — the one O(state) write, amortized over the
-    * compaction interval. This is the LSM shape: without it, a
+    * one full base copy — shuffle-free). A ROLLING compaction
+    * ([[rollSet]]) folds a rotating bucket slice each epoch into a
+    * `fold=` layer, keeping every bucket's fan-out ≤ [[FpCompactAt]] —
+    * the same amortized O(state / interval) bandwidth an all-at-once
+    * compaction would pay, but smooth: no periodic 2× epoch (full
+    * compactions remain only for layout migrations). This is the LSM
+    * shape: without it, a
     * micro-batch whose fps touch every bucket (any realistic batch does
     * — B distinct fps saturate K << B buckets) would force an O(state)
     * rewrite per epoch no matter how fine the bucketing. EVERY state
@@ -756,17 +816,15 @@ object Pipeline {
     // compaction write parallelism so file fan-out stays bounded.
     val layerParts: Int =
       math.min(8L, 1L + nContribFps / 4000000L).toInt
-    // compaction folds EVERY layer into one fresh full copy: on a layout
-    // migration (un-bucketed or winv-rebuilt base, or a changed FpBuckets
-    // constant), and whenever the log references FpCompactAt distinct
-    // epochs — that bound caps the per-read layer fan-out and the stale
-    // superseded rows old layers accumulate (≲ one live-state's worth
-    // between compactions). Between compactions an epoch WRITES only its
-    // own tallies (O(batch)); the merged view is (re)constructed on read
-    // by summing the pointed layers.
+    // a FULL compaction (every layer folded into one fresh copy) runs
+    // only on layout MIGRATIONS: an un-bucketed or winv-rebuilt base, or
+    // a changed FpBuckets constant. Steady-state fan-out is bounded by
+    // the ROLLING fold below instead (a per-epoch bucket slice — no
+    // all-at-once compaction cliff); between folds an epoch WRITES only
+    // its own tallies (O(batch)) and the merged view is (re)constructed
+    // on read by summing the pointed layers.
     val mustCompactFp = fullFpBase.isDefined ||
-      (fpPtrBase.nonEmpty && fpNBBase != FpBuckets) ||
-      fpPtrBase.values.flatten.toSet.size >= FpCompactAt
+      (fpPtrBase.nonEmpty && fpNBBase != FpBuckets)
     def fpLayers(buckets: Option[Seq[Int]]): DataFrame = {
       // bucket pruning only when the state was written under the CURRENT
       // FpBuckets constant — `touched` is computed with the current hash,
@@ -802,7 +860,7 @@ object Pipeline {
       Seq("fp")).localCheckpoint()
     val fresh = contrib.join(bcastFp(updated.select(col("fp"))),
       Seq("fp"), "left_anti").select(col("fp"), col("add").as("nd"))
-    val fpPtrNew: Map[Int, Seq[Long]] =
+    val fpPtrApp: Map[Int, Seq[Long]] =
       if (touched.isEmpty && !mustCompactFp) fpPtrBase
       else {
         // the epoch's fp layer: on the normal path just the batch's own
@@ -854,6 +912,19 @@ object Pipeline {
           appendPtr(fpPtrBase, touched, epochId)
         }
       }
+    // rolling compaction (no-op right after a full compaction or at
+    // founding — every list is length 1 then). The fp merge is the one
+    // fold that pays an exchange (counts must co-locate per fp to sum) —
+    // bounded by the rolled slice, the same amortized bandwidth the old
+    // all-at-once cliff paid in one spike.
+    val fpPtrNew: Map[Int, Seq[Long]] =
+      rollFamily(spark, outDir, "fpcnt", fpPtrApp, FpBuckets, epochId,
+        rolled => sumFp(
+          pointedLayers(spark, outDir, "fpcnt", fpcntSchema(spark),
+            fpPtrApp, Some(rolled))
+            .map(_.select(col("fp"), col("nd")))
+            .reduceOption(_ unionByName _).getOrElse(emptyFp))
+          .withColumn("bucket", fpBucket(col("fp"))))
 
     // fps that CROSSED the duplicate threshold this epoch (an existing
     // doc's window flips non-dup → dup exactly when its fp crosses; a
@@ -961,30 +1032,24 @@ object Pipeline {
       .collect().map(_.getInt(0)).toSeq.sorted
 
     // verdict-state compaction mirrors the fp-state rule; a legacy base
-    // always compacts (that IS the migration into the bucketed layout)
+    // always compacts (that IS the migration into the bucketed layout);
+    // steady-state fan-out is the rolling fold's job
     val vPtrBase: Map[Int, Seq[Long]] =
       prevState.map(_.vPtr).getOrElse(Map.empty)
     val mustCompactV = legacyBase ||
-      (vPtrBase.nonEmpty && prevState.exists(_.vNB != VBuckets)) ||
-      vPtrBase.values.flatten.toSet.size >= FpCompactAt
+      (vPtrBase.nonEmpty && prevState.exists(_.vNB != VBuckets))
 
     // assemble the epoch's CHANGED verdict rows only: the flipped docs'
     // old rows re-emitted with the flips applied (bucket-pruned merged
     // read + broadcast joins, map-side) plus the batch's fresh rows —
     // batch-scale, never corpus-scale. kept_prev/is_new ride along so
     // added/removed and the report deltas fall out of the same pass.
-    val flipOld = {
+    val flipOld =
       // candidates = every layer's rows for the flip docs (bucket-pruned
       // read + broadcast semi-join), then newest row wins per doc — the
       // precedence aggregation shuffles only flip-scale rows
-      val cand = vLayersFor(Some(flipBuckets))
-        .join(broadcast(flipIds), Seq("doc_id"))
-      cand.groupBy(col("doc_id")).agg(
-        max_by(struct(StateCols.filterNot(_ == "doc_id").map(col): _*),
-          col("_layer")).as("_s"))
-        .select(col("doc_id") +:
-          StateCols.filterNot(_ == "doc_id").map(c => col("_s." + c)): _*)
-    }
+      mergeRankedVerdicts(vLayersFor(Some(flipBuckets))
+        .join(broadcast(flipIds), Seq("doc_id")))
     val exist = flipOld
       .withColumnRenamed("kept", "kept_prev")
       .join(broadcast(displaced), Seq("doc_id"), "left")
@@ -1065,7 +1130,7 @@ object Pipeline {
     // partitioned for pruned reads, tail DELTA layers flat (see the fp
     // layer's rationale — the exact changed-row bucket set rides the
     // dAgg collect, so the flat path needs no listing job either).
-    val vPtrNew: Map[Int, Seq[Long]] = {
+    val vPtrApp: Map[Int, Seq[Long]] = {
       val changed = assembled.drop("kept_prev", "is_new")
       val vDir = s"$outDir/state/vbkt/epoch=$epochId"
       // write parallelism from the driver-known CHANGED-ROW count (the
@@ -1098,6 +1163,15 @@ object Pipeline {
         appendPtr(vPtrBase, changedBuckets.toSeq.sorted, epochId)
       }
     }
+    // rolling fold — newest-wins resolved by one max_by aggregation over
+    // the rolled slice (a bounded exchange, constant job count; the
+    // broadcast-anti-join merge is reserved for migration-scale reads
+    // where its per-layer checkpoints amortize)
+    val vPtrNew: Map[Int, Seq[Long]] =
+      rollFamily(spark, outDir, "vbkt", vPtrApp, VBuckets, epochId,
+        rolled => mergeRankedVerdicts(
+            vLayersRanked(spark, outDir, vPtrApp, Some(rolled)))
+          .withColumn("bucket", vBucket(col("doc_id"))))
     // keeper side-state layer: one row per bag whose keeper CHANGED this
     // epoch (fresh bags elect their batch minimum; displaced keepers hand
     // off to it) — ≤ batch-bag-scale, derived from the checkpointed
@@ -1110,7 +1184,7 @@ object Pipeline {
       .select(col("bag"), col("b_min").as("keeper"))
     val mustCompactK = kMigrating ||
       (kPtrBase.nonEmpty && kNBBase != KBuckets)
-    val kPtrNew: Map[Int, Seq[Long]] = {
+    val kPtrApp: Map[Int, Seq[Long]] = {
       val kDir = s"$outDir/state/kbkt/epoch=$epochId"
       if (mustCompactK || kPtrBase.isEmpty) {
         // founding / migration: the full keeper copy (base newest-wins
@@ -1137,6 +1211,12 @@ object Pipeline {
         else appendPtr(kPtrBase, kBk.toSeq.sorted, epochId)
       }
     }
+    val kPtrNew: Map[Int, Seq[Long]] =
+      rollFamily(spark, outDir, "kbkt", kPtrApp, KBuckets, epochId,
+        rolled => kLayersRanked(spark, outDir, kPtrApp, Some(rolled))
+          .groupBy(col("bag"))
+          .agg(max_by(col("keeper"), col("_layer")).as("keeper"))
+          .withColumn("bucket", kBucket(col("bag"))))
 
     // window-log fold: once FpCompactAt flat tail batches accumulate,
     // re-bucket the batches OLDER than this epoch into one immutable
@@ -1385,6 +1465,16 @@ object Pipeline {
   /** Column order of a verdict-state row (gen3). */
   private val StateCols = Seq("doc_id", "lang", "source", "n_tok", "h",
     "bag", "bag_keep", "n_win", "n_dup", "contam", "kept")
+
+  /** Newest-row-wins per doc over a ranked candidate frame (StateCols +
+    * `_layer`) — one max_by aggregation, shuffling only the candidates.
+    */
+  private def mergeRankedVerdicts(cand: DataFrame): DataFrame =
+    cand.groupBy(col("doc_id")).agg(
+      max_by(struct(StateCols.filterNot(_ == "doc_id").map(col): _*),
+        col("_layer")).as("_s"))
+      .select(col("doc_id") +:
+        StateCols.filterNot(_ == "doc_id").map(c => col("_s." + c)): _*)
 
   /** Path of layer `id` under family dir `fam` ("fpcnt" | "vbkt" |
     * "kbkt"): positive id = `epoch=<id>` (a tail delta, or the founding /

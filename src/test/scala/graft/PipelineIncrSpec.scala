@@ -57,6 +57,19 @@ class PipelineIncrSpec extends AnyFunSuite {
       .toArray.map(_.toString).filter(_.contains("epoch="))
       .map(_.split("epoch=").last.toLong).toSet
 
+  /** Layer ids on disk under a bucketed family dir: `epoch=e` dirs as
+    * +e, `fold=e` (rolling-compaction) dirs as -e — the pointer map's
+    * encoding.
+    */
+  private def layerDirsOf(path: String): Set[Long] =
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) Set.empty
+    else java.nio.file.Files.list(java.nio.file.Paths.get(path))
+      .toArray.map(_.toString.split("/").last).flatMap { n =>
+        if (n.startsWith("epoch=")) Some(n.stripPrefix("epoch=").toLong)
+        else if (n.startsWith("fold=")) Some(-n.stripPrefix("fold=").toLong)
+        else None
+      }.toSet
+
   private def assertEqualsOneShot(out: String, oneShot: Pipeline.CurationRun): Unit = {
     assert(corpusRows(out) === corpusRowsAt(oneShot.corpusPath))
     assert(rows(s"$out/manifest", "shard") === rows(oneShot.manifestPath, "shard"))
@@ -85,10 +98,10 @@ class PipelineIncrSpec extends AnyFunSuite {
     // pointer maps reference them — state stays O(docs), not O(docs × epochs)
     assert(epochDirsOf(s"$out/state/commit") === Set(2L),
       "only the newest committed epoch's commit artifact may remain")
-    assert(epochDirsOf(s"$out/state/vbkt") === ptrOf(out, 2L, "v").values.flatten.toSet,
-      "every retained verdict-bucket epoch must still be referenced")
-    assert(epochDirsOf(s"$out/state/fpcnt") === ptrOf(out, 2L, "fp").values.flatten.toSet,
-      "every retained fp-bucket epoch must still be referenced")
+    assert(layerDirsOf(s"$out/state/vbkt") === ptrOf(out, 2L, "v").values.flatten.toSet,
+      "every retained verdict layer (epoch or fold) must still be referenced")
+    assert(layerDirsOf(s"$out/state/fpcnt") === ptrOf(out, 2L, "fp").values.flatten.toSet,
+      "every retained fp layer (epoch or fold) must still be referenced")
   }
 
   test("a crash-stranded fileless manifest (only _temporary inside) is repaired, not fatal") {
@@ -241,12 +254,17 @@ class PipelineIncrSpec extends AnyFunSuite {
         drained(jobs) { Pipeline.curateEpoch(
           chunk(150 - 50 * i, 200 - 50 * i), out, Shards, i.toLong) }
       }
-      // tail 3 reads TWO more accumulated layers than tail 1 (epochs 0-2
-      // vs epoch 0 alone); equal-shaped batches must cost the same jobs
-      // modulo small branch variation (a batch with crossing fps runs
-      // one extra probe) — the pre-fix schema-inference reads added ~5
-      // jobs per layer, i.e. ~+10 by tail 3, far above the +3 slack
-      assert(tails.last <= tails.head + 3,
+      // tail 3 reads one more accumulated layer than tail 2 and a rotated
+      // rolling-fold slice; equal-shaped batches must cost the same jobs
+      // modulo small branch variation (a batch with crossing fps runs one
+      // extra probe) — the pre-fix schema-inference reads added ~5 jobs
+      // per layer, far above the +3 slack. Tail 1 is excluded from the
+      // comparison: rolling folds only engage once a bucket's list
+      // reaches 3 layers, so tail 1 legitimately runs fewer (fold) jobs
+      // than every later tail — the claim pinned here is that job count
+      // does not CREEP with accumulated layers, not that fold-free and
+      // folding epochs cost the same.
+      assert(tails.last <= tails(1) + 3,
         s"job count must not creep with accumulated layers (${tails.mkString(", ")})")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
@@ -434,23 +452,32 @@ class PipelineIncrSpec extends AnyFunSuite {
     assertEqualsOneShot(out, oneShot)
   }
 
-  test("pointer fan-out compacts: many tiny epochs stay within the reference bound") {
+  test("rolling folds bound per-bucket fan-out with no compaction cliff") {
     val out = Files.createTempDirectory("graft-incr-compact").toString
-    // founding epoch, then 10 thin descending slices — enough that the
-    // pointer map would reference > FpCompactAt epochs without compaction
+    // founding epoch, then 10 thin descending slices — enough that any
+    // bucket's layer list would exceed FpCompactAt without folding
     val cuts = (0 to 10).map(i => i * 15L)
     Pipeline.curateEpoch(chunk(cuts.last, Long.MaxValue), out, Shards, 0L)
     (0 until 10).foreach { i =>
       Pipeline.curateEpoch(chunk(cuts(9 - i), cuts(10 - i)), out, Shards, (i + 1).toLong)
     }
-    val pointed = ptrOf(out, 10L, "fp").values.flatten.toSet
-    assert(pointed.size < Pipeline.FpCompactAt,
-      s"compaction must bound pointer fan-out, got ${pointed.size} epochs: $pointed")
-    val onDisk = java.nio.file.Files.list(
-        java.nio.file.Paths.get(s"$out/state/fpcnt"))
-      .toArray.map(_.toString).count(_.contains("epoch="))
-    assert(onDisk === pointed.size,
-      "every retained fpcnt epoch must still be referenced")
+    for (kind <- Seq("fp", "v", "k")) {
+      val ptr = ptrOf(out, 10L, kind)
+      val worst = ptr.values.map(_.size).maxOption.getOrElse(0)
+      assert(worst <= Pipeline.FpCompactAt,
+        s"rolling folds must bound every $kind bucket's layer fan-out, " +
+          s"got a list of $worst")
+      assert(ptr.values.exists(_.exists(_ < 0L)),
+        s"after 10 epochs the $kind state must have rolled folds " +
+          "(otherwise the bound above is vacuous)")
+    }
+    // retention: exactly the referenced layers remain on disk — folds
+    // age out once every bucket pointing at them rolls again
+    for (fam <- Seq("fpcnt" -> "fp", "vbkt" -> "v", "kbkt" -> "k")) {
+      assert(layerDirsOf(s"$out/state/${fam._1}") ===
+        ptrOf(out, 10L, fam._2).values.flatten.toSet,
+        s"every retained ${fam._1} layer must still be referenced")
+    }
     // and the folded state is still CORRECT: convergence to one-shot
     val oneShot = Pipeline.curate(spark, dir,
       Files.createTempDirectory("graft-incr-compact-ref").toString, Shards)
