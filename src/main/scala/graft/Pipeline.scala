@@ -210,22 +210,37 @@ object Pipeline {
     base ++ touched.map(b =>
       b -> (base.getOrElse(b, Seq.empty) :+ epochId))
 
-  /** ROLLING-compaction bucket selection: the k buckets with the longest
-    * layer lists (k = ceil(nBuckets / (FpCompactAt - 2)), only lists of
-    * ≥ 3 layers are worth folding), plus every bucket at the hard bound.
-    * Called on the pointer map AFTER this epoch's delta append; a pure
-    * function of it, so a crash replay folds the same set. With uniform
-    * touching the selection rotates through all buckets in
-    * ~(FpCompactAt - 2) epochs, keeping every bucket's fan-out ≤
-    * FpCompactAt while each epoch folds only a ~1/(FpCompactAt - 2)
-    * slice of the state — the smooth form of the old all-buckets-at-once
-    * compaction cliff (same amortized bandwidth, no periodic 2× epoch).
+  /** The three bucketed families take rolling-fold turns — ONE fold
+    * write per epoch instead of three, because a fold's cost at tail
+    * scale is mostly fixed (a partitioned write's file fan-out + job
+    * round-trips), not bandwidth. A family also folds OUT of turn when
+    * any of its buckets hits the hard fan-out bound (a starvation
+    * backstop for heartbeat-aligned streams whose real epochs land on a
+    * fixed residue).
+    */
+  private[graft] val RollFamilies = Seq("fpcnt", "vbkt", "kbkt")
+  private def rollTurn(fam: String, epochId: Long,
+      ptr: Map[Int, Seq[Long]]): Boolean =
+    RollFamilies(((epochId % 3) + 3).toInt % 3) == fam ||
+      ptr.values.exists(_.size >= FpCompactAt)
+
+  /** ROLLING-compaction bucket selection: the k longest layer lists
+    * (k = half the buckets — each family folds every third epoch, see
+    * [[rollTurn]], so covering all buckets within the FpCompactAt - 2
+    * epoch budget takes two turns; only lists of ≥ 3 layers are worth
+    * folding), plus every bucket at the hard bound. Called on the
+    * pointer map AFTER this epoch's delta append; a pure function of it,
+    * so a crash replay folds the same set. With uniform touching the
+    * selection rotates through all buckets in ~6 epochs, keeping every
+    * bucket's fan-out ≤ FpCompactAt while amortized fold bandwidth stays
+    * the same ~state/(FpCompactAt - 2) per epoch the old
+    * all-buckets-at-once compaction cliff paid in one periodic 2× spike.
     * Skewed streams self-target: lists only grow for touched buckets, so
     * the longest-list rule folds exactly the hot ones.
     */
   private[graft] def rollSet(ptr: Map[Int, Seq[Long]], nBuckets: Int)
       : Set[Int] = {
-    val k = math.max(1, (nBuckets + FpCompactAt - 3) / (FpCompactAt - 2))
+    val k = math.max(1, (nBuckets + 1) / 2)
     val cands = ptr.toSeq.filter(_._2.size >= 3)
       .sortBy { case (b, es) => (-es.size, b) }
     (cands.take(k) ++ cands.filter(_._2.size >= FpCompactAt))
@@ -918,7 +933,8 @@ object Pipeline {
     // bounded by the rolled slice, the same amortized bandwidth the old
     // all-at-once cliff paid in one spike.
     val fpPtrNew: Map[Int, Seq[Long]] =
-      rollFamily(spark, outDir, "fpcnt", fpPtrApp, FpBuckets, epochId,
+      if (!rollTurn("fpcnt", epochId, fpPtrApp)) fpPtrApp
+      else rollFamily(spark, outDir, "fpcnt", fpPtrApp, FpBuckets, epochId,
         rolled => sumFp(
           pointedLayers(spark, outDir, "fpcnt", fpcntSchema(spark),
             fpPtrApp, Some(rolled))
@@ -1014,11 +1030,22 @@ object Pipeline {
       .select(col("k_id").as("doc_id"), lit(true).as("_disp"))
 
     // contamination flags for fresh docs (gate-on only): q104's window
-    // formula vs the benchmark, evaluated once at first sight
+    // formula vs the benchmark, evaluated once at first sight. The
+    // decontam-width fps are PERSISTED (`state/winc/batch=<e>`, flat,
+    // batch-keyed — same shape as the winv log) before the probe
+    // consumes them: they are what makes a later [[regate]] possible
+    // (contamination vs a REVISED benchmark is recomputable from this
+    // log for every doc ever seen, without the dropped docs' text).
+    // One extra batch-scale write per gate-on epoch — the declared price
+    // of benchmark revisability.
     val contamIds: Option[DataFrame] = benchFps.map { bf =>
+      val wincDir = s"$outDir/state/winc/batch=$epochId"
+      Curation.winFpsOver(newBase.select(col("doc_id"), col("toks")),
+          Curation.DecontamWidth)
+        .write.mode(SaveMode.Overwrite).parquet(wincDir)
       Curation.contaminatedOf(
-        Curation.winFpsOver(newBase.select(col("doc_id"), col("toks")),
-          Curation.DecontamWidth), bf)
+        spark.read.schema(winvSchema(spark, withBatch = false))
+          .parquet(wincDir), bf)
         .withColumn("_cont", lit(true))
     }
 
@@ -1168,7 +1195,8 @@ object Pipeline {
     // broadcast-anti-join merge is reserved for migration-scale reads
     // where its per-layer checkpoints amortize)
     val vPtrNew: Map[Int, Seq[Long]] =
-      rollFamily(spark, outDir, "vbkt", vPtrApp, VBuckets, epochId,
+      if (!rollTurn("vbkt", epochId, vPtrApp)) vPtrApp
+      else rollFamily(spark, outDir, "vbkt", vPtrApp, VBuckets, epochId,
         rolled => mergeRankedVerdicts(
             vLayersRanked(spark, outDir, vPtrApp, Some(rolled)))
           .withColumn("bucket", vBucket(col("doc_id"))))
@@ -1212,7 +1240,8 @@ object Pipeline {
       }
     }
     val kPtrNew: Map[Int, Seq[Long]] =
-      rollFamily(spark, outDir, "kbkt", kPtrApp, KBuckets, epochId,
+      if (!rollTurn("kbkt", epochId, kPtrApp)) kPtrApp
+      else rollFamily(spark, outDir, "kbkt", kPtrApp, KBuckets, epochId,
         rolled => kLayersRanked(spark, outDir, kPtrApp, Some(rolled))
           .groupBy(col("bag"))
           .agg(max_by(col("keeper"), col("_layer")).as("keeper"))
@@ -1247,6 +1276,25 @@ object Pipeline {
           .parquet(chunkDir)
         foldable.max
       }
+
+    // QUARANTINE (gate-on only): contaminated fresh docs that would
+    // otherwise be kept park their text in `state/quar/batch=<e>` — the
+    // store [[regate]] resurrects from when a revised benchmark clears
+    // them (the corpus holds kept docs only, so without this their text
+    // would be unrecoverable; docs failing the doc-local gates can never
+    // flip kept under ANY benchmark, so only this would-be-kept slice
+    // needs parking). Skipped entirely when the batch contaminated
+    // nothing — driver-known from the delta agg.
+    if (gateOn && dAgg.iterator.map(_.getLong(8)).sum > 0L) {
+      val keptBase = Curation.keptExpr(col("n_tok"), col("h"),
+        col("bag_keep"), Curation.spanDropExpr(col("n_win"), col("n_dup")))
+      assembled.filter(col("is_new") && col("contam") && keptBase)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_tok"))
+        .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$outDir/state/quar/batch=$epochId")
+    }
 
     // (lang, source) -> (d_in, d_add, d_rem, d_tok_add, d_tok_rem, d_cont)
     val dRoll = dAgg.groupBy(r => (r.getString(0), r.getString(1)))
@@ -1344,36 +1392,7 @@ object Pipeline {
       if (failAfterStaging)
         throw new IllegalStateException(
           "graft test failpoint: crash after staging commit")
-      val writtenShards: Set[Int] = {
-        val fromDirs = listPartitionInts(spark, stagingPath, "shard=")
-        // a crashed epoch staged by the pre-partitioned layout holds flat
-        // files with shard as a data column — no shard= dirs. Falling
-        // through with an empty set would skip the overwrite and then
-        // DELETE every changed shard (silent data loss); read the staged
-        // shard values instead for that one replay.
-        if (fromDirs.nonEmpty || !hasDataFiles(spark, stagingPath)) fromDirs
-        else spark.read.parquet(stagingPath).select(col("shard")).distinct()
-          .collect().map(_.getInt(0)).toSet
-      }
-      if (writtenShards.nonEmpty) {
-        val newContent = spark.read.parquet(stagingPath)
-          .select(col("doc_id"), col("lang"), col("source"), col("n_tok"),
-            col("text"), col("shard"))
-        // per-WRITE dynamic overwrite (the writer option overrides the
-        // session conf) — a session-conf save/restore here was a race
-        // under concurrent epochs sharing one session: an interleaving
-        // could strand the SESSION in dynamic mode, silently flipping
-        // every later static Overwrite in the process from
-        // delete-the-dir to merge-into-it
-        newContent.write.mode(SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("shard").parquet(corpusPath)
-      }
-      // explicitly drop shards whose kept set emptied (dynamic overwrite
-      // never touches a partition the output frame doesn't mention)
-      deltas.filterNot(writtenShards).foreach { sh =>
-        deleteDir(spark, s"$corpusPath/shard=$sh")
-      }
+      applyStagedShards(spark, corpusPath, stagingPath, deltas)
     }
 
     syncManifest(spark, outDir, numShards, prevShardKept.keySet, deltas)
@@ -1399,6 +1418,42 @@ object Pipeline {
     // content is live in the corpus now)
     cleanupAfterCommit(spark, outDir, epochId, Some(stNew))
     result
+  }
+
+  /** Apply a COMMITTED staging dir to the corpus — shared by the epoch
+    * path and [[regate]]: dynamic-overwrite the staged shards, then
+    * explicitly drop changed shards whose kept set emptied (dynamic
+    * overwrite never touches a partition the output frame doesn't
+    * mention). Uses the per-WRITE overwrite option, never a session-conf
+    * save/restore — two concurrent callers sharing a session could
+    * interleave the latter and strand the session in dynamic mode,
+    * silently flipping every later static Overwrite from delete-the-dir
+    * to merge-into-it.
+    */
+  private def applyStagedShards(spark: SparkSession, corpusPath: String,
+      stagingPath: String, deltas: Seq[Int]): Unit = {
+    val writtenShards: Set[Int] = {
+      val fromDirs = listPartitionInts(spark, stagingPath, "shard=")
+      // a crashed epoch staged by the pre-partitioned layout holds flat
+      // files with shard as a data column — no shard= dirs. Falling
+      // through with an empty set would skip the overwrite and then
+      // DELETE every changed shard (silent data loss); read the staged
+      // shard values instead for that one replay.
+      if (fromDirs.nonEmpty || !hasDataFiles(spark, stagingPath)) fromDirs
+      else spark.read.parquet(stagingPath).select(col("shard")).distinct()
+        .collect().map(_.getInt(0)).toSet
+    }
+    if (writtenShards.nonEmpty) {
+      val newContent = spark.read.parquet(stagingPath)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_tok"),
+          col("text"), col("shard"))
+      newContent.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("shard").parquet(corpusPath)
+    }
+    deltas.filterNot(writtenShards).foreach { sh =>
+      deleteDir(spark, s"$corpusPath/shard=$sh")
+    }
   }
 
   /** Manifest maintenance, shared by the main path and the heartbeat fast
@@ -1599,9 +1654,13 @@ object Pipeline {
 
   private def writeMeta(spark: SparkSession, outDir: String, numShards: Int,
       sig: (Long, Long), gateOn: Boolean): Unit =
+    // `winc` marks a gate-on dir founded by winc-logging code — the
+    // [[regate]] precondition (an upgraded dir founded before the log
+    // existed has docs with no recorded decontam fps, so a regate over it
+    // would silently under-flag; it must refuse instead)
     spark.range(1).select(lit(numShards).as("num_shards"),
         lit(sig._1).as("bench_n"), lit(sig._2).as("bench_x"),
-        lit(gateOn).as("bench_on"))
+        lit(gateOn).as("bench_on"), lit(gateOn).as("winc"))
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/meta")
 
   private def writeReport(spark: SparkSession, path: String,
@@ -1957,19 +2016,249 @@ object Pipeline {
 
   /** Attach the incremental pipeline to a document stream with `doc_id`,
     * `lang`, `source`, `text`. `benchmark` enables the decontamination
-    * gate for every epoch (fixed for the life of the outDir — see
-    * [[curateEpoch]]).
+    * gate for every epoch (fixed for the life of the outDir until a
+    * [[regate]] — see [[curateEpoch]]).
+    *
+    * Epoch ids are `batchId + offset`, where the offset is captured ONCE
+    * per stream run as `newest committed epoch + 1`. Within a run,
+    * replays of a batch keep their id (the offset is fixed), preserving
+    * the replay short-circuit; across runs the offset re-bases on
+    * whatever committed meanwhile, which makes the stream robust to a
+    * replaced checkpoint (batch ids restarting at 0 would otherwise trip
+    * the out-of-order guard) and to a [[regate]] committed between runs
+    * (whose epoch id a continuing checkpoint's batch counter knows
+    * nothing about). An uncommitted crashed epoch re-processed under a
+    * HIGHER id after a restart is safe: its docs are not in the state
+    * (nothing committed), its orphaned layer dirs are unreferenced and
+    * pruned, and its staging is base-keyed.
     */
   def startIncremental(docs: org.apache.spark.sql.DataFrame, outDir: String,
       checkpoint: String, numShards: Int = 16,
       benchmark: Option[DataFrame] = None)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // one offset per stream RUN, resolved lazily on the first nonempty
+    // batch (needs the batch's session for the FS listing)
+    val offset = new java.util.concurrent.atomic.AtomicLong(-1L)
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
-        if (!b.isEmpty) { curateEpoch(b, outDir, numShards, id, benchmark); () }
+        if (!b.isEmpty) {
+          offset.compareAndSet(-1L,
+            committedEpochs(b.sparkSession, outDir).maxOption
+              .map(_ + 1L).getOrElse(0L))
+          curateEpoch(b, outDir, numShards, offset.get + id, benchmark)
+          ()
+        }
       }
       .start()
+  }
+
+  /** BENCHMARK REVISION for a gate-on incremental outDir: re-evaluate
+    * the contamination flag of EVERY doc ever seen against
+    * `newBenchmark`, rewrite the verdict state via the compaction path,
+    * adjust the corpus BOTH ways (docs contaminated only under the old
+    * benchmark RESURRECT from the quarantine; newly-contaminated kept
+    * docs are removed and quarantined), recompute report + manifest, and
+    * re-pin the meta fingerprint — after which epochs must carry
+    * `newBenchmark` (a non-regated drifted benchmark still fails loudly).
+    *
+    * One declared O(corpus) pass: contamination is doc-local given a
+    * benchmark, recomputed from the persisted decontam-fp log
+    * (`state/winc`) — no dropped doc's text is needed; resurrection text
+    * comes from `state/quar`. Preconditions (all fail loudly): the dir
+    * is gate-on AND was founded by winc-logging code (meta `winc` flag),
+    * at least one commit-artifact epoch exists, and `epochId` exceeds
+    * every committed epoch (it joins the epoch sequence; a stream
+    * resumed via [[startIncremental]] re-bases past it automatically).
+    *
+    * Crash protocol (the epoch commit-marker design): every write is
+    * deterministic from (base state, winc log, quarantine, benchmark);
+    * the consolidated new quarantine and the changed shards' staging
+    * land atomically BEFORE the corpus overwrite; the commit artifact is
+    * the marker; the META re-pin lands LAST, after the marker — a crash
+    * between the two leaves committed v2 state under a v1 meta, which
+    * the next epoch rejects loudly and a re-run of regate (same id)
+    * repairs by short-circuiting to the meta rewrite.
+    */
+  def regate(spark: SparkSession, outDir: String, newBenchmark: DataFrame,
+      epochId: Long): EpochResult = {
+    require(hasDataFiles(spark, s"$outDir/meta"),
+      s"$outDir has no meta artifact — nothing to regate")
+    val m = spark.read.parquet(s"$outDir/meta").head()
+    val numShards = m.getAs[Int]("num_shards")
+    require(m.schema.fieldNames.contains("bench_on") &&
+        m.getAs[Boolean]("bench_on"),
+      s"regate requires a decontamination-gated outDir; $outDir is gate-off")
+    require(m.schema.fieldNames.contains("winc") && m.getAs[Boolean]("winc"),
+      s"$outDir was founded before the decontam-fp log existed — its docs " +
+        "have no recorded fps, so a regate would silently under-flag; " +
+        "re-found the corpus instead")
+    val fps2 = Curation.benchmarkFps(newBenchmark).localCheckpoint()
+    val sig2 = benchSig(fps2)
+    def repinMeta(): Unit = {
+      writeMeta(spark, outDir, numShards, sig2, gateOn = true)
+      metaCache.put(outDir, (numShards, true, sig2._1, sig2._2))
+      benchCachePut(outDir, (newBenchmark, fps2, sig2))
+    }
+    val committed = committedEpochs(spark, outDir)
+    if (committed.contains(epochId)) {
+      // a completed regate replays as: finish the post-marker steps
+      repinMeta()
+      cleanupAfterCommit(spark, outDir, epochId, None)
+      pruneQuarBefore(spark, outDir, epochId)
+      return readEpochResult(spark, outDir, epochId)
+    }
+    require(committed.forall(_ < epochId),
+      s"regate epoch $epochId must exceed every committed epoch " +
+        s"(${committed.sorted.mkString(", ")}) — it joins the epoch sequence")
+    val last = committed.maxOption.getOrElse(throw new IllegalArgumentException(
+      s"$outDir has no committed epoch to regate"))
+    val st = loadEpochState(spark, outDir, last, useCache = false)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$outDir's newest epoch $last predates the commit-artifact " +
+          "layout; run one epoch to migrate before regating"))
+
+    // contamination vs the NEW benchmark for every doc ever seen, from
+    // the fp log (docs shorter than the decontam width have no rows and
+    // are clean by the same rule the epochs apply). The matched set is
+    // contamination-sized, joined plain (it can be corpus-scale under an
+    // adversarial revision — this is the declared O(corpus) pass).
+    val wincPath = s"$outDir/state/winc"
+    val winc =
+      if (hasDataFiles(spark, wincPath))
+        spark.read.schema(winvSchema(spark, withBatch = true))
+          .parquet(wincPath).filter(col("batch") <= last)
+          .select(col("doc_id"), col("fp"))
+      else spark.range(0).select(col("id").as("doc_id"), col("id").as("fp"))
+    val contam2 = Curation.contaminatedOf(winc, fps2)
+      .withColumn("_c2", lit(true))
+    val keptBase = Curation.keptExpr(col("n_tok"), col("h"),
+      col("bag_keep"), Curation.spanDropExpr(col("n_win"), col("n_dup")))
+    val v2 = readVBuckets(spark, outDir, st.vPtr, None)
+      .withColumnRenamed("contam", "_c1").withColumnRenamed("kept", "_k1")
+      .join(contam2, Seq("doc_id"), "left")
+      .withColumn("contam", coalesce(col("_c2"), lit(false)))
+      .withColumn("kept", Curation.contamKept(keptBase, col("contam")))
+      .drop("_c2")
+      .localCheckpoint() // consumed by state write, counts, quar, staging
+
+    // ONE aggregation yields the new rollup; a second (changed rows only)
+    // the shard deltas; kept-shard counts from a third over the kept set
+    val shardOf = Layout.shardKey(col("doc_id"), numShards)
+    val rollup2: Map[(String, String), RollRow] =
+      v2.groupBy(col("lang"), col("source")).agg(
+        count(lit(1)).as("di"),
+        coalesce(sum(when(col("kept"), 1L).otherwise(0L)), lit(0L)).as("dk"),
+        coalesce(sum(when(col("kept"), col("n_tok")).otherwise(0L)), lit(0L)).as("tk"),
+        coalesce(sum(when(col("contam"), 1L).otherwise(0L)), lit(0L)).as("dc"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> RollRow(
+          r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toMap
+    val chAgg = v2.filter(col("_k1") =!= col("kept"))
+      .groupBy(shardOf.as("shard")).agg(
+        sum(when(col("kept"), 1L).otherwise(0L)).as("adds"),
+        sum(when(!col("kept"), 1L).otherwise(0L)).as("rems"))
+      .collect()
+    val deltas: Seq[Int] = chAgg.map(_.getInt(0)).toSeq.sorted
+    val nAdded = chAgg.map(_.getLong(1)).sum
+    val nRemoved = chAgg.map(_.getLong(2)).sum
+    val shardKept2: Map[Int, Long] = v2.filter(col("kept"))
+      .groupBy(shardOf.as("shard")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+    // text sources: the corpus (docs kept under v1) and the old
+    // quarantine (contaminated-but-otherwise-kept under v1) — between
+    // them every doc that can be kept or quarantined under v2
+    val corpusPath = s"$outDir/corpus"
+    val emptyText = spark.range(0)
+      .select(col("id").as("doc_id"), lit("").cast("string").as("text"))
+    val corpusText =
+      if (hasDataFiles(spark, corpusPath))
+        spark.read.parquet(corpusPath).select(col("doc_id"), col("text"))
+      else emptyText
+    val quarPath = s"$outDir/state/quar"
+    val oldQuar =
+      if (hasDataFiles(spark, quarPath))
+        spark.read.parquet(quarPath).select(col("doc_id"), col("text"))
+      else emptyText
+    val textAll = corpusText.unionByName(oldQuar).dropDuplicates("doc_id")
+
+    // new quarantine, consolidated and committed BEFORE the corpus
+    // overwrite (a crash replay re-derives it from the still-intact
+    // corpus; once its _SUCCESS exists the content is final)
+    val quarDir = s"$outDir/state/quar/batch=$epochId"
+    if (!isCommitted(spark, quarDir)) {
+      val quarJoined = v2.filter(col("contam") && keptBase)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_tok"))
+        .join(textAll, Seq("doc_id"), "left")
+        .localCheckpoint()
+      val missing = quarJoined.filter(col("text").isNull).count()
+      require(missing == 0L,
+        s"quarantine coverage hole: $missing contaminated-but-keepable " +
+          "docs have no stored text — state corruption, refusing to regate")
+      quarJoined.coalesce(1).write.mode(SaveMode.Overwrite).parquet(quarDir)
+    }
+
+    // changed shards rewrite via the epoch staging protocol
+    if (deltas.nonEmpty) {
+      val stagingRoot = s"$outDir/state/staging/epoch=$epochId"
+      val stagingPath = s"$stagingRoot/base=$last"
+      if (!isCommitted(spark, stagingPath)) {
+        deleteDir(spark, stagingRoot)
+        v2.filter(col("kept")).withColumn("shard", shardOf)
+          .filter(col("shard").isInCollection(deltas))
+          .select(col("doc_id"), col("lang"), col("source"), col("n_tok"),
+            col("shard"))
+          .join(textAll, Seq("doc_id"))
+          .select(col("doc_id"), col("lang"), col("source"), col("n_tok"),
+            col("text"), col("shard"))
+          .repartition(deltas.size, col("shard"))
+          .write.mode(SaveMode.Overwrite).partitionBy("shard")
+          .parquet(stagingPath)
+      }
+      applyStagedShards(spark, corpusPath, stagingPath, deltas)
+    }
+
+    syncManifest(spark, outDir, numShards, st.shardKept.keySet, deltas)
+    writeReport(spark, s"$outDir/report", rollup2.values.toSeq,
+      withContam = true)
+
+    // the v2 verdict state is a fresh full copy — every bucket points at
+    // this epoch; fp counts, keepers, and the window logs are untouched
+    // (contamination affects neither window counts nor keeper elections)
+    val vDir = s"$outDir/state/vbkt/epoch=$epochId"
+    v2.select(StateCols.map(col): _*)
+      .withColumn("bucket", vBucket(col("doc_id")))
+      .coalesce(8)
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(vDir)
+    val vPtr2 = listPartitionInts(spark, vDir, "bucket=")
+      .map(_ -> Seq(epochId)).toMap
+    val stNew = EpochState(st.fpPtr, st.fpNB, vPtr2, VBuckets,
+      rollup2, shardKept2, st.kPtr, st.kNB, st.wvFolded)
+    val result = EpochResult(epochId, stNew.docsSeen, stNew.docsKept,
+      nAdded, nRemoved, deltas)
+    writeCommit(spark, outDir, epochId, stNew, result)
+    cleanupAfterCommit(spark, outDir, epochId, Some(stNew))
+    pruneQuarBefore(spark, outDir, epochId)
+    repinMeta() // LAST: meta never points at an uncommitted gate regime
+    result
+  }
+
+  /** Drop quarantine batches superseded by a regate's consolidated
+    * rewrite (every pre-regate row either moved into the new batch or
+    * became permanently unresurrectable).
+    */
+  private def pruneQuarBefore(spark: SparkSession, outDir: String,
+      epochId: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$outDir/state/quar")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      fs.listStatus(p).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith("batch="))
+        .filter(_.getName.stripPrefix("batch=").toLong < epochId)
+        .foreach(d => fs.delete(d, true))
+  }
 
   /** Post-copy/post-migration audit: recompute the shard manifest from the
     * corpus AS ON DISK and diff it against the stored manifest. Returns the

@@ -1123,6 +1123,141 @@ class PipelineIncrSpec extends AnyFunSuite {
     assert(e.getMessage.contains("docs_contaminated"))
   }
 
+  test("regate to a revised benchmark converges to the v2-gated one-shot") {
+    // eval sets get revised: regate re-flags every seen doc from the
+    // persisted decontam-fp log, resurrects v1-only contamination from
+    // the quarantine, removes-and-quarantines v2 contamination, and
+    // re-pins the meta — after which the run is indistinguishable from
+    // one gated by v2 all along
+    val docsAll = Fixtures.documents(spark, dir)
+      .select(col("doc_id"), col("text"), size(split(col("text"), " ")).as("n"))
+    val bench1 = docsAll.filter(col("n") >= 8 && col("doc_id") >= 300)
+      .orderBy(col("doc_id")).limit(3).select(col("doc_id"), col("text"))
+      .localCheckpoint()
+    val out = Files.createTempDirectory("graft-incr-regate").toString
+    Pipeline.curateEpoch(chunk(300, Long.MaxValue), out, Shards, 0L, Some(bench1))
+    Pipeline.curateEpoch(chunk(100, 320), out, Shards, 1L, Some(bench1))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$out/state/quar")),
+      "the v1 benchmark must quarantine keepable contaminated docs " +
+        "(otherwise this test exercises no resurrection)")
+    // v2 drawn from the v1-KEPT corpus: certainly removed by the regate
+    val bench2 = spark.read.parquet(s"$out/corpus")
+      .filter(size(split(col("text"), " ")) >= 8 && col("doc_id") >= 100)
+      .orderBy(col("doc_id")).limit(2).select(col("doc_id"), col("text"))
+      .localCheckpoint()
+    val rr = Pipeline.regate(spark, out, bench2, 2L)
+    assert(rr.removed >= 1L,
+      "v2 members were kept under v1, so the regate must remove them")
+    assert(rr.added >= 1L,
+      "v1-quarantined docs are clean under v2, so the regate must resurrect")
+    // regate replay (same id, BEFORE any newer epoch — afterwards the
+    // pruned marker makes it an out-of-order call, rejected like any old
+    // epoch replay) is idempotent: short-circuits to the meta re-pin and
+    // returns the persisted result
+    val before = (corpusRows(out), rows(s"$out/manifest", "shard"),
+      rows(s"$out/report", "lang", "source"))
+    val replay = Pipeline.regate(spark, out, bench2, 2L)
+    assert(replay === rr)
+    assert((corpusRows(out), rows(s"$out/manifest", "shard"),
+      rows(s"$out/report", "lang", "source")) === before)
+    // the old benchmark is no longer accepted
+    val eOld = intercept[IllegalArgumentException] {
+      Pipeline.curateEpoch(chunk(0, 50), out, Shards, 3L, Some(bench1))
+    }
+    assert(eOld.getMessage.contains("benchmark"))
+    // post-regate epochs run under v2 and the whole history converges to
+    // the v2 one-shot
+    Pipeline.curateEpoch(chunk(0, 120), out, Shards, 3L, Some(bench2))
+    val oneShot = Pipeline.curate(spark, dir,
+      Files.createTempDirectory("graft-incr-regate-ref").toString, Shards,
+      Some(bench2))
+    assertEqualsOneShot(out, oneShot)
+  }
+
+  test("regate preconditions fail loudly: gate-off, pre-winc, out-of-order") {
+    val sq = spark
+    import sq.implicits._
+    val bench = Fixtures.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .filter(size(split(col("text"), " ")) >= 8)
+      .orderBy(col("doc_id")).limit(2).localCheckpoint()
+    // gate-off dir
+    val plain = Files.createTempDirectory("graft-incr-rg-off").toString
+    Pipeline.curateEpoch(chunk(200, Long.MaxValue), plain, Shards, 0L)
+    val eOff = intercept[IllegalArgumentException] {
+      Pipeline.regate(spark, plain, bench, 1L)
+    }
+    assert(eOff.getMessage.contains("gate-off"))
+    // gated dir founded before the winc log existed (meta lacks the flag)
+    val old = Files.createTempDirectory("graft-incr-rg-old").toString
+    Pipeline.curateEpoch(chunk(200, Long.MaxValue), old, Shards, 0L, Some(bench))
+    val m = spark.read.parquet(s"$old/meta").drop("winc").localCheckpoint()
+    m.write.mode("overwrite").parquet(s"$old/meta")
+    val ePre = intercept[IllegalArgumentException] {
+      Pipeline.regate(spark, old, bench, 1L)
+    }
+    assert(ePre.getMessage.contains("winc") || ePre.getMessage.contains("log"))
+    // an id at or below a committed epoch is rejected
+    val g = Files.createTempDirectory("graft-incr-rg-ooo").toString
+    Pipeline.curateEpoch(chunk(200, Long.MaxValue), g, Shards, 0L, Some(bench))
+    Pipeline.curateEpoch(chunk(100, 210), g, Shards, 1L, Some(bench))
+    val eOoo = intercept[IllegalArgumentException] {
+      Pipeline.regate(spark, g,
+        Fixtures.documents(spark, dir).select(col("doc_id"), col("text"))
+          .filter(size(split(col("text"), " ")) >= 8)
+          .orderBy(col("doc_id").desc).limit(2).localCheckpoint(), 0L)
+    }
+    assert(eOoo.getMessage.contains("exceed"))
+  }
+
+  test("a stream resumed after a regate re-bases its epoch ids and converges") {
+    val sq = spark
+    import sq.implicits._
+    val docsAll = Fixtures.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    val bench1 = docsAll.select(col("doc_id"), col("text"))
+      .filter(size(split(col("text"), " ")) >= 8 && col("doc_id") >= 250)
+      .orderBy(col("doc_id")).limit(2).localCheckpoint()
+    val bench2 = docsAll.select(col("doc_id"), col("text"))
+      .filter(size(split(col("text"), " ")) >= 8 && col("doc_id") < 250)
+      .orderBy(col("doc_id").desc).limit(2).localCheckpoint()
+    val replayDir = Files.createTempDirectory("graft-incr-rgs-in").toString
+    val out = Files.createTempDirectory("graft-incr-rgs-out").toString
+    val ckpt = Files.createTempDirectory("graft-incr-rgs-ckpt").toString
+    def writeChunk(lo: Long, hi: Long): Unit =
+      chunk(lo, hi).coalesce(1).write.mode("append").parquet(replayDir)
+    def run(bench: org.apache.spark.sql.DataFrame): Unit = {
+      val schema = spark.read.parquet(replayDir).schema
+      val q = Pipeline.startIncremental(
+        Sources.fileStream(spark, replayDir, schema, maxFilesPerTrigger = 1),
+        out, ckpt, Shards, Some(bench))
+      q.processAllAvailable()
+      q.stop()
+    }
+    writeChunk(250, Long.MaxValue)
+    writeChunk(120, 260)
+    run(bench1) // two v1 epochs
+    // revision between stream runs: the SAME checkpoint continues — its
+    // batch counter knows nothing about the regate's epoch id, so the
+    // resumed run must re-base past it instead of colliding or tripping
+    // the out-of-order guard
+    Pipeline.regate(spark, out,
+      bench2, committedEpochsMax(out) + 1L)
+    writeChunk(0, 130)
+    run(bench2)
+    val oneShot = Pipeline.curate(spark, dir,
+      Files.createTempDirectory("graft-incr-rgs-ref").toString, Shards,
+      Some(bench2))
+    assertEqualsOneShot(out, oneShot)
+  }
+
+  /** Newest committed epoch id under `out` (test-side FS listing). */
+  private def committedEpochsMax(out: String): Long =
+    java.nio.file.Files.list(java.nio.file.Paths.get(s"$out/state/commit"))
+      .toArray.map(_.toString).filter(_.contains("epoch="))
+      .map(_.split("epoch=").last.toLong).max
+
   test("an epoch retry (same id) is idempotent across every artifact") {
     val out = Files.createTempDirectory("graft-incr-idem").toString
     Pipeline.curateEpoch(chunk(200, Long.MaxValue), out, Shards, 0L)
