@@ -122,6 +122,15 @@ object Pipeline {
     */
   @volatile private[graft] var failAfterStaging: Boolean = false
 
+  /** Test-only fault injection: throw right after the corpus overwrite,
+    * BEFORE the commit marker — the window where the corpus is already
+    * mutated but the epoch is uncommitted. PipelineIncrSpec uses it to
+    * pin that a stream restart replays the batch under the SAME epoch id
+    * (the self-stabilizing offset), reusing the committed staging
+    * instead of re-deriving it from the mutated corpus.
+    */
+  @volatile private[graft] var failAfterApply: Boolean = false
+
   /** Test seam: when set, epochs await this barrier right after entering
     * the AQE scope, so a spec can force two concurrent epochs to overlap
     * deterministically (the interleaving the scope's depth counter
@@ -178,8 +187,13 @@ object Pipeline {
     * earlier), larger where driver/executor memory allows.
     */
   @volatile private[graft] var FpBroadcastMaxRows: Long =
-    sys.env.get("SPARK_GRAFT_FP_BCAST_MAX_ROWS").map(_.toLong)
-      .getOrElse(4L << 20)
+    sys.env.get("SPARK_GRAFT_FP_BCAST_MAX_ROWS").map { v =>
+      // parsed here in the object initializer: a bare .toLong would
+      // surface as ExceptionInInitializerError with no hint of the cause
+      require(v.forall(_.isDigit) && v.nonEmpty,
+        s"SPARK_GRAFT_FP_BCAST_MAX_ROWS must be a plain row count, got '$v'")
+      v.toLong
+    }.getOrElse(4L << 20)
 
   private def fpBucket(fp: Column): Column =
     pmod(fp, lit(FpBuckets.toLong)).cast("int")
@@ -344,6 +358,10 @@ object Pipeline {
     * committed before the family existed — the next epoch migrates).
     * `wvFolded`: window-log batches ≤ this id are folded into bucketed
     * chunk dirs (-1 = none; pre-chunk artifacts read back as -1).
+    * `wvChunks`: the LIVE chunk dirs — explicit liveness, so a chunk
+    * written by a crashed epoch whose batch later re-processed under a
+    * different id (replaced checkpoint) is an orphan cleanup deletes,
+    * never a silent duplicate in every crossing read.
     */
   private[graft] final case class EpochState(
       fpPtr: Map[Int, Seq[Long]], fpNB: Int,
@@ -351,7 +369,7 @@ object Pipeline {
       rollup: Map[(String, String), RollRow],
       shardKept: Map[Int, Long],
       kPtr: Map[Int, Seq[Long]] = Map.empty, kNB: Int = KBuckets,
-      wvFolded: Long = -1L) {
+      wvFolded: Long = -1L, wvChunks: Seq[Long] = Nil) {
     def docsSeen: Long = rollup.values.map(_.docsIn).sum
     def docsKept: Long = rollup.values.map(_.docsKept).sum
   }
@@ -976,8 +994,7 @@ object Pipeline {
           .parquet(s"$outDir/state/winv")
           .filter(col("batch") <= epochId && col("batch") > prevWvFolded)
           .select(col("doc_id"), col("fp"))
-        val chunks = committedChunks(spark, outDir)
-          .filter(c => lastCommitted.exists(c <= _))
+        val chunks = prevState.map(_.wvChunks).getOrElse(Nil)
           .map(c => spark.read.schema(winvcSchema(spark))
             .parquet(s"$outDir/state/winvc/chunk=$c")
             .filter(col("bucket").isInCollection(crossedBuckets))
@@ -1191,14 +1208,11 @@ object Pipeline {
       }
     }
     // rolling fold — newest-wins resolved by one max_by aggregation over
-    // the rolled slice (a bounded exchange, constant job count; the
-    // broadcast-anti-join merge is reserved for migration-scale reads
-    // where its per-layer checkpoints amortize)
+    // the rolled slice (a bounded exchange, constant job count)
     val vPtrNew: Map[Int, Seq[Long]] =
       if (!rollTurn("vbkt", epochId, vPtrApp)) vPtrApp
       else rollFamily(spark, outDir, "vbkt", vPtrApp, VBuckets, epochId,
-        rolled => mergeRankedVerdicts(
-            vLayersRanked(spark, outDir, vPtrApp, Some(rolled)))
+        rolled => readVBuckets(spark, outDir, vPtrApp, Some(rolled))
           .withColumn("bucket", vBucket(col("doc_id"))))
     // keeper side-state layer: one row per bag whose keeper CHANGED this
     // epoch (fresh bags elect their batch minimum; displaced keepers hand
@@ -1242,9 +1256,7 @@ object Pipeline {
     val kPtrNew: Map[Int, Seq[Long]] =
       if (!rollTurn("kbkt", epochId, kPtrApp)) kPtrApp
       else rollFamily(spark, outDir, "kbkt", kPtrApp, KBuckets, epochId,
-        rolled => kLayersRanked(spark, outDir, kPtrApp, Some(rolled))
-          .groupBy(col("bag"))
-          .agg(max_by(col("keeper"), col("_layer")).as("keeper"))
+        rolled => readKBuckets(spark, outDir, kPtrApp, Some(rolled))
           .withColumn("bucket", kBucket(col("bag"))))
 
     // window-log fold: once FpCompactAt flat tail batches accumulate,
@@ -1259,6 +1271,7 @@ object Pipeline {
     val foldable: Seq[Long] = listPartitionLongs(spark,
         s"$outDir/state/winv", "batch=")
       .filter(b => b > prevWvFolded && b < epochId).toSeq.sorted
+    val prevWvChunks: Seq[Long] = prevState.map(_.wvChunks).getOrElse(Nil)
     val wvFoldedNew: Long =
       if (foldable.size < FpCompactAt) prevWvFolded
       else {
@@ -1393,6 +1406,9 @@ object Pipeline {
         throw new IllegalStateException(
           "graft test failpoint: crash after staging commit")
       applyStagedShards(spark, corpusPath, stagingPath, deltas)
+      if (failAfterApply)
+        throw new IllegalStateException(
+          "graft test failpoint: crash after corpus apply")
     }
 
     syncManifest(spark, outDir, numShards, prevShardKept.keySet, deltas)
@@ -1406,8 +1422,12 @@ object Pipeline {
     // commit artifact LAST — the marker: pointer maps, cumulative rollup,
     // shard counts, and the result row land in ONE tiny write; epoch e's
     // _SUCCESS here ⇒ e fully applied
+    val wvChunksNew: Seq[Long] =
+      (prevWvChunks ++
+        (if (winvIsChunk) Seq(epochId) else Nil) ++
+        (if (wvFoldedNew != prevWvFolded) Seq(epochId) else Nil)).distinct.sorted
     val stNew = EpochState(fpPtrNew, FpBuckets, vPtrNew, VBuckets,
-      rollupNew, shardKeptNew, kPtrNew, KBuckets, wvFoldedNew)
+      rollupNew, shardKeptNew, kPtrNew, KBuckets, wvFoldedNew, wvChunksNew)
     val result = EpochResult(epochId, stNew.docsSeen, stNew.docsKept,
       nAdded, nRemoved, deltas)
     writeCommit(spark, outDir, epochId, stNew, result)
@@ -1586,41 +1606,22 @@ object Pipeline {
       .reduceOption(_ unionByName _)
       .getOrElse(emptyVerdictState(spark).withColumn("_layer", lit(0)))
 
-  /** Newest-row-wins merge of `layersAsc` (oldest first) on `key`. The
-    * oldest layer is the last full copy; every newer layer holds only the
-    * rows its epoch changed, so a layer's rows are shadowed by the
-    * (batch-scale) union of newer layers' keys — resolved by broadcast
-    * anti-joins, shuffle-free. Shadow sets are materialized ONCE per
-    * newer layer: without the checkpoint, layer i's anti-join would
-    * re-scan layers 0..i-1's parquet from scratch, an O(L²) read pattern
-    * across a compaction's full layer fan-out. A row's bucket is a pure
-    * hash of its key, so bucket pruning never splits a key across layers.
-    */
-  private def newestWins(layersAsc: Seq[DataFrame], key: String)
-      : Option[DataFrame] = {
-    val dfs = layersAsc.reverse
-    if (dfs.isEmpty) None
-    else Some {
-      val shadowIds = dfs.init.map(_.select(col(key)).localCheckpoint())
-      dfs.zipWithIndex.map { case (df, i) =>
-        if (i == 0) df
-        else df.join(
-          broadcast(shadowIds.take(i).reduce(_ unionByName _).distinct()),
-          Seq(key), "left_anti")
-      }.reduce(_ unionByName _)
-    }
-  }
-
   /** Merged view of the pointed verdict LAYERS, optionally restricted to
-    * a bucket subset (partition-pruned reads — an epoch's probes only
-    * open the buckets its batch can touch); see [[newestWins]].
+    * a bucket subset (partition-pruned reads). Newest row wins per doc,
+    * resolved by ONE max_by aggregation over all pointed rows — an
+    * O(read-set) exchange, which is the right trade for this path's
+    * callers (migrations, compactions, [[regate]] — all declared
+    * O(state) passes). A broadcast-shadow anti-join chain would be
+    * exchange-free but assumes every non-oldest layer is batch-scale; a
+    * rolling FOLD layer holds up to half the state's rows, so that
+    * shape would broadcast corpus-scale key sets at deployment scale
+    * (driver OOM / the 8 GB broadcast cap). A row's bucket is a pure
+    * hash of its key, so bucket pruning never splits a key across
+    * layers.
     */
   private def readVBuckets(spark: SparkSession, outDir: String,
       ptr: Map[Int, Seq[Long]], only: Option[Set[Int]]): DataFrame =
-    newestWins(
-      pointedLayers(spark, outDir, "vbkt", vbktSchema(spark), ptr, only)
-        .map(_.select(StateCols.map(col): _*)), "doc_id")
-      .getOrElse(emptyVerdictState(spark))
+    mergeRankedVerdicts(vLayersRanked(spark, outDir, ptr, only))
 
   /** Ranked layers of the bag-keyed keeper side-state (`(bag, keeper)`
     * rows; see [[KBuckets]]) — the displacement probe's read path.
@@ -1634,14 +1635,13 @@ object Pipeline {
       .getOrElse(emptyKeeperState(spark).withColumn("_layer", lit(0)))
 
   /** Merged (newest-wins) view of the keeper side-state — compaction and
-    * fold epochs only.
+    * fold epochs only; same merge trade as [[readVBuckets]].
     */
   private def readKBuckets(spark: SparkSession, outDir: String,
       ptr: Map[Int, Seq[Long]], only: Option[Set[Int]]): DataFrame =
-    newestWins(
-      pointedLayers(spark, outDir, "kbkt", kbktSchema(spark), ptr, only)
-        .map(_.select(col("bag"), col("keeper"))), "bag")
-      .getOrElse(emptyKeeperState(spark))
+    kLayersRanked(spark, outDir, ptr, only)
+      .groupBy(col("bag"))
+      .agg(max_by(col("keeper"), col("_layer")).as("keeper"))
 
   /** Benchmark fingerprint: (distinct window-fp count, their bit-XOR) —
     * cheap, order-free, and collision-safe enough to catch a swapped or
@@ -1682,8 +1682,11 @@ object Pipeline {
   }
 
   private def writeCommit(spark: SparkSession, outDir: String, epochId: Long,
-      st: EpochState, res: EpochResult): Unit = {
+      st: EpochState, res: EpochResult, isRegate: Boolean = false): Unit = {
     val rows: Seq[CommitRow] =
+      // 'rg' marks a REGATE's commit, so a regate replay can tell itself
+      // apart from an ordinary committed epoch (see the regate guard)
+      (if (isRegate) Seq(CommitRow("rg", epoch = Some(epochId))) else Nil) ++
       st.fpPtr.toSeq.sortBy(_._1).flatMap { case (b, es) =>
         es.map(e => CommitRow("fp", bucket = Some(b), epoch = Some(e),
           n_buckets = Some(st.fpNB))) } ++
@@ -1695,6 +1698,7 @@ object Pipeline {
           n_buckets = Some(st.kNB))) } ++
       (if (st.wvFolded >= 0L)
         Seq(CommitRow("wv", epoch = Some(st.wvFolded))) else Nil) ++
+      st.wvChunks.sorted.map(c => CommitRow("wvc", epoch = Some(c))) ++
       st.rollup.values.toSeq.sortBy(r => (r.lang, r.source)).map(r =>
         CommitRow("roll", lang = Some(r.lang), source = Some(r.source),
           docs_in = Some(r.docsIn), docs_kept = Some(r.docsKept),
@@ -1751,7 +1755,8 @@ object Pipeline {
               .map(r => r.shard.get -> r.n_kept.get).toMap,
             ptrOf(k),
             k.headOption.flatMap(_.n_buckets).getOrElse(KBuckets),
-            rows.find(_.kind == "wv").flatMap(_.epoch).getOrElse(-1L))
+            rows.find(_.kind == "wv").flatMap(_.epoch).getOrElse(-1L),
+            rows.filter(_.kind == "wvc").flatMap(_.epoch).toSeq.sorted)
           if (useCache) stateCache.put(outDir, (e, st))
           Some(st)
         }
@@ -1821,8 +1826,12 @@ object Pipeline {
     pruneFamily(s"$outDir/state/vbkt", vRef)
     pruneFamily(s"$outDir/state/kbkt", kRef)
     // window-log flats folded into a chunk are superseded once the fold's
-    // commit landed (chunks themselves are immutable and permanent — the
-    // append-only log's bucketed form)
+    // commit landed; chunks themselves are immutable and permanent (the
+    // append-only log's bucketed form) EXCEPT orphans — a chunk written
+    // by a crashed attempt whose batch later re-processed under a
+    // different id (replaced checkpoint) is referenced by no commit's
+    // wvChunks set and is deleted here rather than duplicating the log's
+    // rows in every later crossing read
     st.map(_.wvFolded).filter(_ >= 0L).foreach { ft =>
       val p = new org.apache.hadoop.fs.Path(s"$outDir/state/winv")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1831,6 +1840,12 @@ object Pipeline {
           .filter(_.getName.startsWith("batch="))
           .filter(_.getName.stripPrefix("batch=").toLong <= ft)
           .foreach(d => fs.delete(d, true))
+    }
+    st.foreach { s =>
+      val live = s.wvChunks.toSet
+      listPartitionLongs(spark, s"$outDir/state/winvc", "chunk=")
+        .filter(c => c < epochId && !live.contains(c))
+        .foreach(c => deleteDir(spark, s"$outDir/state/winvc/chunk=$c"))
     }
     if (gen3) {
       // the gen3 commit supersedes every legacy artifact wholesale
@@ -1930,14 +1945,6 @@ object Pipeline {
     if (!fs.exists(p)) 0L else fs.getContentSummary(p).getLength
   }
 
-  /** Ids of fully-written window-log chunks (`state/winvc/chunk=<e>` with
-    * a `_SUCCESS` marker). Callers additionally bound by the delta base:
-    * a chunk is LIVE only once the epoch that wrote it committed.
-    */
-  private def committedChunks(spark: SparkSession, outDir: String): Seq[Long] =
-    listPartitionLongs(spark, s"$outDir/state/winvc", "chunk=")
-      .filter(c => isCommitted(spark, s"$outDir/state/winvc/chunk=$c"))
-      .toSeq.sorted
 
   /** True iff `dir` holds a completed Spark write (`_SUCCESS` marker). */
   private def isCommitted(spark: SparkSession, dir: String): Boolean = {
@@ -2020,17 +2027,22 @@ object Pipeline {
     * [[regate]] — see [[curateEpoch]]).
     *
     * Epoch ids are `batchId + offset`, where the offset is captured ONCE
-    * per stream run as `newest committed epoch + 1`. Within a run,
-    * replays of a batch keep their id (the offset is fixed), preserving
-    * the replay short-circuit; across runs the offset re-bases on
-    * whatever committed meanwhile, which makes the stream robust to a
-    * replaced checkpoint (batch ids restarting at 0 would otherwise trip
-    * the out-of-order guard) and to a [[regate]] committed between runs
-    * (whose epoch id a continuing checkpoint's batch counter knows
-    * nothing about). An uncommitted crashed epoch re-processed under a
-    * HIGHER id after a restart is safe: its docs are not in the state
-    * (nothing committed), its orphaned layer dirs are unreferenced and
-    * pruned, and its staging is base-keyed.
+    * per stream run on its first nonempty batch B as
+    * `newestCommitted + 1 - B`. This rule is SELF-STABILIZING across
+    * restarts: when the previous run crashed inside batch B (epochs
+    * before it committed under offset O, so newestCommitted = O + B - 1),
+    * the resumed run recomputes O + B - 1 + 1 - B = O — the replayed
+    * batch keeps its EXACT epoch id, which is what the staging crash
+    * protocol requires (a replay under a different id would rebuild
+    * staging from a possibly half-overwritten corpus instead of reusing
+    * the committed one). At the same time a REPLACED checkpoint (batch
+    * ids restarting at 0) or a [[regate]] committed between runs (whose
+    * epoch id a continuing checkpoint's counter knows nothing about)
+    * re-bases past everything committed instead of colliding or
+    * tripping the out-of-order guard. The one benign wrinkle: a batch
+    * re-delivered AFTER its epoch committed (crash between the commit
+    * marker and the checkpoint ack) resumes as newestCommitted + 1 — a
+    * pure re-delivery, which the seen-filter reduces to a heartbeat.
     */
   def startIncremental(docs: org.apache.spark.sql.DataFrame, outDir: String,
       checkpoint: String, numShards: Int = 16,
@@ -2038,14 +2050,14 @@ object Pipeline {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     // one offset per stream RUN, resolved lazily on the first nonempty
     // batch (needs the batch's session for the FS listing)
-    val offset = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val offset = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
         if (!b.isEmpty) {
-          offset.compareAndSet(-1L,
+          offset.compareAndSet(Long.MinValue,
             committedEpochs(b.sparkSession, outDir).maxOption
-              .map(_ + 1L).getOrElse(0L))
+              .map(_ + 1L).getOrElse(0L) - id)
           curateEpoch(b, outDir, numShards, offset.get + id, benchmark)
           ()
         }
@@ -2102,7 +2114,18 @@ object Pipeline {
     }
     val committed = committedEpochs(spark, outDir)
     if (committed.contains(epochId)) {
-      // a completed regate replays as: finish the post-marker steps
+      // only a COMPLETED REGATE may short-circuit (finishing its
+      // post-marker steps) — the commit artifact carries an 'rg' marker
+      // row for exactly this check. Handing an ORDINARY committed
+      // epoch's id to regate must fail loudly instead: silently
+      // re-pinning the meta to v2 over v1-flagged state (and pruning the
+      // quarantine — the only stored text of resurrectable docs) would
+      // be irreversible corruption.
+      val isRegate = spark.read.parquet(s"$outDir/state/commit/epoch=$epochId")
+        .filter(col("kind") === "rg").limit(1).count() == 1L
+      require(isRegate,
+        s"epoch $epochId in $outDir is an ordinary committed epoch, not " +
+          "a regate — refusing to re-pin the benchmark over unflagged state")
       repinMeta()
       cleanupAfterCommit(spark, outDir, epochId, None)
       pruneQuarBefore(spark, outDir, epochId)
@@ -2235,10 +2258,10 @@ object Pipeline {
     val vPtr2 = listPartitionInts(spark, vDir, "bucket=")
       .map(_ -> Seq(epochId)).toMap
     val stNew = EpochState(st.fpPtr, st.fpNB, vPtr2, VBuckets,
-      rollup2, shardKept2, st.kPtr, st.kNB, st.wvFolded)
+      rollup2, shardKept2, st.kPtr, st.kNB, st.wvFolded, st.wvChunks)
     val result = EpochResult(epochId, stNew.docsSeen, stNew.docsKept,
       nAdded, nRemoved, deltas)
-    writeCommit(spark, outDir, epochId, stNew, result)
+    writeCommit(spark, outDir, epochId, stNew, result, isRegate = true)
     cleanupAfterCommit(spark, outDir, epochId, Some(stNew))
     pruneQuarBefore(spark, outDir, epochId)
     repinMeta() // LAST: meta never points at an uncommitted gate regime

@@ -1202,13 +1202,21 @@ class PipelineIncrSpec extends AnyFunSuite {
     val g = Files.createTempDirectory("graft-incr-rg-ooo").toString
     Pipeline.curateEpoch(chunk(200, Long.MaxValue), g, Shards, 0L, Some(bench))
     Pipeline.curateEpoch(chunk(100, 210), g, Shards, 1L, Some(bench))
+    val otherBench = Fixtures.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .filter(size(split(col("text"), " ")) >= 8)
+      .orderBy(col("doc_id").desc).limit(2).localCheckpoint()
     val eOoo = intercept[IllegalArgumentException] {
-      Pipeline.regate(spark, g,
-        Fixtures.documents(spark, dir).select(col("doc_id"), col("text"))
-          .filter(size(split(col("text"), " ")) >= 8)
-          .orderBy(col("doc_id").desc).limit(2).localCheckpoint(), 0L)
+      Pipeline.regate(spark, g, otherBench, 0L)
     }
     assert(eOoo.getMessage.contains("exceed"))
+    // the id of an ORDINARY committed epoch must not short-circuit as a
+    // completed-regate replay — that path re-pins the meta and prunes
+    // the quarantine without re-flagging anything
+    val eOrd = intercept[IllegalArgumentException] {
+      Pipeline.regate(spark, g, otherBench, 1L)
+    }
+    assert(eOrd.getMessage.contains("ordinary"))
   }
 
   test("a stream resumed after a regate re-bases its epoch ids and converges") {
@@ -1257,6 +1265,61 @@ class PipelineIncrSpec extends AnyFunSuite {
     java.nio.file.Files.list(java.nio.file.Paths.get(s"$out/state/commit"))
       .toArray.map(_.toString).filter(_.contains("epoch="))
       .map(_.split("epoch=").last.toLong).max
+
+  test("a stream batch crashed after the corpus apply replays under the SAME epoch id") {
+    // the self-stabilizing offset pin: the crash window between the
+    // corpus overwrite and the commit marker leaves the corpus mutated;
+    // a restart must replay the batch under its ORIGINAL epoch id so the
+    // committed staging is reused — a re-based id would rebuild staging
+    // from the already-mutated corpus and duplicate every added doc (or
+    // lose a half-overwritten shard)
+    val replayDir = Files.createTempDirectory("graft-incr-apl-in").toString
+    val out = Files.createTempDirectory("graft-incr-apl-out").toString
+    val ckpt = Files.createTempDirectory("graft-incr-apl-ckpt").toString
+    def writeChunk(lo: Long, hi: Long): Unit =
+      chunk(lo, hi).coalesce(1).write.mode("append").parquet(replayDir)
+    def run(): Unit = {
+      val schema = spark.read.parquet(replayDir).schema
+      val q = Pipeline.startIncremental(
+        Sources.fileStream(spark, replayDir, schema, maxFilesPerTrigger = 1),
+        out, ckpt, Shards)
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    writeChunk(150, Long.MaxValue)
+    run() // epoch committed
+    writeChunk(0, 160) // overlapping + displacing: changed shards for sure
+    Pipeline.failAfterApply = true
+    try intercept[Exception] { run() }
+    finally Pipeline.failAfterApply = false
+    // restart: the batch replays, must reuse its staging and converge
+    // with zero duplicate corpus rows
+    run()
+    val oneShot = Pipeline.curate(spark, dir,
+      Files.createTempDirectory("graft-incr-apl-ref").toString, Shards)
+    assertEqualsOneShot(out, oneShot)
+  }
+
+  test("an orphaned window-log chunk is pruned, never folded into a crossing read") {
+    val out = Files.createTempDirectory("graft-incr-orph").toString
+    Pipeline.curateEpoch(chunk(100, Long.MaxValue), out, Shards, 0L)
+    // fabricate a crashed attempt's chunk (complete _SUCCESS write, but
+    // referenced by no commit's live-chunk set)
+    val src = java.nio.file.Paths.get(s"$out/state/winvc/chunk=0")
+    val orphan = java.nio.file.Paths.get(s"$out/state/winvc/chunk=3")
+    java.nio.file.Files.walk(src).forEach { p =>
+      val dst = orphan.resolve(src.relativize(p).toString)
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(dst)
+      else java.nio.file.Files.copy(p, dst)
+    }
+    Pipeline.curateEpoch(chunk(0, 120), out, Shards, 5L)
+    assert(!java.nio.file.Files.exists(orphan),
+      "an unreferenced chunk must be pruned by the next commit's cleanup")
+    val oneShot = Pipeline.curate(spark, dir,
+      Files.createTempDirectory("graft-incr-orph-ref").toString, Shards)
+    assertEqualsOneShot(out, oneShot)
+  }
 
   test("an epoch retry (same id) is idempotent across every artifact") {
     val out = Files.createTempDirectory("graft-incr-idem").toString
