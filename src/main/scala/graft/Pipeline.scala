@@ -190,8 +190,9 @@ object Pipeline {
     sys.env.get("SPARK_GRAFT_FP_BCAST_MAX_ROWS").map { v =>
       // parsed here in the object initializer: a bare .toLong would
       // surface as ExceptionInInitializerError with no hint of the cause
-      require(v.forall(_.isDigit) && v.nonEmpty,
-        s"SPARK_GRAFT_FP_BCAST_MAX_ROWS must be a plain row count, got '$v'")
+      require(v.nonEmpty && v.length <= 18 && v.forall(_.isDigit),
+        s"SPARK_GRAFT_FP_BCAST_MAX_ROWS must be a plain row count " +
+          s"(≤ 18 digits), got '$v'")
       v.toLong
     }.getOrElse(4L << 20)
 
@@ -799,7 +800,10 @@ object Pipeline {
     // (batch-scale — reading them whole is cheap, and partitionBy on a
     // batch-scale write is the measured 2 s/epoch file fan-out) until
     // the chunk fold below re-buckets them in bulk.
-    val winvIsChunk = lastCommitted.isEmpty
+    // "founding" = the first batch to see any doc: an empty batch 0 (a
+    // stream that triggered before data arrived) must not rob the real
+    // founding mass of its bucketed-at-birth write
+    val winvIsChunk = lastCommitted.isEmpty || prevState.exists(_.docsSeen == 0L)
     val newWins =
       if (winvIsChunk) {
         Curation.winFpsOver(newBase.select(col("doc_id"), col("toks")),
@@ -994,7 +998,7 @@ object Pipeline {
           .parquet(s"$outDir/state/winv")
           .filter(col("batch") <= epochId && col("batch") > prevWvFolded)
           .select(col("doc_id"), col("fp"))
-        val chunks = prevState.map(_.wvChunks).getOrElse(Nil)
+        val chunks = liveChunks(spark, outDir, prevState, lastCommitted)
           .map(c => spark.read.schema(winvcSchema(spark))
             .parquet(s"$outDir/state/winvc/chunk=$c")
             .filter(col("bucket").isInCollection(crossedBuckets))
@@ -1271,7 +1275,8 @@ object Pipeline {
     val foldable: Seq[Long] = listPartitionLongs(spark,
         s"$outDir/state/winv", "batch=")
       .filter(b => b > prevWvFolded && b < epochId).toSeq.sorted
-    val prevWvChunks: Seq[Long] = prevState.map(_.wvChunks).getOrElse(Nil)
+    val prevWvChunks: Seq[Long] =
+      liveChunks(spark, outDir, prevState, lastCommitted)
     val wvFoldedNew: Long =
       if (foldable.size < FpCompactAt) prevWvFolded
       else {
@@ -1594,9 +1599,9 @@ object Pipeline {
     * FIRST (flip semi-join, presence probe), then resolve
     * newest-row-wins per doc via `max_by(_layer)` over the small
     * candidate set — the steady-state read path. Materializing the full
-    * merged view ([[readVBuckets]]) is reserved for compaction and
-    * migration epochs: its per-layer anti-join chain costs a broadcast
-    * per layer, which a steady-state epoch must not pay.
+    * merged view ([[readVBuckets]]) is reserved for compaction,
+    * migration, and regate passes: its one max_by aggregation exchanges
+    * the whole read set, which a steady-state epoch must not pay.
     */
   private def vLayersRanked(spark: SparkSession, outDir: String,
       ptr: Map[Int, Seq[Long]], only: Option[Set[Int]]): DataFrame =
@@ -1841,8 +1846,12 @@ object Pipeline {
           .filter(_.getName.stripPrefix("batch=").toLong <= ft)
           .foreach(d => fs.delete(d, true))
     }
-    st.foreach { s =>
-      val live = s.wvChunks.toSet
+    // only a liveness-aware commit (nonempty wvc rows) may prune: a
+    // state committed by chunk-writing code that predates explicit
+    // liveness reads back wvChunks = Nil, and pruning against that would
+    // delete every LIVE chunk of an upgraded dir
+    st.map(_.wvChunks).filter(_.nonEmpty).foreach { chunks =>
+      val live = chunks.toSet
       listPartitionLongs(spark, s"$outDir/state/winvc", "chunk=")
         .filter(c => c < epochId && !live.contains(c))
         .foreach(c => deleteDir(spark, s"$outDir/state/winvc/chunk=$c"))
@@ -1934,6 +1943,24 @@ object Pipeline {
     else fs.listStatus(p).toSeq.map(_.getPath.getName)
       .filter(_.startsWith(prefix))
       .map(_.stripPrefix(prefix).toLong).toSet
+  }
+
+  /** The LIVE window-log chunks of a committed base: the commit
+    * artifact's `wvc` rows, or — for a state committed by chunk-writing
+    * code that predates explicit liveness — every `_SUCCESS`-committed
+    * chunk dir at or below the base epoch (the pre-`wvc` read rule, so
+    * an upgraded dir neither skips its chunks nor has them deleted as
+    * orphans).
+    */
+  private def liveChunks(spark: SparkSession, outDir: String,
+      prevState: Option[EpochState], lastCommitted: Option[Long])
+      : Seq[Long] = prevState match {
+    case Some(st) if st.wvChunks.nonEmpty => st.wvChunks
+    case _ =>
+      listPartitionLongs(spark, s"$outDir/state/winvc", "chunk=")
+        .filter(c => lastCommitted.exists(c <= _) &&
+          isCommitted(spark, s"$outDir/state/winvc/chunk=$c"))
+        .toSeq.sorted
   }
 
   /** Recursive byte size of `dir` (driver FS metadata — free on local
@@ -2043,6 +2070,9 @@ object Pipeline {
     * re-delivered AFTER its epoch committed (crash between the commit
     * marker and the checkpoint ack) resumes as newestCommitted + 1 — a
     * pure re-delivery, which the seen-filter reduces to a heartbeat.
+    * The formula requires a DENSE batch→epoch mapping, which is why the
+    * foreachBatch below commits an epoch for every batch, empty ones
+    * included (they take the heartbeat fast path).
     */
   def startIncremental(docs: org.apache.spark.sql.DataFrame, outDir: String,
       checkpoint: String, numShards: Int = 16,
@@ -2054,13 +2084,18 @@ object Pipeline {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
-        if (!b.isEmpty) {
-          offset.compareAndSet(Long.MinValue,
-            committedEpochs(b.sparkSession, outDir).maxOption
-              .map(_ + 1L).getOrElse(0L) - id)
-          curateEpoch(b, outDir, numShards, offset.get + id, benchmark)
-          ()
-        }
+        // EVERY batch commits an epoch — an empty one degenerates to the
+        // heartbeat fast path. Skipping empty batches would leave a gap
+        // in the batch→epoch mapping, and the self-stabilizing offset
+        // derivation (newestCommitted + 1 - firstBatch) is only correct
+        // when every batch id below the first one maps to a committed
+        // epoch: with a gap, a post-apply crash would replay its batch
+        // under a SHIFTED id and rebuild staging from the mutated corpus.
+        offset.compareAndSet(Long.MinValue,
+          committedEpochs(b.sparkSession, outDir).maxOption
+            .map(_ + 1L).getOrElse(0L) - id)
+        curateEpoch(b, outDir, numShards, offset.get + id, benchmark)
+        ()
       }
       .start()
   }
@@ -2121,8 +2156,14 @@ object Pipeline {
       // re-pinning the meta to v2 over v1-flagged state (and pruning the
       // quarantine — the only stored text of resurrectable docs) would
       // be irreversible corruption.
-      val isRegate = spark.read.parquet(s"$outDir/state/commit/epoch=$epochId")
-        .filter(col("kind") === "rg").limit(1).count() == 1L
+      // hasDataFiles guard: an epoch committed under the LEGACY verdict
+      // layout has no commit artifact at all — it is certainly not a
+      // regate, and the read would otherwise throw path-not-found
+      // instead of the message below
+      val commitPath = s"$outDir/state/commit/epoch=$epochId"
+      val isRegate = hasDataFiles(spark, commitPath) &&
+        spark.read.parquet(commitPath)
+          .filter(col("kind") === "rg").limit(1).count() == 1L
       require(isRegate,
         s"epoch $epochId in $outDir is an ordinary committed epoch, not " +
           "a regate — refusing to re-pin the benchmark over unflagged state")
