@@ -90,4 +90,98 @@ class PipelineIncrPropSpec extends AnyFunSuite {
         s"seed $seed must exercise both keeps and drops (kept=${oneShot.docsKept}/${corpus.size})")
     }
   }
+
+  test("many tiny chunks drive rolling folds and winv re-bucketing to convergence (2 seeds)") {
+    // 12+ chunks: the rolling compaction rotates through all three
+    // bucketed families several times (fold= layers live and age out)
+    // and the flat window-log tails cross the FpCompactAt chunk-fold
+    // trigger — the round-13 machinery under RANDOM delivery, not just
+    // the fixture's shapes
+    import spark.implicits._
+    val rnd = new scala.util.Random(0)
+    for (seed <- 1 to 2) {
+      rnd.setSeed(seed * 104729L)
+      val corpus = randomCorpus(rnd)
+      val srcDir = Files.createTempDirectory(s"graft-ippf-src$seed").toString
+      corpus.toDF("doc_id", "lang", "source", "text")
+        .write.parquet(s"$srcDir/documents.parquet")
+      val shuffled = rnd.shuffle(corpus)
+      val k = 12 + rnd.nextInt(4)
+      val cut = (1 until k).map(_ => rnd.nextInt(shuffled.size)).distinct.sorted
+      val chunks = ((0 +: cut) zip (cut :+ shuffled.size))
+        .map { case (a, b) => shuffled.slice(a, b) }
+      val out = Files.createTempDirectory(s"graft-ippf-out$seed").toString
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        // empty slices run too: heartbeat epochs interleave with folds
+        Pipeline.curateEpoch(c.toDF("doc_id", "lang", "source", "text"),
+          out, Shards, i.toLong)
+      }
+      // the deep delivery actually engaged the round-13 machinery
+      val lastCommit = java.nio.file.Files.list(
+          java.nio.file.Paths.get(s"$out/state/commit"))
+        .toArray.map(_.toString.split("epoch=").last.toLong).max
+      val ptr = spark.read.parquet(s"$out/state/commit/epoch=$lastCommit")
+        .filter(col("kind").isin("fp", "v", "k"))
+        .select(col("epoch")).collect().map(_.getLong(0))
+      assert(ptr.exists(_ < 0L),
+        s"seed $seed: ${chunks.size} epochs must have produced rolling folds")
+      assert(java.nio.file.Files.list(
+          java.nio.file.Paths.get(s"$out/state/winvc"))
+        .toArray.map(_.toString).count(_.contains("chunk=")) >= 2,
+        s"seed $seed: the flat winv tails must have re-bucketed into a chunk")
+      val oneShot = Pipeline.curate(spark, srcDir,
+        Files.createTempDirectory(s"graft-ippf-ref$seed").toString, Shards)
+      def rows(path: String): Seq[String] =
+        spark.read.parquet(path).collect().map(_.toString).toSeq.sorted
+      assert(rows(s"$out/corpus") === rows(oneShot.corpusPath), s"seed $seed corpus")
+      assert(rows(s"$out/report") === rows(oneShot.reportPath), s"seed $seed report")
+      assert(Pipeline.validateCorpus(spark, out).isEmpty, s"seed $seed validate")
+    }
+  }
+
+  test("random gated delivery with a mid-run benchmark revision converges to the v2 one-shot (2 seeds)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0)
+    for (seed <- 1 to 2) {
+      rnd.setSeed(seed * 49999L)
+      val corpus = randomCorpus(rnd)
+      val srcDir = Files.createTempDirectory(s"graft-ippg-src$seed").toString
+      corpus.toDF("doc_id", "lang", "source", "text")
+        .write.parquet(s"$srcDir/documents.parquet")
+      // two disjoint eval sets drawn from the corpus (self-contamination
+      // guaranteed to fire both before and after the revision)
+      val windowed = corpus.filter(_._4.split(" ").length >= 8)
+      val b1 = windowed.take(2).map(d => (d._1, d._4))
+      val b2 = windowed.drop(2).take(2).map(d => (d._1, d._4))
+      val bench1 = b1.toSeq.toDF("doc_id", "text").localCheckpoint()
+      val bench2 = b2.toSeq.toDF("doc_id", "text").localCheckpoint()
+      val shuffled = rnd.shuffle(corpus)
+      val k = 4 + rnd.nextInt(2)
+      val cut = (1 until k).map(_ => rnd.nextInt(shuffled.size)).distinct.sorted
+      val chunks = ((0 +: cut) zip (cut :+ shuffled.size))
+        .map { case (a, b) => shuffled.slice(a, b) }.filter(_.nonEmpty)
+      val splitAt = 1 + rnd.nextInt(chunks.size - 1)
+      val out = Files.createTempDirectory(s"graft-ippg-out$seed").toString
+      chunks.take(splitAt).zipWithIndex.foreach { case (c, i) =>
+        Pipeline.curateEpoch(c.toDF("doc_id", "lang", "source", "text"),
+          out, Shards, i.toLong, Some(bench1))
+      }
+      Pipeline.regate(spark, out, bench2, splitAt.toLong)
+      chunks.drop(splitAt).zipWithIndex.foreach { case (c, i) =>
+        Pipeline.curateEpoch(c.toDF("doc_id", "lang", "source", "text"),
+          out, Shards, (splitAt + 1 + i).toLong, Some(bench2))
+      }
+      val oneShot = Pipeline.curate(spark, srcDir,
+        Files.createTempDirectory(s"graft-ippg-ref$seed").toString, Shards,
+        Some(bench2))
+      def rows(path: String): Seq[String] =
+        spark.read.parquet(path).collect().map(_.toString).toSeq.sorted
+      assert(rows(s"$out/corpus") === rows(oneShot.corpusPath), s"seed $seed corpus")
+      assert(rows(s"$out/report") === rows(oneShot.reportPath), s"seed $seed report")
+      assert(spark.read.parquet(s"$out/report")
+        .agg(sum(col("docs_contaminated"))).head().getLong(0) > 0L,
+        s"seed $seed: the revised benchmark must contaminate (vacuousness guard)")
+      assert(Pipeline.validateCorpus(spark, out).isEmpty, s"seed $seed validate")
+    }
+  }
 }
