@@ -26,6 +26,13 @@ import org.apache.spark.sql.functions._
   * "tail":[s,...],"jobs":[n,...],"total":s,"docs":n,"sf":...}` — `jobs`
   * counts Spark jobs per epoch (founding first), the fixed-overhead
   * driver the round-11 verdict asked to make visible.
+  *
+  * `SPARK_GRAFT_INCR_REGATE=1` runs the whole sequence GATE-ON (a
+  * 4-doc benchmark drawn from the corpus) and finishes with a
+  * [[Pipeline.regate]] to a revised benchmark — the declared O(corpus)
+  * revision pass — adding `"regate":s,"regate_jobs":n` to the line, so
+  * its wall-clock can be compared against the founding epoch at each
+  * corpus scale.
   */
 object IncrBench {
   def main(args: Array[String]): Unit = {
@@ -77,18 +84,37 @@ object IncrBench {
       }
       jobsSeen.get
     }
+    val regateOn = sys.env.get("SPARK_GRAFT_INCR_REGATE").contains("1")
+    val bench1 =
+      if (!regateOn) None
+      else Some(docs.filter(size(split(col("text"), " ")) >= 8)
+        .orderBy(col("doc_id")).limit(4)
+        .select(col("doc_id"), col("text")).localCheckpoint())
     val runs = ranges.zipWithIndex.map { case ((lo, hi), i) =>
       val chunk = docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
       val j0 = drained()
       val t0 = System.nanoTime()
-      Pipeline.curateEpoch(chunk, out, 16, i.toLong)
+      Pipeline.curateEpoch(chunk, out, 16, i.toLong, bench1)
       ((System.nanoTime() - t0) / 1e9, drained() - j0)
     }
+    val regateCell =
+      if (!regateOn) ""
+      else {
+        val bench2 = spark.read.parquet(s"$out/corpus")
+          .filter(size(split(col("text"), " ")) >= 8)
+          .orderBy(col("doc_id").desc).limit(4)
+          .select(col("doc_id"), col("text")).localCheckpoint()
+        val j0 = drained()
+        val t0 = System.nanoTime()
+        Pipeline.regate(spark, out, bench2, ranges.size.toLong)
+        val s = (System.nanoTime() - t0) / 1e9
+        s""","regate":${f"$s%.3f"},"regate_jobs":${drained() - j0}"""
+      }
     val times = runs.map(_._1)
     println(s"""{"metric":"incr_epochs","founding":${f"${times.head}%.3f"},"tail":[${
       times.tail.map(t => f"$t%.3f").mkString(",")}],"jobs":[${
       runs.map(_._2).mkString(",")}],"total":${
-      f"${times.sum}%.3f"},"docs":$nDocs,"sf":"$sfDir"}""")
+      f"${times.sum}%.3f"},"docs":$nDocs$regateCell,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -345,7 +345,13 @@ object Pipeline {
       tokens_kept: Option[Long] = None, docs_contam: Option[Long] = None,
       shard: Option[Int] = None, n_kept: Option[Long] = None,
       docs_seen: Option[Long] = None, added: Option[Long] = None,
-      removed: Option[Long] = None, changed_shards: Option[Seq[Int]] = None)
+      removed: Option[Long] = None, changed_shards: Option[Seq[Int]] = None,
+      // 'rg' rows only: the regate's benchmark fingerprint, so a replay
+      // can verify it carries the SAME benchmark the committed regate
+      // flagged state against before re-pinning the meta (absent on
+      // every other kind; reads of commits written before these columns
+      // existed resolve them as None)
+      bench_n: Option[Long] = None, bench_x: Option[Long] = None)
 
   private[graft] final case class RollRow(lang: String, source: String,
       docsIn: Long, docsKept: Long, tokensKept: Long, docsContam: Long)
@@ -370,7 +376,19 @@ object Pipeline {
       rollup: Map[(String, String), RollRow],
       shardKept: Map[Int, Long],
       kPtr: Map[Int, Seq[Long]] = Map.empty, kNB: Int = KBuckets,
-      wvFolded: Long = -1L, wvChunks: Seq[Long] = Nil) {
+      wvFolded: Long = -1L, wvChunks: Seq[Long] = Nil,
+      // gate-revision logs (gate-on dirs only), same fold/liveness shape
+      // as the window log: `wcFolded`/`qFolded` = winc / quar flat
+      // batches ≤ this id are folded into a chunk; `wcChunks`/`qChunks`
+      // = the LIVE `state/wincc|quarc/chunk=` dirs
+      wcFolded: Long = -1L, wcChunks: Seq[Long] = Nil,
+      qFolded: Long = -1L, qChunks: Seq[Long] = Nil,
+      // fpcnt buckets whose head fold holds UNMERGED rows (≤ 2 per fp:
+      // the previous head's row + one summed delta row) — written by a
+      // UNION fold, which skips the state-scale sum-merge exchange; such
+      // a bucket's next fold MUST merge, so rows-per-fp stays ≤ 2 and
+      // roughly half of every fold's slice pays the exchange
+      fpUnion: Set[Int] = Set.empty) {
     def docsSeen: Long = rollup.values.map(_.docsIn).sum
     def docsKept: Long = rollup.values.map(_.docsKept).sum
   }
@@ -951,18 +969,50 @@ object Pipeline {
       }
     // rolling compaction (no-op right after a full compaction or at
     // founding — every list is length 1 then). The fp merge is the one
-    // fold that pays an exchange (counts must co-locate per fp to sum) —
-    // bounded by the rolled slice, the same amortized bandwidth the old
-    // all-at-once cliff paid in one spike.
-    val fpPtrNew: Map[Int, Seq[Long]] =
-      if (!rollTurn("fpcnt", epochId, fpPtrApp)) fpPtrApp
-      else rollFamily(spark, outDir, "fpcnt", fpPtrApp, FpBuckets, epochId,
-        rolled => sumFp(
-          pointedLayers(spark, outDir, "fpcnt", fpcntSchema(spark),
-            fpPtrApp, Some(rolled))
+    // fold that pays a state-scale exchange (counts must co-locate per
+    // fp to sum), and the fp state is TOKEN-scale — the largest periodic
+    // cost an epoch sees. So each fold's slice splits in two: a MERGE
+    // half pays the sum exchange and lands 1 row/fp; a UNION half skips
+    // it entirely — the bucket's head rows pass through untouched (no
+    // exchange) plus ONE summed row over its tail deltas (a delta-scale
+    // exchange). Union-written buckets are recorded in the commit
+    // (`fpUnion`) and MUST merge on their next fold, so rows-per-fp in
+    // any head layer stays ≤ 2 (readers sum rows per fp anyway) while
+    // the per-fold exchange roughly halves — the fpcnt-turn residue
+    // spike smoothing. Hard-bound (out-of-turn) folds always merge.
+    // All of it is a pure function of (committed fpUnion, fpPtrApp,
+    // epochId), so a crash replay folds the same split.
+    val fpUnionBase: Set[Int] =
+      if (mustCompactFp || fpPtrBase.isEmpty) Set.empty
+      else prevState.map(_.fpUnion).getOrElse(Set.empty)
+    val (fpPtrNew: Map[Int, Seq[Long]], fpUnionNew: Set[Int]) =
+      if (!rollTurn("fpcnt", epochId, fpPtrApp)) (fpPtrApp, fpUnionBase)
+      else {
+        val rolledFp = rollSet(fpPtrApp, FpBuckets)
+        def mustMerge(b: Int): Boolean = fpUnionBase(b) ||
+          fpPtrApp.get(b).exists(_.size >= FpCompactAt)
+        val unionFp: Set[Int] = rolledFp
+          .filter(b => !mustMerge(b) && (((b + epochId) % 2) + 2) % 2 == 1)
+        val mergeFp: Set[Int] = rolledFp -- unionFp
+        def layersOf(ptr: Map[Int, Seq[Long]], only: Option[Set[Int]]) =
+          pointedLayers(spark, outDir, "fpcnt", fpcntSchema(spark), ptr, only)
             .map(_.select(col("fp"), col("nd")))
-            .reduceOption(_ unionByName _).getOrElse(emptyFp))
-          .withColumn("bucket", fpBucket(col("fp"))))
+            .reduceOption(_ unionByName _).getOrElse(emptyFp)
+        val ptr2 = rollFamily(spark, outDir, "fpcnt", fpPtrApp, FpBuckets,
+          epochId, _ => {
+            val mergePart = sumFp(layersOf(fpPtrApp, Some(mergeFp)))
+            // head rows pass through (≤ 1 row/fp — a union bucket's head
+            // is never itself union-written, by the mustMerge rule);
+            // tail deltas sum into one row per fp
+            val unionBase = layersOf(fpPtrApp.view.filterKeys(unionFp)
+              .mapValues(_.take(1)).toMap, None)
+            val unionDelta = sumFp(layersOf(fpPtrApp.view.filterKeys(unionFp)
+              .mapValues(_.drop(1)).toMap, None))
+            mergePart.unionByName(unionBase).unionByName(unionDelta)
+              .withColumn("bucket", fpBucket(col("fp")))
+          })
+        (ptr2, (fpUnionBase ++ unionFp) -- mergeFp)
+      }
 
     // fps that CROSSED the duplicate threshold this epoch (an existing
     // doc's window flips non-dup → dup exactly when its fp crosses; a
@@ -1037,8 +1087,12 @@ object Pipeline {
         val prunable = if (kNBBase == KBuckets) Some(buckets.toSet) else None
         kLayersRanked(spark, outDir, kPtrBase, prunable)
       }
+    // NOT checkpointed: a deterministic single aggregation over the
+    // checkpointed newSigs — each consumer (the bucket collect below,
+    // the bagMatch broadcast build, freshRows, the kbkt delta) re-runs
+    // the cheap batch-scale hash agg inside its own existing job instead
+    // of paying a dedicated materialization job per epoch
     val batchMin = newSigs.groupBy(col("bag")).agg(min(col("doc_id")).as("b_min"))
-      .localCheckpoint()
     val bagBuckets: Seq[Int] = batchMin.select(kBucket(col("bag")).as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
     val bagMatch = keeperLayers(bagBuckets)
@@ -1167,7 +1221,15 @@ object Pipeline {
       sum(when(isRemovedNow, col("n_tok")).otherwise(0L)).as("d_tok_rem"),
       sum(when(col("is_new") && col("contam"), 1L).otherwise(0L)).as("d_cont"),
       collect_set(vBucket(col("doc_id"))).as("bks"),
-      count(lit(1)).as("d_rows"))
+      count(lit(1)).as("d_rows"),
+      // keeper-delta bookkeeping rides the same pass: a fresh row with
+      // bag_keep is EXACTLY a bag whose keeper changed this epoch (fresh
+      // bag elected its minimum, or a displaced keeper handed off to it),
+      // so the count gates the kbkt delta write and the bucket set
+      // replaces its read-back job
+      sum(when(col("is_new") && col("bag_keep"), 1L).otherwise(0L)).as("d_keep"),
+      collect_set(when(col("is_new") && col("bag_keep"),
+        kBucket(col("bag")))).as("kbks"))
       .collect()
 
     // the epoch's verdict layer: normally just the changed rows
@@ -1245,16 +1307,21 @@ object Pipeline {
           .parquet(kDir)
         listPartitionInts(spark, kDir, "bucket=")
           .map(_ -> Seq(epochId)).toMap
+      } else if (dAgg.iterator.map(_.getLong(11)).sum == 0L) {
+        // the steady common case — no fresh bag elected and no keeper
+        // displaced (driver-known from the delta agg's d_keep) — writes
+        // NO kbkt layer at all: kDelta is provably empty, so the write
+        // and its read-back were two wasted jobs per such epoch
+        kPtrBase
       } else {
         // tail delta: flat, bucket as a data column (see the fp layer's
-        // layout rationale); the touched-bucket set reads back from the
-        // just-written batch-scale file — one tiny job, no listing
+        // layout rationale); the touched-bucket set rides the delta agg
+        // (kbks — same rows as kDelta by the d_keep argument above), so
+        // the write needs neither a listing nor a read-back job
         kDelta.withColumn("bucket", kBucket(col("bag"))).coalesce(1)
           .write.mode(SaveMode.Overwrite).parquet(kDir)
-        val kBk = spark.read.schema(kbktSchema(spark)).parquet(kDir)
-          .select(col("bucket")).distinct().collect().map(_.getInt(0))
-        if (kBk.isEmpty) { deleteDir(spark, kDir); kPtrBase }
-        else appendPtr(kPtrBase, kBk.toSeq.sorted, epochId)
+        val kBk = dAgg.iterator.flatMap(_.getSeq[Int](12)).toSet
+        appendPtr(kPtrBase, kBk.toSeq.sorted, epochId)
       }
     }
     val kPtrNew: Map[Int, Seq[Long]] =
@@ -1313,6 +1380,35 @@ object Pipeline {
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$outDir/state/quar/batch=$epochId")
     }
+
+    // gate-revision log folds: winc (one flat dir per gate-on epoch) and
+    // quar (one per contaminating epoch) are append-only like the window
+    // log — a doc's decontam fps and quarantined text are written exactly
+    // once, at first sight — so the same chunk-fold machinery bounds
+    // their dir counts: once FpCompactAt flats below this epoch pile up
+    // they merge into one immutable chunk, the commit artifact records
+    // watermark + chunk liveness, cleanup prunes folded flats and orphan
+    // chunks, and [[regate]]'s reads list O(chunks + FpCompactAt flats)
+    // instead of O(gate-on epochs). Gate-off dirs have neither log; the
+    // two driver FS listings cost no job.
+    val prevWcFolded: Long = prevState.map(_.wcFolded).getOrElse(-1L)
+    val prevWcChunks: Seq[Long] = prevState.map(_.wcChunks).getOrElse(Nil)
+    val prevQFolded: Long = prevState.map(_.qFolded).getOrElse(-1L)
+    val prevQChunks: Seq[Long] = prevState.map(_.qChunks).getOrElse(Nil)
+    val wcFoldedNew: Long =
+      if (!gateOn) prevWcFolded
+      else foldBatchLog(spark, s"$outDir/state/winc", s"$outDir/state/wincc",
+        winvSchema(spark, withBatch = true), epochId, prevWcFolded)
+    val qFoldedNew: Long =
+      if (!gateOn) prevQFolded
+      else foldBatchLog(spark, s"$outDir/state/quar", s"$outDir/state/quarc",
+        quarSchema(spark), epochId, prevQFolded)
+    val wcChunksNew: Seq[Long] =
+      (prevWcChunks ++
+        (if (wcFoldedNew != prevWcFolded) Seq(epochId) else Nil)).distinct.sorted
+    val qChunksNew: Seq[Long] =
+      (prevQChunks ++
+        (if (qFoldedNew != prevQFolded) Seq(epochId) else Nil)).distinct.sorted
 
     // (lang, source) -> (d_in, d_add, d_rem, d_tok_add, d_tok_rem, d_cont)
     val dRoll = dAgg.groupBy(r => (r.getString(0), r.getString(1)))
@@ -1379,7 +1475,20 @@ object Pipeline {
     if (deltas.nonEmpty) {
       val stagingRoot = s"$outDir/state/staging/epoch=$epochId"
       val stagingPath = s"$stagingRoot/base=${lastCommitted.getOrElse(-1L)}"
-      if (!isCommitted(spark, stagingPath)) {
+      // a committed staging is reusable only when it could be OURS: its
+      // staged shard set must sit inside this epoch's freshly computed
+      // deltas (strictly inside only when a delta shard emptied — those
+      // stage no dir). Anything else is foreign content at our path —
+      // regates stage under their own `regate=` root, so this guards
+      // manual restores and corruption — and replaying it would apply
+      // shards this epoch never computed, then delete `deltas ∖ staged`
+      // as "emptied". Rebuild instead. An empty shard= listing over a
+      // committed dir is the pre-partitioned legacy staging layout,
+      // which applyStagedShards resolves from the data itself.
+      val stagedShards = listPartitionInts(spark, stagingPath, "shard=")
+      val stagingReusable = isCommitted(spark, stagingPath) &&
+        (stagedShards.isEmpty || stagedShards.subsetOf(deltas.toSet))
+      if (!stagingReusable) {
         deleteDir(spark, stagingRoot) // a stale attempt against another base
         val addedContent = added
           .select(col("doc_id"), col("lang"), col("source"), col("n_tok"))
@@ -1432,7 +1541,8 @@ object Pipeline {
         (if (winvIsChunk) Seq(epochId) else Nil) ++
         (if (wvFoldedNew != prevWvFolded) Seq(epochId) else Nil)).distinct.sorted
     val stNew = EpochState(fpPtrNew, FpBuckets, vPtrNew, VBuckets,
-      rollupNew, shardKeptNew, kPtrNew, KBuckets, wvFoldedNew, wvChunksNew)
+      rollupNew, shardKeptNew, kPtrNew, KBuckets, wvFoldedNew, wvChunksNew,
+      wcFoldedNew, wcChunksNew, qFoldedNew, qChunksNew, fpUnionNew)
     val result = EpochResult(epochId, stNew.docsSeen, stNew.docsKept,
       nAdded, nRemoved, deltas)
     writeCommit(spark, outDir, epochId, stNew, result)
@@ -1687,11 +1797,15 @@ object Pipeline {
   }
 
   private def writeCommit(spark: SparkSession, outDir: String, epochId: Long,
-      st: EpochState, res: EpochResult, isRegate: Boolean = false): Unit = {
+      st: EpochState, res: EpochResult,
+      regateSig: Option[(Long, Long)] = None): Unit = {
     val rows: Seq[CommitRow] =
       // 'rg' marks a REGATE's commit, so a regate replay can tell itself
-      // apart from an ordinary committed epoch (see the regate guard)
-      (if (isRegate) Seq(CommitRow("rg", epoch = Some(epochId))) else Nil) ++
+      // apart from an ordinary committed epoch (see the regate guard); it
+      // carries the benchmark fingerprint so the replay can also verify
+      // it was handed the SAME benchmark before re-pinning the meta
+      regateSig.map(s => CommitRow("rg", epoch = Some(epochId),
+        bench_n = Some(s._1), bench_x = Some(s._2))).toSeq ++
       st.fpPtr.toSeq.sortBy(_._1).flatMap { case (b, es) =>
         es.map(e => CommitRow("fp", bucket = Some(b), epoch = Some(e),
           n_buckets = Some(st.fpNB))) } ++
@@ -1704,6 +1818,13 @@ object Pipeline {
       (if (st.wvFolded >= 0L)
         Seq(CommitRow("wv", epoch = Some(st.wvFolded))) else Nil) ++
       st.wvChunks.sorted.map(c => CommitRow("wvc", epoch = Some(c))) ++
+      (if (st.wcFolded >= 0L)
+        Seq(CommitRow("wc", epoch = Some(st.wcFolded))) else Nil) ++
+      st.wcChunks.sorted.map(c => CommitRow("wcc", epoch = Some(c))) ++
+      (if (st.qFolded >= 0L)
+        Seq(CommitRow("qf", epoch = Some(st.qFolded))) else Nil) ++
+      st.qChunks.sorted.map(c => CommitRow("qfc", epoch = Some(c))) ++
+      st.fpUnion.toSeq.sorted.map(b => CommitRow("fpu", bucket = Some(b))) ++
       st.rollup.values.toSeq.sortBy(r => (r.lang, r.source)).map(r =>
         CommitRow("roll", lang = Some(r.lang), source = Some(r.source),
           docs_in = Some(r.docsIn), docs_kept = Some(r.docsKept),
@@ -1761,7 +1882,12 @@ object Pipeline {
             ptrOf(k),
             k.headOption.flatMap(_.n_buckets).getOrElse(KBuckets),
             rows.find(_.kind == "wv").flatMap(_.epoch).getOrElse(-1L),
-            rows.filter(_.kind == "wvc").flatMap(_.epoch).toSeq.sorted)
+            rows.filter(_.kind == "wvc").flatMap(_.epoch).toSeq.sorted,
+            rows.find(_.kind == "wc").flatMap(_.epoch).getOrElse(-1L),
+            rows.filter(_.kind == "wcc").flatMap(_.epoch).toSeq.sorted,
+            rows.find(_.kind == "qf").flatMap(_.epoch).getOrElse(-1L),
+            rows.filter(_.kind == "qfc").flatMap(_.epoch).toSeq.sorted,
+            rows.filter(_.kind == "fpu").flatMap(_.bucket).toSet)
           if (useCache) stateCache.put(outDir, (e, st))
           Some(st)
         }
@@ -1856,6 +1982,32 @@ object Pipeline {
         .filter(c => c < epochId && !live.contains(c))
         .foreach(c => deleteDir(spark, s"$outDir/state/winvc/chunk=$c"))
     }
+    // gate-revision logs, same rules: flats folded into a chunk die once
+    // the fold's commit landed; orphan chunks (referenced by no commit)
+    // die by the liveness rule — and only a liveness-aware commit
+    // (nonempty chunk rows) may prune chunks at all
+    def pruneBatchLog(flatRoot: String, chunkRoot: String,
+        folded: Option[Long], liveIn: Option[Seq[Long]]): Unit = {
+      folded.filter(_ >= 0L).foreach { ft =>
+        val p = new org.apache.hadoop.fs.Path(flatRoot)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p))
+          fs.listStatus(p).toSeq.map(_.getPath)
+            .filter(_.getName.startsWith("batch="))
+            .filter(_.getName.stripPrefix("batch=").toLong <= ft)
+            .foreach(d => fs.delete(d, true))
+      }
+      liveIn.filter(_.nonEmpty).foreach { chunks =>
+        val live = chunks.toSet
+        listPartitionLongs(spark, chunkRoot, "chunk=")
+          .filter(c => c < epochId && !live.contains(c))
+          .foreach(c => deleteDir(spark, s"$chunkRoot/chunk=$c"))
+      }
+    }
+    pruneBatchLog(s"$outDir/state/winc", s"$outDir/state/wincc",
+      st.map(_.wcFolded), st.map(_.wcChunks))
+    pruneBatchLog(s"$outDir/state/quar", s"$outDir/state/quarc",
+      st.map(_.qFolded), st.map(_.qChunks))
     if (gen3) {
       // the gen3 commit supersedes every legacy artifact wholesale
       Seq("sigs", "texts", "fpmap", "epochres", "verdicts")
@@ -1963,6 +2115,35 @@ object Pipeline {
         .toSeq.sorted
   }
 
+  /** Fold the accumulated flat `batch=` dirs of an append-only batch-
+    * keyed log into ONE immutable chunk dir (`<chunkRoot>/chunk=<epoch>`,
+    * `batch` carried as a data column) once [[FpCompactAt]] of them pile
+    * up below `epochId` — the same dir-count bound the window-log fold
+    * gives `state/winv`, applied to the gate-revision logs (`state/winc`
+    * decontam fps, `state/quar` quarantine texts), whose flat dirs
+    * otherwise grow one per gate-on epoch for the stream's lifetime.
+    * Returns the new folded-through watermark (or `prevFolded` when no
+    * fold ran). Deterministic per epoch, so a crash replay rewrites the
+    * same chunk; the caller records liveness in the commit artifact and
+    * cleanup prunes folded flats and orphan chunks after the marker.
+    */
+  private def foldBatchLog(spark: SparkSession, flatRoot: String,
+      chunkRoot: String, schema: org.apache.spark.sql.types.StructType,
+      epochId: Long, prevFolded: Long): Long = {
+    val foldable = listPartitionLongs(spark, flatRoot, "batch=")
+      .filter(b => b > prevFolded && b < epochId).toSeq.sorted
+    if (foldable.size < FpCompactAt) prevFolded
+    else {
+      val bytes = foldable.map(b => dirBytes(spark, s"$flatRoot/batch=$b")).sum
+      val parts = math.min(8L, 1L + bytes / (256L << 20)).toInt
+      spark.read.schema(schema).parquet(flatRoot)
+        .filter(col("batch").isInCollection(foldable))
+        .coalesce(parts)
+        .write.mode(SaveMode.Overwrite).parquet(s"$chunkRoot/chunk=$epochId")
+      foldable.max
+    }
+  }
+
   /** Recursive byte size of `dir` (driver FS metadata — free on local
     * disk/HDFS), used to size fold write parallelism.
     */
@@ -2047,6 +2228,16 @@ object Pipeline {
         spark.range(0).select(col("id").as("doc_id"),
           array(lit("")).as("toks")), 1)
         .withColumn("bucket", fpBucket(col("fp"))).schema)
+  // quarantine rows: the verdict-state identity columns + the parked
+  // text; `batch` resolves as a partition column on the flat batch= dirs
+  // and as a data column on folded chunks (same rule as winvSchema)
+  private def quarSchema(spark: SparkSession) =
+    stateSchemas.getOrElseUpdate("quar",
+      emptyVerdictState(spark)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_tok"))
+        .withColumn("text", lit("").cast("string"))
+        .withColumn("batch", col("doc_id"))
+        .schema)
 
   /** Attach the incremental pipeline to a document stream with `doc_id`,
     * `lang`, `source`, `text`. `benchmark` enables the decontamination
@@ -2054,7 +2245,10 @@ object Pipeline {
     * [[regate]] — see [[curateEpoch]]).
     *
     * Epoch ids are `batchId + offset`, where the offset is captured ONCE
-    * per stream run on its first nonempty batch B as
+    * per stream run on its FIRST batch B — empty or not (emptiness is
+    * irrelevant to the formula: the dense batch→epoch mapping below
+    * commits an epoch for every batch, so `newestCommitted` advances in
+    * lockstep with the batch counter either way) — as
     * `newestCommitted + 1 - B`. This rule is SELF-STABILIZING across
     * restarts: when the previous run crashed inside batch B (epochs
     * before it committed under offset O, so newestCommitted = O + B - 1),
@@ -2078,8 +2272,11 @@ object Pipeline {
       checkpoint: String, numShards: Int = 16,
       benchmark: Option[DataFrame] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    // one offset per stream RUN, resolved lazily on the first nonempty
-    // batch (needs the batch's session for the FS listing)
+    // one offset per stream RUN, resolved on the run's FIRST batch of
+    // any kind — empty included (the compareAndSet below runs before the
+    // emptiness branch inside curateEpoch; it is only deferred to here,
+    // rather than computed at start(), because it needs the batch's
+    // session for the FS listing)
     val offset = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
     docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -2161,12 +2358,37 @@ object Pipeline {
       // regate, and the read would otherwise throw path-not-found
       // instead of the message below
       val commitPath = s"$outDir/state/commit/epoch=$epochId"
-      val isRegate = hasDataFiles(spark, commitPath) &&
-        spark.read.parquet(commitPath)
-          .filter(col("kind") === "rg").limit(1).count() == 1L
-      require(isRegate,
+      val rgRow: Option[CommitRow] =
+        if (!hasDataFiles(spark, commitPath)) None
+        else {
+          val sq = spark
+          import sq.implicits._
+          spark.read
+            .schema(org.apache.spark.sql.Encoders.product[CommitRow].schema)
+            .parquet(commitPath).filter(col("kind") === "rg")
+            .as[CommitRow].collect().headOption
+        }
+      require(rgRow.isDefined,
         s"epoch $epochId in $outDir is an ordinary committed epoch, not " +
           "a regate — refusing to re-pin the benchmark over unflagged state")
+      // ...and it must be a regate against THIS benchmark: the replay
+      // short-circuit only finishes the post-marker steps (meta re-pin +
+      // quarantine prune), so re-pinning to a benchmark the committed
+      // verdict state was never flagged under — and then pruning the
+      // quarantine, the only stored text of resurrectable docs — would
+      // be irreversible silent corruption. The 'rg' row records the
+      // fingerprint at commit for exactly this check; a pre-recording
+      // commit (bench_n absent) fails the same way rather than guessing.
+      val storedSig: Option[(Long, Long)] =
+        for { r <- rgRow; n <- r.bench_n; x <- r.bench_x } yield (n, x)
+      require(storedSig.contains(sig2),
+        s"epoch $epochId in $outDir is a committed regate against a " +
+          s"DIFFERENT benchmark (recorded fingerprint " +
+          s"${storedSig.map(_.toString).getOrElse(
+            "unrecorded — the commit predates fingerprint recording")}, " +
+          s"caller's $sig2) — re-pinning the meta would put the corpus " +
+          "under a benchmark its verdict state was never evaluated " +
+          "against; replay a regate only with its original benchmark")
       repinMeta()
       cleanupAfterCommit(spark, outDir, epochId, None)
       pruneQuarBefore(spark, outDir, epochId)
@@ -2188,12 +2410,20 @@ object Pipeline {
     // contamination-sized, joined plain (it can be corpus-scale under an
     // adversarial revision — this is the declared O(corpus) pass).
     val wincPath = s"$outDir/state/winc"
-    val winc =
+    val wincFlat =
       if (hasDataFiles(spark, wincPath))
         spark.read.schema(winvSchema(spark, withBatch = true))
-          .parquet(wincPath).filter(col("batch") <= last)
-          .select(col("doc_id"), col("fp"))
-      else spark.range(0).select(col("id").as("doc_id"), col("id").as("fp"))
+          .parquet(wincPath)
+      else spark.range(0).select(col("id").as("doc_id"), col("id").as("fp"),
+        col("id").as("batch"))
+    // folded chunks carry `batch` as a data column; the liveness list is
+    // authoritative (orphans from crashed fold attempts are never read)
+    val winc = st.wcChunks
+      .map(c => spark.read.schema(winvSchema(spark, withBatch = true))
+        .parquet(s"$outDir/state/wincc/chunk=$c"))
+      .foldLeft(wincFlat)(_ unionByName _)
+      .filter(col("batch") <= last)
+      .select(col("doc_id"), col("fp"))
     val contam2 = Curation.contaminatedOf(winc, fps2)
       .withColumn("_c2", lit(true))
     val keptBase = Curation.keptExpr(col("n_tok"), col("h"),
@@ -2242,10 +2472,16 @@ object Pipeline {
         spark.read.parquet(corpusPath).select(col("doc_id"), col("text"))
       else emptyText
     val quarPath = s"$outDir/state/quar"
-    val oldQuar =
+    val quarFlat =
       if (hasDataFiles(spark, quarPath))
-        spark.read.parquet(quarPath).select(col("doc_id"), col("text"))
+        spark.read.schema(quarSchema(spark)).parquet(quarPath)
+          .select(col("doc_id"), col("text"))
       else emptyText
+    val oldQuar = st.qChunks
+      .map(c => spark.read.schema(quarSchema(spark))
+        .parquet(s"$outDir/state/quarc/chunk=$c")
+        .select(col("doc_id"), col("text")))
+      .foldLeft(quarFlat)(_ unionByName _)
     val textAll = corpusText.unionByName(oldQuar).dropDuplicates("doc_id")
 
     // new quarantine, consolidated and committed BEFORE the corpus
@@ -2264,9 +2500,17 @@ object Pipeline {
       quarJoined.coalesce(1).write.mode(SaveMode.Overwrite).parquet(quarDir)
     }
 
-    // changed shards rewrite via the epoch staging protocol
+    // changed shards rewrite via the epoch staging protocol — under a
+    // DISTINCT `regate=` root, never the stream's `epoch=` namespace: a
+    // regate at the natural id last+1 that crashes between its staging
+    // commit and its marker is abandoned when the stream restarts (the
+    // resumed run re-bases to the same id), and a shared path would let
+    // curateEpoch reuse the regate's staged v2 shards as its own —
+    // applying content the epoch never computed and deleting shards it
+    // never staged. A crash replay of regate itself (same id) still
+    // finds its staging here deterministically.
     if (deltas.nonEmpty) {
-      val stagingRoot = s"$outDir/state/staging/epoch=$epochId"
+      val stagingRoot = s"$outDir/state/staging/regate=$epochId"
       val stagingPath = s"$stagingRoot/base=$last"
       if (!isCommitted(spark, stagingPath)) {
         deleteDir(spark, stagingRoot)
@@ -2298,11 +2542,17 @@ object Pipeline {
       .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(vDir)
     val vPtr2 = listPartitionInts(spark, vDir, "bucket=")
       .map(_ -> Seq(epochId)).toMap
+    // quarantine liveness resets: the regate's consolidated batch=<id>
+    // flat subsumes every earlier quar flat AND chunk (pruneQuarBefore
+    // drops them after the marker), so the new state starts the quar
+    // fold cycle over; the winc log is untouched and carries forward
     val stNew = EpochState(st.fpPtr, st.fpNB, vPtr2, VBuckets,
-      rollup2, shardKept2, st.kPtr, st.kNB, st.wvFolded, st.wvChunks)
+      rollup2, shardKept2, st.kPtr, st.kNB, st.wvFolded, st.wvChunks,
+      st.wcFolded, st.wcChunks, -1L, Nil, st.fpUnion)
     val result = EpochResult(epochId, stNew.docsSeen, stNew.docsKept,
       nAdded, nRemoved, deltas)
-    writeCommit(spark, outDir, epochId, stNew, result, isRegate = true)
+    writeCommit(spark, outDir, epochId, stNew, result,
+      regateSig = Some(sig2))
     cleanupAfterCommit(spark, outDir, epochId, Some(stNew))
     pruneQuarBefore(spark, outDir, epochId)
     repinMeta() // LAST: meta never points at an uncommitted gate regime
@@ -2322,6 +2572,12 @@ object Pipeline {
         .filter(_.getName.startsWith("batch="))
         .filter(_.getName.stripPrefix("batch=").toLong < epochId)
         .foreach(d => fs.delete(d, true))
+    // folded quar chunks are superseded the same way (the regate's state
+    // records qChunks = Nil, so cleanup's liveness rule would never
+    // touch them — this explicit prune is their retirement path)
+    listPartitionLongs(spark, s"$outDir/state/quarc", "chunk=")
+      .filter(_ < epochId)
+      .foreach(c => deleteDir(spark, s"$outDir/state/quarc/chunk=$c"))
   }
 
   /** Post-copy/post-migration audit: recompute the shard manifest from the

@@ -139,10 +139,10 @@ class PipelineIncrPropSpec extends AnyFunSuite {
     }
   }
 
-  test("random gated delivery with a mid-run benchmark revision converges to the v2 one-shot (2 seeds)") {
+  test("random gated delivery with a mid-run benchmark revision converges to the v2 one-shot (4 seeds)") {
     import spark.implicits._
     val rnd = new scala.util.Random(0)
-    for (seed <- 1 to 2) {
+    for (seed <- 1 to 4) {
       rnd.setSeed(seed * 49999L)
       val corpus = randomCorpus(rnd)
       val srcDir = Files.createTempDirectory(s"graft-ippg-src$seed").toString

@@ -266,6 +266,14 @@ class PipelineIncrSpec extends AnyFunSuite {
       // folding epochs cost the same.
       assert(tails.last <= tails(1) + 3,
         s"job count must not creep with accumulated layers (${tails.mkString(", ")})")
+      // absolute pin on the round-14 trimmed constant (IncrBench gate-off
+      // steady epochs measure 55–56; fixture epochs run a few more branch
+      // jobs — crossing probes, folds): regressions that re-add per-epoch
+      // jobs (read-backs, extra materializations, schema inference) trip
+      // this before they reach the bench
+      assert(tails.max <= 62,
+        s"steady-epoch job count crept past the round-14 constant " +
+          s"(${tails.mkString(", ")})")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
@@ -1394,6 +1402,231 @@ class PipelineIncrSpec extends AnyFunSuite {
     Pipeline.curateEpoch(chunk(0, 210), out, Shards, 1L)
     val oneShot = Pipeline.curate(spark, dir,
       Files.createTempDirectory("graft-incr-iref").toString, Shards)
+    assertEqualsOneShot(out, oneShot)
+  }
+
+  test("a completed regate replayed with a DIFFERENT benchmark fails loudly") {
+    // the 'rg' marker alone is not enough for the replay short-circuit:
+    // it finishes the post-marker steps (meta re-pin + quarantine prune),
+    // so short-circuiting under a benchmark the committed regate never
+    // flagged state against would silently pin the corpus to it AND
+    // destroy the only stored text of resurrectable docs — the recorded
+    // benchmark fingerprint must reject the mismatch instead
+    val docsAll = Fixtures.documents(spark, dir)
+      .select(col("doc_id"), col("text"), size(split(col("text"), " ")).as("n"))
+    val bench1 = docsAll.filter(col("n") >= 8 && col("doc_id") >= 100)
+      .orderBy(col("doc_id")).limit(2)
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    val bench2 = docsAll.filter(col("n") >= 8 && col("doc_id") >= 100)
+      .orderBy(col("doc_id").desc).limit(2)
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    val bench3 = docsAll.filter(col("n") >= 8)
+      .orderBy(col("doc_id")).limit(1)
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    val out = Files.createTempDirectory("graft-incr-rgsig").toString
+    Pipeline.curateEpoch(chunk(100, Long.MaxValue), out, Shards, 0L, Some(bench1))
+    Pipeline.regate(spark, out, bench2, 1L)
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.regate(spark, out, bench3, 1L)
+    }
+    assert(e.getMessage.contains("DIFFERENT benchmark"))
+    // the meta still pins bench2 — the stream continues under it (a
+    // silently re-pinned meta would make this epoch fail the pin check)
+    Pipeline.curateEpoch(chunk(0, 110), out, Shards, 2L, Some(bench2))
+  }
+
+  test("a foreign committed staging at the epoch's path is rebuilt, never applied") {
+    // a committed staging is only reusable when its shard set sits inside
+    // the epoch's freshly computed deltas — anything else (a manual
+    // restore, corruption, or a pre-fix regate's staging sharing the
+    // namespace) must be rebuilt: blindly applying it would overwrite
+    // shards with content the epoch never computed and then DELETE the
+    // real delta shards it doesn't cover as "emptied"
+    val sq = spark
+    import sq.implicits._
+    val out = Files.createTempDirectory("graft-incr-stval").toString
+    Pipeline.curateEpoch(chunk(100, Long.MaxValue), out, Shards, 0L)
+    // fabricate: shard=99 cannot be any epoch's delta (shards < 16)
+    Seq((999999L, "xx", "web", 2L, "bogus text", 99))
+      .toDF("doc_id", "lang", "source", "n_tok", "text", "shard")
+      .write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$out/state/staging/epoch=1/base=0")
+    Pipeline.curateEpoch(chunk(0, 150), out, Shards, 1L)
+    assert(spark.read.parquet(s"$out/corpus")
+      .filter(col("doc_id") === 999999L).isEmpty,
+      "the foreign staged content must never reach the corpus")
+    val oneShot = Pipeline.curate(spark, dir,
+      Files.createTempDirectory("graft-incr-stval-ref").toString, Shards)
+    assertEqualsOneShot(out, oneShot)
+  }
+
+  test("gate-revision logs fold into chunks: dir counts bounded, regate reads converge") {
+    // winc grows one flat dir per gate-on epoch and quar one per
+    // contaminating epoch — for a long-lived stream that is the last
+    // unbounded artifact family. Past FpCompactAt flats they must fold
+    // into immutable chunks (commit-recorded liveness, orphan pruning),
+    // and a later regate must read flats + chunks seamlessly: re-flag
+    // docs whose winc rows folded, resurrect docs whose quarantined text
+    // folded.
+    val docsAll = Fixtures.documents(spark, dir)
+      .select(col("doc_id"), col("text"), size(split(col("text"), " ")).as("n"))
+    // 12 bench members, one per epoch, each ≥ 22 tokens AND kept by the
+    // ungated funnel — keepability is monotone-decreasing over epochs, so
+    // final-kept ⇒ keepable at its own epoch ⇒ the epoch quarantines it
+    // (contaminated-but-otherwise-kept) and writes a quar flat
+    val ungated = Pipeline.curate(spark, dir,
+      Files.createTempDirectory("graft-incr-fold-ug").toString, Shards)
+    val marks: Array[Long] = spark.read.parquet(ungated.corpusPath)
+      .select(col("doc_id"))
+      .join(docsAll.filter(col("n") >= 22), Seq("doc_id"))
+      .orderBy(col("doc_id")).collect().map(_.getLong(0))
+    assert(marks.length >= 12, s"fixture holds only ${marks.length} keepable 22+-token docs")
+    val ids: Seq[Long] = (0 until 12).map(i => marks(i * (marks.length / 12)))
+    val bench1 = docsAll.filter(col("doc_id").isInCollection(ids))
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    val out = Files.createTempDirectory("graft-incr-fold-out").toString
+    val cuts: Seq[Long] = Long.MinValue +: ids.tail :+ Long.MaxValue
+    (0 until 12).foreach { i =>
+      Pipeline.curateEpoch(chunk(cuts(i), cuts(i + 1)), out, Shards,
+        i.toLong, Some(bench1))
+    }
+    def dirsOf(path: String, prefix: String): Seq[Long] =
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) Nil
+      else java.nio.file.Files.list(java.nio.file.Paths.get(path))
+        .toArray.map(_.toString.split("/").last).filter(_.startsWith(prefix))
+        .map(_.stripPrefix(prefix).toLong).toSeq
+    assert(dirsOf(s"$out/state/winc", "batch=").size <= Pipeline.FpCompactAt,
+      "winc flats must fold once FpCompactAt of them accumulate")
+    assert(dirsOf(s"$out/state/wincc", "chunk=").nonEmpty,
+      "12 gate-on epochs must have produced a winc chunk")
+    assert(dirsOf(s"$out/state/quar", "batch=").size <= Pipeline.FpCompactAt,
+      "quar flats must fold once FpCompactAt of them accumulate")
+    assert(dirsOf(s"$out/state/quarc", "chunk=").nonEmpty,
+      "12 contaminating epochs must have produced a quar chunk")
+    // revision: bench2 ⊂ the v1-gated corpus (disjoint from bench1's
+    // members — those are quarantined, not in the corpus), so the regate
+    // must remove bench2's members and resurrect every bench1 member —
+    // including the ones whose quarantined text lives only in a chunk
+    val bench2 = spark.read.parquet(s"$out/corpus")
+      .filter(size(split(col("text"), " ")) >= 8)
+      .orderBy(col("doc_id")).limit(2)
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    val rr = Pipeline.regate(spark, out, bench2, 12L)
+    assert(rr.added >= 12L,
+      "every chunk- or flat-quarantined bench1 member must resurrect")
+    assert(rr.removed >= 1L, "bench2 members were kept under v1")
+    // the consolidation retired every earlier flat AND chunk
+    assert(dirsOf(s"$out/state/quar", "batch=") === Seq(12L),
+      "the regate's consolidated quarantine must be the only quar dir left")
+    assert(dirsOf(s"$out/state/quarc", "chunk=").isEmpty,
+      "superseded quar chunks must be pruned")
+    val oneShot = Pipeline.curate(spark, dir,
+      Files.createTempDirectory("graft-incr-fold-ref").toString, Shards,
+      Some(bench2))
+    assertEqualsOneShot(out, oneShot)
+  }
+
+  test("regate's shuffle volume is one corpus pass, not corpus × state families") {
+    // regate is the DECLARED O(corpus) operation — but "O(corpus) once":
+    // its shuffled rows must sit within a small constant of the gated
+    // founding epoch's (which tokenized and window-fp'd the same corpus),
+    // never re-shuffling the corpus per state family or per epoch layer.
+    val shuffled = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          shuffled.addAndGet(e.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    def measured(fn: => Unit): Long = drained(shuffled)(fn)
+    val docsAll = Fixtures.documents(spark, dir)
+      .select(col("doc_id"), col("text"), size(split(col("text"), " ")).as("n"))
+    val bench1 = docsAll.filter(col("n") >= 8 && col("doc_id") >= 200)
+      .orderBy(col("doc_id")).limit(2)
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    val out = Files.createTempDirectory("graft-incr-rgshuf").toString
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val founding = measured {
+        Pipeline.curateEpoch(chunk(100, Long.MaxValue), out, Shards, 0L,
+          Some(bench1)) }
+      measured { // a tail epoch so the regate reads layered state
+        Pipeline.curateEpoch(chunk(0, 120), out, Shards, 1L, Some(bench1)) }
+      val bench2 = spark.read.parquet(s"$out/corpus")
+        .filter(size(split(col("text"), " ")) >= 8)
+        .orderBy(col("doc_id").desc).limit(2)
+        .select(col("doc_id"), col("text")).localCheckpoint()
+      val regate = measured {
+        Pipeline.regate(spark, out, bench2, 2L) }
+      assert(founding > 0L)
+      assert(regate <= founding * 3,
+        s"regate must shuffle one corpus pass, not corpus × families " +
+          s"($regate vs founding $founding)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("fpcnt union folds engage, bound rows-per-fp at 2, and still converge") {
+    // the fold-residue smoothing: each fpcnt fold merges only half its
+    // slice (the sum exchange) and UNION-writes the other half (head
+    // rows pass through + one summed delta row). The commit's fpUnion
+    // set forces a union bucket's NEXT fold to merge, so no head layer
+    // ever holds more than 2 rows per (bucket, fp) — readers sum rows,
+    // so correctness is convergence, pinned against the one-shot.
+    val out = Files.createTempDirectory("graft-incr-ufold").toString
+    val cuts = (0 to 10).map(i => i * 15L)
+    Pipeline.curateEpoch(chunk(cuts.last, Long.MaxValue), out, Shards, 0L)
+    var sawUnion = false
+    (0 until 10).foreach { i =>
+      Pipeline.curateEpoch(chunk(cuts(9 - i), cuts(10 - i)), out, Shards,
+        (i + 1).toLong)
+      sawUnion = sawUnion || spark.read
+        .parquet(s"$out/state/commit/epoch=${i + 1}")
+        .filter(col("kind") === "fpu").limit(1).count() > 0L
+    }
+    assert(sawUnion, "10 epochs must have union-written at least one " +
+      "fpcnt bucket (otherwise the bound below is vacuous)")
+    val folds = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$out/state/fpcnt"))
+      .toArray.map(_.toString).filter(_.contains("fold="))
+    assert(folds.nonEmpty, "10 epochs must have produced fpcnt folds")
+    folds.foreach { f =>
+      val worst = spark.read.parquet(f).groupBy(col("bucket"), col("fp"))
+        .count().agg(max(col("count"))).head().getLong(0)
+      assert(worst <= 2L, s"fold layer $f holds $worst rows for one fp — " +
+        "a union bucket's next fold must have merged")
+    }
+    val oneShot = Pipeline.curate(spark, dir,
+      Files.createTempDirectory("graft-incr-ufold-ref").toString, Shards)
+    assertEqualsOneShot(out, oneShot)
+  }
+
+  test("an epoch electing no keeper writes no kbkt layer and still converges") {
+    // re-delivering every founding text under LARGER ids: each bag
+    // already holds a smaller keeper, so the epoch elects nothing and
+    // displaces nothing — the kbkt delta is provably empty
+    // (driver-known from the delta agg) and the write must be skipped
+    val sq = spark
+    import sq.implicits._
+    val out = Files.createTempDirectory("graft-incr-kskip").toString
+    val orig = chunk(100, Long.MaxValue)
+    Pipeline.curateEpoch(orig, out, Shards, 0L)
+    // a SLICE only: duplicating the whole corpus would span-flip every
+    // doc (each window fp doubles) and legitimately empty the corpus —
+    // the converged-but-vacuous case; a slice keeps the rest alive
+    val shifted = chunk(100, 180).withColumn("doc_id", col("doc_id") + 1000000L)
+    Pipeline.curateEpoch(shifted, out, Shards, 1L)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$out/state/kbkt/epoch=1")),
+      "a no-keeper-change epoch must not write a kbkt layer")
+    // convergence: the duplicate bags lose their elections and the fp
+    // crossings from doubled windows flip span verdicts — both runs agree
+    val srcDir = Files.createTempDirectory("graft-incr-kskip-src").toString
+    orig.unionByName(shifted)
+      .write.parquet(s"$srcDir/documents.parquet")
+    assert(spark.read.parquet(s"$out/corpus").count() > 0,
+      "the slice duplication must leave a live corpus (vacuousness guard)")
+    val oneShot = Pipeline.curate(spark, srcDir,
+      Files.createTempDirectory("graft-incr-kskip-ref").toString, Shards)
     assertEqualsOneShot(out, oneShot)
   }
 }
