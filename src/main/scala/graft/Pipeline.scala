@@ -1956,36 +1956,17 @@ object Pipeline {
     pruneFamily(s"$outDir/state/fpcnt", fpRef)
     pruneFamily(s"$outDir/state/vbkt", vRef)
     pruneFamily(s"$outDir/state/kbkt", kRef)
-    // window-log flats folded into a chunk are superseded once the fold's
-    // commit landed; chunks themselves are immutable and permanent (the
-    // append-only log's bucketed form) EXCEPT orphans — a chunk written
-    // by a crashed attempt whose batch later re-processed under a
-    // different id (replaced checkpoint) is referenced by no commit's
-    // wvChunks set and is deleted here rather than duplicating the log's
-    // rows in every later crossing read
-    st.map(_.wvFolded).filter(_ >= 0L).foreach { ft =>
-      val p = new org.apache.hadoop.fs.Path(s"$outDir/state/winv")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p))
-        fs.listStatus(p).toSeq.map(_.getPath)
-          .filter(_.getName.startsWith("batch="))
-          .filter(_.getName.stripPrefix("batch=").toLong <= ft)
-          .foreach(d => fs.delete(d, true))
-    }
-    // only a liveness-aware commit (nonempty wvc rows) may prune: a
+    // batch-keyed append-only logs (window log + the gate-revision
+    // logs), one shared rule: flats folded into a chunk are superseded
+    // once the fold's commit landed; chunks themselves are immutable and
+    // permanent EXCEPT orphans — a chunk written by a crashed attempt
+    // whose batch later re-processed under a different id (replaced
+    // checkpoint) is referenced by no commit's live set and is deleted
+    // rather than duplicating the log's rows in every later read. Only a
+    // liveness-aware commit (nonempty chunk rows) may prune chunks: a
     // state committed by chunk-writing code that predates explicit
-    // liveness reads back wvChunks = Nil, and pruning against that would
-    // delete every LIVE chunk of an upgraded dir
-    st.map(_.wvChunks).filter(_.nonEmpty).foreach { chunks =>
-      val live = chunks.toSet
-      listPartitionLongs(spark, s"$outDir/state/winvc", "chunk=")
-        .filter(c => c < epochId && !live.contains(c))
-        .foreach(c => deleteDir(spark, s"$outDir/state/winvc/chunk=$c"))
-    }
-    // gate-revision logs, same rules: flats folded into a chunk die once
-    // the fold's commit landed; orphan chunks (referenced by no commit)
-    // die by the liveness rule — and only a liveness-aware commit
-    // (nonempty chunk rows) may prune chunks at all
+    // liveness reads back an empty list, and pruning against that would
+    // delete every LIVE chunk of an upgraded dir.
     def pruneBatchLog(flatRoot: String, chunkRoot: String,
         folded: Option[Long], liveIn: Option[Seq[Long]]): Unit = {
       folded.filter(_ >= 0L).foreach { ft =>
@@ -2004,6 +1985,8 @@ object Pipeline {
           .foreach(c => deleteDir(spark, s"$chunkRoot/chunk=$c"))
       }
     }
+    pruneBatchLog(s"$outDir/state/winv", s"$outDir/state/winvc",
+      st.map(_.wvFolded), st.map(_.wvChunks))
     pruneBatchLog(s"$outDir/state/winc", s"$outDir/state/wincc",
       st.map(_.wcFolded), st.map(_.wcChunks))
     pruneBatchLog(s"$outDir/state/quar", s"$outDir/state/quarc",
@@ -2404,16 +2387,53 @@ object Pipeline {
         s"$outDir's newest epoch $last predates the commit-artifact " +
           "layout; run one epoch to migrate before regating"))
 
+    // IN-FLIGHT fingerprint, recorded BEFORE the regate's first durable
+    // write: the quarantine consolidation and staging are keyed only by
+    // (epochId, base) on disk, so a crashed (uncommitted) regate re-run
+    // with a DIFFERENT benchmark would silently reuse the previous
+    // benchmark's committed quarantine/staging — and after a post-apply
+    // crash the old quarantine may hold the ONLY text of docs that
+    // benchmark's apply already removed from the corpus, so deleting and
+    // rebuilding under the new gate is just as destructive as reusing.
+    // Refusing is the only loss-free move: finish the in-flight regate
+    // with its original benchmark first, then revise at the next id.
+    val bsigDir = s"$outDir/state/staging/regate=$epochId/bsig"
+    if (isCommitted(spark, bsigDir)) {
+      val r = spark.read.parquet(bsigDir).head()
+      require((r.getLong(0), r.getLong(1)) == sig2,
+        s"an in-flight (uncommitted) regate at epoch $epochId in $outDir " +
+          s"ran with a DIFFERENT benchmark (recorded fingerprint " +
+          s"(${r.getLong(0)}, ${r.getLong(1)}), caller's $sig2) — its " +
+          "quarantine and staging are keyed by id alone, and its corpus " +
+          "apply may already have landed; finish it with its original " +
+          "benchmark, then revise at the next epoch id")
+    } else {
+      require(!isCommitted(spark, s"$outDir/state/quar/batch=$epochId"),
+        s"epoch $epochId in $outDir has a quarantine consolidation but no " +
+          "recorded in-flight benchmark fingerprint (a regate crashed " +
+          "under a pre-fingerprint binary) — its artifacts cannot be " +
+          "verified against the caller's benchmark; finish it with its " +
+          "original benchmark on the old binary, or repair manually")
+      spark.range(1).select(lit(sig2._1).as("bench_n"),
+          lit(sig2._2).as("bench_x"))
+        .write.mode(SaveMode.Overwrite).parquet(bsigDir)
+    }
+
     // contamination vs the NEW benchmark for every doc ever seen, from
     // the fp log (docs shorter than the decontam width have no rows and
     // are clean by the same rule the epochs apply). The matched set is
     // contamination-sized, joined plain (it can be corpus-scale under an
     // adversarial revision — this is the declared O(corpus) pass).
     val wincPath = s"$outDir/state/winc"
+    // the watermark filter matches the crossing read's rule: a crash
+    // between a fold's commit and its cleanup leaves the folded flats on
+    // disk, and without the bound they would be read twice (once flat,
+    // once from the live chunk) — harmless for correctness (distinct /
+    // dropDuplicates downstream) but wasted I/O on the O(corpus) pass
     val wincFlat =
       if (hasDataFiles(spark, wincPath))
         spark.read.schema(winvSchema(spark, withBatch = true))
-          .parquet(wincPath)
+          .parquet(wincPath).filter(col("batch") > st.wcFolded)
       else spark.range(0).select(col("id").as("doc_id"), col("id").as("fp"),
         col("id").as("batch"))
     // folded chunks carry `batch` as a data column; the liveness list is
@@ -2475,6 +2495,7 @@ object Pipeline {
     val quarFlat =
       if (hasDataFiles(spark, quarPath))
         spark.read.schema(quarSchema(spark)).parquet(quarPath)
+          .filter(col("batch") > st.qFolded) // same crash-window bound
           .select(col("doc_id"), col("text"))
       else emptyText
     val oldQuar = st.qChunks
@@ -2513,7 +2534,12 @@ object Pipeline {
       val stagingRoot = s"$outDir/state/staging/regate=$epochId"
       val stagingPath = s"$stagingRoot/base=$last"
       if (!isCommitted(spark, stagingPath)) {
-        deleteDir(spark, stagingRoot)
+        // only the half-written attempt at THIS base — never the root,
+        // which also holds the in-flight fingerprint (`bsig`); a
+        // different-base stale attempt cannot exist for a regate (a new
+        // commit between attempts makes this id out-of-order, rejected
+        // above)
+        deleteDir(spark, stagingPath)
         v2.filter(col("kept")).withColumn("shard", shardOf)
           .filter(col("shard").isInCollection(deltas))
           .select(col("doc_id"), col("lang"), col("source"), col("n_tok"),
@@ -2525,7 +2551,13 @@ object Pipeline {
           .write.mode(SaveMode.Overwrite).partitionBy("shard")
           .parquet(stagingPath)
       }
+      if (failAfterStaging)
+        throw new IllegalStateException(
+          "graft test failpoint: crash after regate staging commit")
       applyStagedShards(spark, corpusPath, stagingPath, deltas)
+      if (failAfterApply)
+        throw new IllegalStateException(
+          "graft test failpoint: crash after regate corpus apply")
     }
 
     syncManifest(spark, outDir, numShards, st.shardKept.keySet, deltas)

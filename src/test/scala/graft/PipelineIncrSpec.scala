@@ -1435,6 +1435,64 @@ class PipelineIncrSpec extends AnyFunSuite {
     Pipeline.curateEpoch(chunk(0, 110), out, Shards, 2L, Some(bench2))
   }
 
+  test("a crashed regate re-runs only with its original benchmark; a different one is refused") {
+    // the quarantine consolidation and staging of an UNCOMMITTED regate
+    // are keyed by (epochId, base) alone on disk — and after a
+    // post-apply crash the old quarantine may hold the only text of docs
+    // the apply already removed, so neither reusing NOR rebuilding under
+    // a different benchmark is loss-free. The in-flight fingerprint
+    // (`bsig`, recorded before the first durable write) must refuse the
+    // mismatch and admit the original.
+    val sq = spark
+    import sq.implicits._
+    val docsAll = Fixtures.documents(spark, dir)
+      .select(col("doc_id"), col("text"), size(split(col("text"), " ")).as("n"))
+    val bench1 = docsAll.filter(col("n") >= 8 && col("doc_id") >= 200)
+      .orderBy(col("doc_id")).limit(2)
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    val out = Files.createTempDirectory("graft-incr-rgcrash").toString
+    Pipeline.curateEpoch(chunk(200, Long.MaxValue), out, Shards, 0L, Some(bench1))
+    Pipeline.curateEpoch(chunk(100, 220), out, Shards, 1L, Some(bench1))
+    // bench2 ⊂ the v1 corpus ⇒ the regate certainly removes docs
+    // (deltas nonempty, so the post-apply failpoint fires)
+    val bench2 = spark.read.parquet(s"$out/corpus")
+      .filter(size(split(col("text"), " ")) >= 8)
+      .orderBy(col("doc_id")).limit(2)
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    val bench3 = spark.read.parquet(s"$out/corpus")
+      .filter(size(split(col("text"), " ")) >= 8)
+      .orderBy(col("doc_id").desc).limit(2)
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    Pipeline.failAfterApply = true // the worst window: corpus already mutated
+    try intercept[IllegalStateException] {
+      Pipeline.regate(spark, out, bench2, 2L)
+    } finally Pipeline.failAfterApply = false
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.regate(spark, out, bench3, 2L)
+    }
+    assert(e.getMessage.contains("in-flight"))
+    // the original benchmark completes the crashed regate and the whole
+    // history (with the rest of the fixture delivered under v2)
+    // converges to its one-shot
+    Pipeline.regate(spark, out, bench2, 2L)
+    Pipeline.curateEpoch(chunk(0, 110), out, Shards, 3L, Some(bench2))
+    val oneShot = Pipeline.curate(spark, dir,
+      Files.createTempDirectory("graft-incr-rgcrash-ref").toString, Shards,
+      Some(bench2))
+    assertEqualsOneShot(out, oneShot)
+    // and a PRE-FINGERPRINT in-flight regate (quar consolidation on disk,
+    // no bsig) refuses outright — its benchmark is unverifiable
+    val out2 = Files.createTempDirectory("graft-incr-rgold").toString
+    Pipeline.curateEpoch(chunk(200, Long.MaxValue), out2, Shards, 0L, Some(bench1))
+    Seq((1L, "en", "web", 30L, "stranded quarantined text"))
+      .toDF("doc_id", "lang", "source", "n_tok", "text")
+      .write.parquet(s"$out2/state/quar/batch=1")
+    val e2 = intercept[IllegalArgumentException] {
+      Pipeline.regate(spark, out2, bench1, 1L)
+    }
+    assert(e2.getMessage.contains("fingerprint"))
+  }
+
   test("a foreign committed staging at the epoch's path is rebuilt, never applied") {
     // a committed staging is only reusable when its shard set sits inside
     // the epoch's freshly computed deltas — anything else (a manual
