@@ -682,6 +682,26 @@ object Pipeline {
         "an out-of-order replay would re-found from empty state and prune " +
         "layers the newest commit references; only uncommitted or the " +
         "newest epoch may replay")
+    // an UNCOMMITTED regate may be in flight (fingerprint recorded, and
+    // possibly its quarantine consolidation, staged shards, or even the
+    // corpus apply already landed). NO epoch may proceed over that: a
+    // stream restart re-bases to the regate's own natural id and would
+    // OVERWRITE the consolidated quarantine — the only stored text of
+    // docs the apply already removed — and any epoch would carry the
+    // half-revised shards' v2 content forward under v1 verdict state
+    // (silent corpus/state divergence). Finishing the regate (same id,
+    // its original benchmark) repairs everything in one call; its
+    // commit-time cleanup then releases this guard. Cost here: one FS
+    // listing of a dir that exists only while a regate is unfinished.
+    val inflightRegates = listPartitionLongs(spark, s"$outDir/state/staging",
+        "regate=")
+      .filter(r => isCommitted(spark, s"$outDir/state/staging/regate=$r/bsig"))
+      .filterNot(committed.contains)
+    require(inflightRegates.isEmpty,
+      s"a regate at epoch ${inflightRegates.toSeq.sorted.mkString(", ")} in " +
+        s"$outDir crashed before committing — its quarantine/staging/corpus " +
+        "writes may be half-applied, so no epoch may run over them; finish " +
+        "the regate with its original benchmark first")
     val lastCommitted: Option[Long] =
       committed.filter(_ < epochId).maxOption
     // gen3 base (commit artifact); None for legacy bases AND for epoch 0
@@ -2003,7 +2023,23 @@ object Pipeline {
         s"$outDir/state/epochres")
         .foreach(dir => pruneEpochs(dir, _ >= epochId))
     }
-    deleteDir(spark, s"$outDir/state/staging")
+    // drop this epoch's own staging and every superseded attempt — but
+    // SPARE a newer in-flight regate's root: its `bsig` fingerprint is
+    // both the guard that keeps epochs from running over the
+    // half-revised corpus and the key that lets the regate resume with
+    // its original benchmark (belt to the guard's braces — the guard
+    // refuses such epochs outright, so this path should never see one)
+    locally {
+      val p = new org.apache.hadoop.fs.Path(s"$outDir/state/staging")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p))
+        fs.listStatus(p).toSeq.map(_.getPath).foreach { d =>
+          val n = d.getName
+          val spare = n.startsWith("regate=") &&
+            n.stripPrefix("regate=").toLong > epochId
+          if (!spare) { fs.delete(d, true); () }
+        }
+    }
   }
 
   /** The persisted result row of a committed epoch (written inside its
@@ -2409,11 +2445,13 @@ object Pipeline {
           "benchmark, then revise at the next epoch id")
     } else {
       require(!isCommitted(spark, s"$outDir/state/quar/batch=$epochId"),
-        s"epoch $epochId in $outDir has a quarantine consolidation but no " +
-          "recorded in-flight benchmark fingerprint (a regate crashed " +
-          "under a pre-fingerprint binary) — its artifacts cannot be " +
-          "verified against the caller's benchmark; finish it with its " +
-          "original benchmark on the old binary, or repair manually")
+        s"epoch $epochId in $outDir already has a quarantine flat but no " +
+          "in-flight regate fingerprint — either an ORDINARY epoch " +
+          "crashed at this id (replay that epoch / resume the stream, " +
+          "then regate at a fresh id: adopting its partial batch " +
+          "quarantine as a consolidation would lose resurrectable text) " +
+          "or a regate crashed under a pre-fingerprint binary (finish it " +
+          "with its original benchmark on that binary); refusing either way")
       spark.range(1).select(lit(sig2._1).as("bench_n"),
           lit(sig2._2).as("bench_x"))
         .write.mode(SaveMode.Overwrite).parquet(bsigDir)
@@ -2535,10 +2573,10 @@ object Pipeline {
       val stagingPath = s"$stagingRoot/base=$last"
       if (!isCommitted(spark, stagingPath)) {
         // only the half-written attempt at THIS base — never the root,
-        // which also holds the in-flight fingerprint (`bsig`); a
-        // different-base stale attempt cannot exist for a regate (a new
-        // commit between attempts makes this id out-of-order, rejected
-        // above)
+        // which also holds the in-flight fingerprint (`bsig`). A
+        // different-base stale attempt cannot exist: once bsig lands, the
+        // in-flight guard keeps every epoch from committing until this
+        // regate finishes, so `last` is stable across its attempts
         deleteDir(spark, stagingPath)
         v2.filter(col("kept")).withColumn("shard", shardOf)
           .filter(col("shard").isInCollection(deltas))

@@ -1471,6 +1471,14 @@ class PipelineIncrSpec extends AnyFunSuite {
       Pipeline.regate(spark, out, bench3, 2L)
     }
     assert(e.getMessage.contains("in-flight"))
+    // NO epoch may run over the half-applied revision either — a
+    // restarted stream re-bases to the regate's own id and would
+    // overwrite its consolidated quarantine (the only stored text of
+    // docs the apply already removed); the fingerprint guard refuses
+    val eEpoch = intercept[IllegalArgumentException] {
+      Pipeline.curateEpoch(chunk(0, 110), out, Shards, 2L, Some(bench1))
+    }
+    assert(eEpoch.getMessage.contains("crashed before committing"))
     // the original benchmark completes the crashed regate and the whole
     // history (with the rest of the fixture delivered under v2)
     // converges to its one-shot
