@@ -18,6 +18,30 @@ import org.apache.spark.sql.SparkSession
   */
 object Engine {
 
+  /** Widen a DataFrame to the session's full shuffle parallelism ahead of a
+    * CPU-dense narrow stage (tokenize/shingle/hash/decimal-fold projections).
+    *
+    * Why an EXPLICIT partition count: `repartition(col)` without a count is
+    * a coalescible shuffle origin (`REPARTITION_BY_COL`) — AQE's partition
+    * coalescing sizes post-shuffle partitions by BYTES
+    * (`minPartitionSize`, default 1 MiB), so a compute-dense stage over a
+    * few MB of rows collapses to 1–3 tasks and serializes on one core (the
+    * round-14 QueryProbe measured exactly this on every shingle/tokenize/
+    * rescore stage: e.g. a 3.1 s single-task posting join in q83 and a
+    * 1.77 s single-task decimal rescore in q46). An explicit count
+    * (`REPARTITION_BY_NUM`) is a user-stated parallelism decision AQE
+    * honors. The count is the session's `spark.sql.shuffle.partitions` —
+    * set per deployment (32 locally, cluster-sized on a real submit) — so
+    * the widening scales with the configured parallelism instead of a
+    * literal. Keyed by `cols` when given (deterministic hash placement);
+    * round-robin otherwise.
+    */
+  def widen(df: org.apache.spark.sql.DataFrame,
+      cols: org.apache.spark.sql.Column*): org.apache.spark.sql.DataFrame = {
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (cols.isEmpty) df.repartition(n) else df.repartition(n, cols: _*)
+  }
+
   /** Apply the engine's standard configuration to a builder. */
   def configure(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
     b.withExtensions(new plans.GraftExtensions)

@@ -71,7 +71,13 @@ object Clustering {
     * fingerprint of the trained model. Seeds are the `k` smallest vec_ids
     * (deterministic, like the IVF seed rule in [[Similarity]]). */
   def kmeans(qdocsIn: DataFrame, k: Int, iters: Int): DataFrame = {
-    val qdocs = qdocsIn.persist(StorageLevel.MEMORY_AND_DISK)
+    // widen before persisting: the per-iteration distance stage (n×k
+    // interpreted HOF folds over dim-long arrays) is CPU-dense on small
+    // bytes, exactly the shape AQE's byte-sized coalescer serializes onto
+    // one core (see Engine.widen) — and the persisted partitioning is what
+    // every iteration inherits
+    val qdocs = graft.Engine.widen(qdocsIn, col("vec_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // seed cid = rank of vec_id among the k smallest — the window runs on
     // k rows post-limit, so the single-partition sort is model-sized
     var cents = qdocs.orderBy(col("vec_id")).limit(k)
@@ -81,15 +87,22 @@ object Clustering {
 
     def distances(c: DataFrame): DataFrame =
       qdocs.crossJoin(broadcast(c))
-        .select(col("vec_id"), col("cid"), sqDist(col("qv"), col("cv")).as("dist"))
+        .select(col("vec_id"), col("qv"), col("cid"),
+          sqDist(col("qv"), col("cv")).as("dist"))
 
+    // qv rides through the argmin as any_value (constant per vec_id group),
+    // so the update step needs NO join back to qdocs — one exchange per
+    // iteration instead of two (guide §2.4: two operations keyed the same
+    // way share one exchange; here the second keyed op is eliminated).
     def assignment(c: DataFrame): DataFrame =
       distances(c).groupBy(col("vec_id"))
-        .agg(min(struct(col("dist"), col("cid"))).as("m"))
-        .select(col("vec_id"), col("m.cid").as("cid"), col("m.dist").as("dist"))
+        .agg(min(struct(col("dist"), col("cid"))).as("m"),
+          any_value(col("qv")).as("qv"))
+        .select(col("vec_id"), col("qv"),
+          col("m.cid").as("cid"), col("m.dist").as("dist"))
 
     for (_ <- 1 to iters) {
-      val sums = assignment(cents).join(qdocs, "vec_id")
+      val sums = assignment(cents)
         .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "q")))
         .groupBy(col("cid"), col("pos"))
         .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))

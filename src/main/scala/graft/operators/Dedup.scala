@@ -78,8 +78,7 @@ object Dedup {
     * (shared by the batch queries and the streaming dedup gate).
     */
   private[graft] def shinglesOf(docs: DataFrame): DataFrame =
-    docs
-      .repartition(col("doc_id"))
+    graft.Engine.widen(docs, col("doc_id"))
       .select(col("doc_id"),
         explode(graft.functions.WordNGrams.distinctNGrams(col("text"), 3)).as("g"))
       .select(col("doc_id"), xxhash64(col("g")).as("sh"))
@@ -104,8 +103,17 @@ object Dedup {
     */
   private def shingleIntersections(shingles: DataFrame, directed: Boolean): DataFrame = {
     val pairFilter = if (directed) col("a") =!= col("b") else col("a") < col("b")
-    shingles.select(col("doc_id").as("a"), col("sh"))
-      .join(shingles.select(col("doc_id").as("b"), col("sh")), Seq("sh"))
+    // Explicit-count repartition on the join key BEFORE the self-join: the
+    // posting join's pair blowup (Σ df² rows) is compute the byte-sized AQE
+    // coalescer cannot see — left to AQE the ~1–2 MB shuffle coalesces to
+    // one partition and the whole quadratic stage runs on one core (round-14
+    // QueryProbe: 3.1 s single-task in q83). Both sides share the one
+    // exchange (identical child plan → ReusedExchange), and the join needs
+    // no further shuffle since both sides are hash(sh)-partitioned at the
+    // session's parallelism.
+    val wide = graft.Engine.widen(shingles, col("sh"))
+    wide.select(col("doc_id").as("a"), col("sh"))
+      .join(wide.select(col("doc_id").as("b"), col("sh")), Seq("sh"))
       .filter(pairFilter)
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("i"))
   }
@@ -242,7 +250,7 @@ object Dedup {
   def simhash(docs: DataFrame): DataFrame = {
     // One aggregation pass with 60 codegen'd sum expressions (one per bit)
     // instead of exploding 60 rows per token — same math, no 60× row blowup.
-    val tokCnt = docs.repartition(col("doc_id"))
+    val tokCnt = graft.Engine.widen(docs, col("doc_id"))
       .select(col("doc_id"), explode(wsTokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
       .withColumn("h", hash60(col("tok")))
@@ -361,11 +369,18 @@ object Dedup {
     * oracle. At fixpoint the edge set is a disjoint union of stars centered
     * at each component's minimum node.
     *
-    * Fault tolerance at cluster scale: per-round RELIABLE checkpoints — a
-    * `localCheckpoint` would pin iteration state to executor memory, and one
-    * lost executor kills the whole job mid-iteration. On a real cluster
-    * `setCheckpointDir` points at durable storage (HDFS/object store); here
-    * the JVM tmpdir plays that role.
+    * Fault tolerance at cluster scale: per-round checkpoints. The DEFAULT is
+    * an eager `localCheckpoint` — same lineage bound, blocks live in executor
+    * memory/disk ([[Graph.pagerank]]'s posture). A RELIABLE `checkpoint()`
+    * (survives executor loss; `setCheckpointDir` on durable storage) is one
+    * env flag away: `SPARK_GRAFT_CC_RELIABLE_CKPT=1`. Reliable is NOT the
+    * local default because `RDD.checkpoint` materializes the round TWICE —
+    * once for the eager action and once more in the checkpoint-write job
+    * (the classic persist-before-checkpoint caveat) — plus a disk
+    * write+read per round; the round-14 QueryProbe measured that double
+    * cost on every CC consumer (q39/q88/q94/q135). On a long-lived cluster
+    * job the re-run-from-scratch risk dominates and the flag flips the
+    * trade the other way.
     */
   def connectedComponents(edges: DataFrame): DataFrame =
     connectedComponentsWithRounds(edges)._1
@@ -397,7 +412,8 @@ object Dedup {
 
   private[graft] def connectedComponentsWithRounds(edges: DataFrame): (DataFrame, Int) = {
     val spark = edges.sparkSession
-    if (spark.sparkContext.getCheckpointDir.isEmpty)
+    val reliable = sys.env.get("SPARK_GRAFT_CC_RELIABLE_CKPT").exists(_ == "1")
+    if (reliable && spark.sparkContext.getCheckpointDir.isEmpty)
       spark.sparkContext.setCheckpointDir(
         s"${System.getProperty("java.io.tmpdir")}/graft-ckpt")
     // canonical undirected edges (hi > lo), self-loops dropped; checkpointed
@@ -415,8 +431,8 @@ object Dedup {
         .observe(obs, count(lit(1)).as("cnt"),
           coalesce(expr("bit_xor(__h)"), lit(0L)).as("xr"))
         .drop("__h")
-        .checkpoint()
-      (out, obs)
+      val ckpt = if (reliable) out.checkpoint() else out.localCheckpoint()
+      (ckpt, obs)
     }
     def sigOf(obs: org.apache.spark.sql.Observation): (Long, Long) =
       (obs.get("cnt").asInstanceOf[Long], obs.get("xr").asInstanceOf[Long])

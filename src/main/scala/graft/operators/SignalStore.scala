@@ -117,11 +117,17 @@ object SignalStore {
       s: SparkSession): Option[org.apache.spark.scheduler.SparkListener] =
     stopHooks.get(s)
 
-  /** `(doc_id, lang, source, toks)` — the tokenized corpus, one scan. */
+  /** `(doc_id, lang, source, toks)` — the tokenized corpus, one scan,
+    * widened to the session's shuffle parallelism before the tokenize
+    * projection (single-file fixture scans are one split, and AQE's
+    * byte-sized coalescer would otherwise leave every downstream
+    * window-fingerprint projection single-task — see [[graft.Engine.widen]]).
+    */
   def tokens(s: SparkSession, dir: String): DataFrame =
     cached(s, "tokens", dir) {
-      Fixtures.documents(s, dir).select(col("doc_id"), col("lang"),
-        col("source"), wsTokens(col("text")).as("toks"))
+      graft.Engine.widen(Fixtures.documents(s, dir), col("doc_id"))
+        .select(col("doc_id"), col("lang"),
+          col("source"), wsTokens(col("text")).as("toks"))
     }
 
   /** `(doc_id, start, fp)`: every [[Curation.SubWidth]]-token window

@@ -206,7 +206,14 @@ object Similarity {
     // pairwise work stays one decimal dot, same as q21's shape
     val (indexSide, probeSide, score) =
       if (exactRescore)
-        (index.withColumn("n2d", norm2Dec(col("embedding"))),
+        // widen: the per-pair interpreted decimal dot is the CPU-dense
+        // stage (QueryProbe r14: a 1.77 s single-task job was 70% of q46),
+        // and the index arrives AQE-coalesced to one partition at fixture
+        // byte sizes — see Engine.widen. Fast path stays unwidened: its
+        // codegen'd double scoring is cheap enough that an extra exchange
+        // of the index per query would cost more than it buys.
+        (graft.Engine.widen(index, col("vec_id"))
+          .withColumn("n2d", norm2Dec(col("embedding"))),
           probes,
           cosineWithNorms(dotDec(col("embedding"), col("qe")), col("n2d"), col("qn2d")))
       else

@@ -201,7 +201,7 @@ object TextAnalysis {
   private def q40(s: SparkSession, dir: String): DataFrame = {
     val docs = Fixtures.documents(s, dir)
     val nDf = docs.agg(count(lit(1)).as("corpus_n")) // 1 row, broadcast by AQE
-    val tf = docs.repartition(col("doc_id")) // widen single-file scan (see Dedup.docShingles)
+    val tf = graft.Engine.widen(docs, col("doc_id")) // widen single-file scan (see Dedup.docShingles)
       .select(col("doc_id"), explode(wsTokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -330,7 +330,7 @@ object TextAnalysis {
     // materialized once: feeds the total count, the LM aggregation AND the
     // scoring join (lineage would recompute the tokenize 3×)
     val toks = Fixtures.documents(s, dir)
-      .repartition(col("doc_id"))
+      .transform(graft.Engine.widen(_, col("doc_id")))
       .select(col("doc_id"), explode(wsTokens(col("text"))).as("term"))
       .localCheckpoint()
     val totals = toks.agg(count(lit(1)).as("t")) // 1 row, safe to pin
@@ -372,7 +372,7 @@ object TextAnalysis {
       slice(toks, lit(2), greatest(n - 1, lit(0))),
       (a, b) => concat(a, lit(" "), b))
     Fixtures.documents(s, dir)
-      .repartition(col("doc_id")) // widen single-file scan (see Dedup.docShingles)
+      .transform(graft.Engine.widen(_, col("doc_id"))) // widen single-file scan (see Dedup.docShingles)
       .select(explode(bgs).as("bg"))
       .groupBy(col("bg")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bg"))
@@ -437,7 +437,7 @@ object TextAnalysis {
       (a, b) => concat(a, lit(" "), b))
     // materialized once: feeds the bigram LM AND the scoring join
     val docsB = Fixtures.documents(s, dir)
-      .repartition(col("doc_id"))
+      .transform(graft.Engine.widen(_, col("doc_id")))
       .select(col("doc_id"), explode(bgs).as("bg"))
       .localCheckpoint()
     val vocab = Fixtures.documents(s, dir)
@@ -894,7 +894,7 @@ object TextAnalysis {
   private val ChunkLangTokens = 32
   private def q115(s: SparkSession, dir: String): DataFrame = {
     val words = Fixtures.documents(s, dir)
-      .repartition(col("doc_id"))
+      .transform(graft.Engine.widen(_, col("doc_id")))
       .select(col("doc_id"), posexplode(wsTokens(col("text"))).as(Seq("pos", "term")))
     val aggs = stopwords.map { case (l, ws) =>
       sum(when(col("term").isin(ws: _*), 1).otherwise(0)).as(s"s_$l")
@@ -1038,7 +1038,7 @@ object TextAnalysis {
       slice(toks, lit(2), greatest(n - 1, lit(0))),
       (a, b) => struct(a.as("w1"), b.as("w2")))
     val docs = Fixtures.documents(s, dir)
-      .repartition(col("doc_id")) // widen single-file scan (see Dedup.docShingles)
+      .transform(graft.Engine.widen(_, col("doc_id"))) // widen single-file scan (see Dedup.docShingles)
     val bi = docs.select(explode(bgs).as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))

@@ -231,7 +231,14 @@ object TimeSeries {
                                             // (tb, ts) ≡ ordering by ts
     val wLocal = Window.partitionBy(col("event_type"), col("tb"))
       .orderBy(col("ts"), col("event_id"))
-    val local = e.withColumn("lr", row_number().over(wLocal).cast("long"))
+    // explicit-count widening on the window keys: the window's own exchange
+    // is byte-sized by AQE (events ≈ a few MB at fixture scale → 1
+    // partition), which would serialize the per-(type, day) sort the chunk
+    // decomposition exists to parallelize; the explicit repartition
+    // satisfies the window's required clustering, so no second exchange is
+    // added (see Engine.widen)
+    val local = graft.Engine.widen(e, col("event_type"), col("tb"))
+      .withColumn("lr", row_number().over(wLocal).cast("long"))
     // cumulative rows before each (type, day): |types|·|days| rows — a
     // catalog-sized table, broadcast back to make positions global
     val wOff = Window.partitionBy(col("event_type")).orderBy(col("tb"))
@@ -248,8 +255,12 @@ object TimeSeries {
       .withColumn("chunk", col("chunk") + 1)
     val wFrame = Window.partitionBy(col("event_type"), col("chunk"))
       .orderBy(col("gpos")).rowsBetween(-AnomWin, -1)
-    g.withColumn("replica", lit(false))
-      .unionByName(reps.withColumn("replica", lit(true)))
+    // same explicit widening for the chunked frame window (the whole point
+    // of the chunk decomposition is that this partitioning is wide)
+    graft.Engine.widen(
+        g.withColumn("replica", lit(false))
+          .unionByName(reps.withColumn("replica", lit(true))),
+        col("event_type"), col("chunk"))
       .withColumn("s", sum(col("c")).over(wFrame))
       .withColumn("q", sum(col("c") * col("c")).over(wFrame))
       .withColumn("n", count(lit(1)).over(wFrame))

@@ -78,7 +78,7 @@ object Winnow {
     // single parquet file, so without it the whole md5 pass runs in one
     // task (see Dedup.docShingles); hashpartitioning(doc_id) also exactly
     // satisfies the window's required distribution — no second exchange
-    val base = docs.repartition(col("doc_id"))
+    val base = graft.Engine.widen(docs, col("doc_id"))
       .select(col("doc_id"), wsTokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= K + W - 1) // at least one full window
     val kg = base

@@ -178,7 +178,12 @@ class PlanSpec extends AnyFunSuite {
     // the distance join is corpus × broadcast(k-row model) — never a shuffle
     // of the data against the model and never a cartesian of two big sides
     val p = planOf("q123_kmeans")
-    assert("Scan parquet".r.findAllIn(p).size <= 1,
+    // the cached quantized corpus carries an explicit widening exchange
+    // (Engine.widen), so the InMemoryRelation child is an AdaptiveSparkPlan
+    // whose string echoes its one scan again under "== Initial Plan ==" —
+    // count scans the way the q41 pin does, in the executed section only
+    val executed = p.split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(executed).size <= 1,
       s"k-means must train off the cached quantized corpus, not rescans:\n${p.take(1500)}")
     assert(!p.contains("CartesianProduct"), p.take(1500))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
