@@ -671,7 +671,10 @@ object Curation {
     * shuffle is narrow (doc_id, pos, 8-byte value) and doc-partitioned.
     */
   private[graft] def cdcChunks(docs: DataFrame): DataFrame = {
-    val base = docs.select(col("doc_id"), wsTokens(col("text")).as("toks"))
+    // widen: tokenize + per-token digest + chunk rebuild are the CPU-dense
+    // stages, single-task off a single-split scan (Engine.widen)
+    val base = graft.Engine.widen(docs, col("doc_id"))
+      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
       .filter(size(col("toks")) > 0)
       .withColumn("n", size(col("toks")))
     // 56-bit per-token md5 values (hash60 >> 4 ≡ first 14 hex digits);

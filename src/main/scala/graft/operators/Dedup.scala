@@ -136,6 +136,12 @@ object Dedup {
       threshold: Double): DataFrame = {
     val jac = cands match {
       case Some(pairs) =>
+        // NOT widened (measured, rejected r14): candidate sets here are
+        // LSH-bounded (tens of pairs at fixture scale), so the verify join
+        // is cheap and an explicit widening exchange only added per-stage
+        // task-dispatch overhead (q135 3.1 -> 4.2 s with it). q86's
+        // corpus-wide prefix-join verify, where candidates are thousands,
+        // carries its own widening.
         val arrs = shingles.groupBy(col("doc_id"))
           .agg(collect_list(col("sh")).as("arr"), count(lit(1)).as("n"))
         pairs
@@ -392,10 +398,15 @@ object Dedup {
     val nbr = e.select(col("hi").as("src"), col("lo").as("dst"))
       .union(e.select(col("lo").as("src"), col("hi").as("dst")))
     val mins = nbr.groupBy(col("src")).agg(least(min(col("dst")), col("src")).as("m"))
+    // no distinct here: smallStar is duplicate-insensitive (its min-agg and
+    // its own terminal distinct absorb repeats), so deduping the
+    // intermediate edge multiset would only add an exchange per round —
+    // the round's ONE dedup is smallStar's distinct, which the checkpoint
+    // materializes
     nbr.join(mins, "src")
       .filter(col("dst") > col("src"))
       .select(col("dst").as("hi"), col("m").as("lo"))
-      .filter(col("hi") =!= col("lo")).distinct()
+      .filter(col("hi") =!= col("lo"))
   }
 
   /** Small-star: every node connects its smaller neighbors (and itself) to
@@ -775,10 +786,17 @@ object Dedup {
   private def q86(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val shingles = docShingles(s, dir).localCheckpoint()
-    // one doc-keyed pass yields both the verify arrays and the sizes
-    val arrs = shingles.groupBy(col("doc_id"))
-      .agg(collect_list(col("sh")).as("arr"), count(lit(1)).as("n"))
-      .localCheckpoint()
+    // one doc-keyed pass yields both the verify arrays and the sizes;
+    // widened AFTER the checkpoint: a LogicalRDD reports
+    // UnknownPartitioning, so the candidate-verify joins (an
+    // array_intersect per candidate) would re-exchange and AQE would
+    // coalesce them to 2-3 tasks — the explicit post-checkpoint widening is
+    // the partitioning both verify joins then reuse (Engine.widen)
+    val arrs = graft.Engine.widen(
+      shingles.groupBy(col("doc_id"))
+        .agg(collect_list(col("sh")).as("arr"), count(lit(1)).as("n"))
+        .localCheckpoint(),
+      col("doc_id"))
     val sizes = arrs.select(col("doc_id"), col("n"))
     // document frequency per shingle (shingles are distinct per doc)
     val docFreq = shingles.groupBy(col("sh")).agg(count(lit(1)).as("df"))
@@ -873,8 +891,11 @@ object Dedup {
     */
   private def q88(s: SparkSession, dir: String): DataFrame = {
     val pairs = q17(s, dir).select(col("doc_a").as("a"), col("doc_b").as("b"))
-    val quality = Fixtures.documents(s, dir).select(col("doc_id"),
-      graft.functions.Rounding.stable(TextAnalysis.qualityScore, 4).as("quality"))
+    // widen: the per-doc quality features are the CPU stage of this side
+    // and the single-split scan leaves them one task (Engine.widen)
+    val quality = graft.Engine.widen(Fixtures.documents(s, dir), col("doc_id"))
+      .select(col("doc_id"),
+        graft.functions.Rounding.stable(TextAnalysis.qualityScore, 4).as("quality"))
     connectedComponents(pairs)
       .join(quality, col("node") === col("doc_id"))
       .groupBy(col("lbl").as("grp"))

@@ -395,8 +395,15 @@ object Similarity {
   def pqTopK(e: DataFrame, queryPred: org.apache.spark.sql.Column,
       m: Int, k: Int, iters: Int, topK: Int, dims: Int = 64,
       rerank: Int = 0): DataFrame = {
-    val cb = pqTrain(e, m, k, iters, dims)
-    val codes = pqEncode(e, cb, m, dims).persist()
+    // localCheckpoint (not persist) at the train/encode stage boundaries:
+    // the trained codebook and the compressed codes are the tiny, reused
+    // artifacts every downstream subtree hangs off; cutting lineage here
+    // keeps the ADC/rerank plans LogicalRDD-rooted instead of dragging the
+    // whole train pipeline through every Catalyst/AQE re-plan (the r14
+    // QueryProbe showed q99/q100 spending ~1-1.5 s in driver gaps between
+    // sub-0.2 s jobs — plan size, not compute)
+    val cb = pqTrain(e, m, k, iters, dims).localCheckpoint()
+    val codes = pqEncode(e, cb, m, dims).localCheckpoint()
     val qs = e.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding"),
         graft.functions.VectorDot.dot(col("embedding"), col("embedding")).as("qn2"))
@@ -468,15 +475,19 @@ object Similarity {
       nlist: Int, nprobe: Int, m: Int, k: Int, iters: Int, topK: Int,
       dims: Int = 64, rerank: Int = 0): DataFrame = {
     val (index, cents) = ivfBuild(e, nlist)
+    // localCheckpoints at the stage boundaries (same rationale as pqTopK):
+    // residuals, codebook and codes are the reused artifacts; truncating
+    // lineage here keeps every downstream ADC subtree small instead of
+    // re-planning the full build pipeline per AQE stage
     val resid = index.join(broadcast(cents), col("cell") === col("cent_id"))
       .select(col("vec_id"), col("cell"),
         zip_with(col("embedding"), col("ce"), (x, y) => x - y).as("embedding"))
-      .persist()
+      .localCheckpoint()
     val cb = pqTrain(resid.select(col("vec_id"), col("embedding")),
-      m, k, iters, dims).persist()
+      m, k, iters, dims).localCheckpoint()
     val codes = pqEncode(resid.select(col("vec_id"), col("embedding")), cb, m, dims)
       .join(resid.select(col("vec_id"), col("cell")), Seq("vec_id"))
-      .persist()
+      .localCheckpoint()
     // (cell, sub, code) → dot(cell-centroid subvector, residual centroid)
     // and |r̂|² — the norm-correction table, nlist × m × k rows
     val cellLut = subvectors(
@@ -701,7 +712,10 @@ object Similarity {
   }
 
   private def q106(s: SparkSession, dir: String): DataFrame = {
-    val e = Fixtures.embeddings(s, dir)
+    // widen the single-split scan before the 96 interpreted decimal plane
+    // projections per vector (Engine.widen: AQE's byte-sized coalescer
+    // otherwise leaves this CPU-dense narrow stage single-task)
+    val e = graft.Engine.widen(Fixtures.embeddings(s, dir), col("vec_id"))
     // persist: the candidate self-join reads tb twice, and the 96 exact-
     // decimal projections per vector are interpreted — recomputing them on
     // both join sides doubles the most expensive narrow stage.
@@ -828,6 +842,9 @@ object Similarity {
   private[graft] def semDedup(s: SparkSession, dir: String, planes: Int): DataFrame = {
     require(planes >= 1 && planes <= 62, "bucket key must fit one long")
     val DEC38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    // NOT widened (measured, rejected r14): q110 is ~20 small stages over
+    // 2000 vectors; widening them all cost more in 32-task dispatch than
+    // the 0.3 s serial bucketing stage it parallelized (1.1 -> 1.7 s)
     val e = Fixtures.embeddings(s, dir)
     val bits = (0 until planes).map(j => planeBit(SemPlaneBase + j, 1L << j, 64))
     val r6 = transform(col("embedding"),
@@ -956,7 +973,11 @@ object Similarity {
     val cell = conv(substring(md5(concat(lit("cell:"), col("vec_id").cast("string"))),
       1, 4), 16, 10).cast("int") % nlist
     val n2fast = graft.functions.VectorDot.dot(col("embedding"), col("embedding"))
-    val tagged = e.select(col("vec_id"), col("embedding"), bkt.as("bkt"))
+    // widen before the interpreted decimal norms/pair dots (Engine.widen);
+    // the probe side stays a broadcast, so the widened index partitioning
+    // carries through the scoring join
+    val tagged = graft.Engine.widen(e, col("vec_id"))
+      .select(col("vec_id"), col("embedding"), bkt.as("bkt"))
     val index = tagged.filter(col("bkt") < 80)
       .select(col("vec_id").as("train_id"), col("embedding"), cell.as("cell"),
         n2fast.as("n2"), norm2Dec(col("embedding")).as("n2d"))

@@ -624,7 +624,10 @@ object TextAnalysis {
   private def q111(s: SparkSession, dir: String): DataFrame = {
     val toks = wsTokens(col("text"))
     val z = classifierZ
-    Fixtures.documents(s, dir)
+    // widen: the classifier's per-doc tokenize/feature projection is the
+    // CPU-dense stage and the single-split scan leaves it one task
+    // (Engine.widen; QueryProbe r14 measured 0.9 s of 1.1 s single-task)
+    graft.Engine.widen(Fixtures.documents(s, dir), col("doc_id"))
       .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
         graft.functions.Rounding.stable(z, 6).as("z"),
         when(z >= lit(0.0), 1).otherwise(0).as("pass"))
