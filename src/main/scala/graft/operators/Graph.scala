@@ -128,7 +128,12 @@ object Graph {
   // 1e6 to keep the two key spaces disjoint. 5 iterations, full node set
   // out, ordered by score (highest-centrality trading partners first).
   private def q117(s: SparkSession, dir: String): DataFrame = {
-    val li = Fixtures.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+    // widen the fact side before the broadcast join: the single-split scan
+    // otherwise leaves scan+join+partial-distinct fused on one task
+    // (Engine.widen; r14 QueryProbe: a 0.53 s 3-task edge-derivation job)
+    val li = graft.Engine.widen(
+      Fixtures.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+      col("l_orderkey"))
     val ord = Fixtures.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
     val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .select(col("l_suppkey").cast("long").as("src"),
@@ -250,7 +255,11 @@ object Graph {
 
   private def q133(s: SparkSession, dir: String): DataFrame =
     coPurchaseTriangles(
-      Fixtures.lineitem(s, dir).select(col("l_partkey").as("p"), col("l_orderkey"))
+      // widen the fact side before the broadcast join (same single-split
+      // scan serialization as q117's edge derivation; see Engine.widen)
+      graft.Engine.widen(
+          Fixtures.lineitem(s, dir).select(col("l_partkey").as("p"), col("l_orderkey")),
+          col("l_orderkey"))
         .join(Fixtures.orders(s, dir).select(col("o_orderkey"), col("o_custkey").as("c")),
           col("l_orderkey") === col("o_orderkey"))
         .select(col("p"), col("c")))
