@@ -17,45 +17,52 @@ import org.scalatest.funsuite.AnyFunSuite
   * thresholds, displacement in arbitrary id order) beyond one fixture's
   * structure.
   */
-class PipelineIncrPropSpec extends PipelineIncrPropBase {
-  test("random chunked delivery with overlaps converges to one-shot (4 seeds)") {
+class PipelineIncrPropFoldSpec extends PipelineIncrPropBase {
+  test("many tiny chunks drive rolling folds and winv re-bucketing to convergence (2 seeds)") {
+    // 12+ chunks: the rolling compaction rotates through all three
+    // bucketed families several times (fold= layers live and age out)
+    // and the flat window-log tails cross the FpCompactAt chunk-fold
+    // trigger — the round-13 machinery under RANDOM delivery, not just
+    // the fixture's shapes
     import spark.implicits._
     val rnd = new scala.util.Random(0)
-    for (seed <- 1 to 4) {
-      rnd.setSeed(seed * 7919L)
+    for (seed <- 1 to 2) {
+      rnd.setSeed(seed * 104729L)
       val corpus = randomCorpus(rnd)
-      // one-shot reference needs the union corpus as a fixture dir
-      val srcDir = Files.createTempDirectory(s"graft-ipp-src$seed").toString
+      val srcDir = Files.createTempDirectory(s"graft-ippf-src$seed").toString
       corpus.toDF("doc_id", "lang", "source", "text")
         .write.parquet(s"$srcDir/documents.parquet")
-      // random chunking in RANDOM order (not sorted by id: displacement
-      // must work in both directions), with ~20% of docs re-delivered in
-      // a later chunk than their first appearance
       val shuffled = rnd.shuffle(corpus)
-      val k = 3 + rnd.nextInt(3)
-      val cut = (1 until k).map(_ => rnd.nextInt(shuffled.size)).sorted
+      val k = 12 + rnd.nextInt(4)
+      val cut = (1 until k).map(_ => rnd.nextInt(shuffled.size)).distinct.sorted
       val chunks = ((0 +: cut) zip (cut :+ shuffled.size))
         .map { case (a, b) => shuffled.slice(a, b) }
-        .filter(_.nonEmpty)
-      val withOverlap = chunks.zipWithIndex.map { case (c, i) =>
-        if (i == 0) c
-        else c ++ chunks(rnd.nextInt(i)).filter(_ => rnd.nextInt(5) == 0)
-      }
-      val out = Files.createTempDirectory(s"graft-ipp-out$seed").toString
-      withOverlap.zipWithIndex.foreach { case (c, i) =>
+      val out = Files.createTempDirectory(s"graft-ippf-out$seed").toString
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        // empty slices run too: heartbeat epochs interleave with folds
         Pipeline.curateEpoch(c.toDF("doc_id", "lang", "source", "text"),
           out, Shards, i.toLong)
       }
+      // the deep delivery actually engaged the round-13 machinery
+      val lastCommit = java.nio.file.Files.list(
+          java.nio.file.Paths.get(s"$out/state/commit"))
+        .toArray.map(_.toString.split("epoch=").last.toLong).max
+      val ptr = spark.read.parquet(s"$out/state/commit/epoch=$lastCommit")
+        .filter(col("kind").isin("fp", "v", "k"))
+        .select(col("epoch")).collect().map(_.getLong(0))
+      assert(ptr.exists(_ < 0L),
+        s"seed $seed: ${chunks.size} epochs must have produced rolling folds")
+      assert(java.nio.file.Files.list(
+          java.nio.file.Paths.get(s"$out/state/winvc"))
+        .toArray.map(_.toString).count(_.contains("chunk=")) >= 2,
+        s"seed $seed: the flat winv tails must have re-bucketed into a chunk")
       val oneShot = Pipeline.curate(spark, srcDir,
-        Files.createTempDirectory(s"graft-ipp-ref$seed").toString, Shards)
+        Files.createTempDirectory(s"graft-ippf-ref$seed").toString, Shards)
       def rows(path: String): Seq[String] =
         spark.read.parquet(path).collect().map(_.toString).toSeq.sorted
       assert(rows(s"$out/corpus") === rows(oneShot.corpusPath), s"seed $seed corpus")
-      assert(rows(s"$out/manifest") === rows(oneShot.manifestPath), s"seed $seed manifest")
       assert(rows(s"$out/report") === rows(oneShot.reportPath), s"seed $seed report")
       assert(Pipeline.validateCorpus(spark, out).isEmpty, s"seed $seed validate")
-      assert(oneShot.docsKept > 0 && oneShot.docsKept < corpus.size,
-        s"seed $seed must exercise both keeps and drops (kept=${oneShot.docsKept}/${corpus.size})")
     }
   }
 
