@@ -18,6 +18,57 @@ import org.apache.spark.sql.SparkSession
   */
 object Engine {
 
+  /** Engine knob lookup: JVM system property first (so tests can flip a knob
+    * per-suite without forking), then the environment (how a deployment sets
+    * it). One name, two sources, string value.
+    */
+  private[graft] def conf(name: String): Option[String] =
+    sys.props.get(name).orElse(sys.env.get(name))
+
+  /** Boolean knob. Accepts `1`/`true` (any case) as true and `0`/`false` as
+    * false — both conventions appear in this repo's docs, and a raw
+    * `getOrElse` into a Spark conf turns `FLAG=1` into an
+    * IllegalArgumentException at session build (ADVICE r14).
+    */
+  private[graft] def confFlag(name: String, default: Boolean = false): Boolean =
+    conf(name).map(v => v == "1" || v.equalsIgnoreCase("true")).getOrElse(default)
+
+  private[graft] def confLong(name: String, default: Long): Long =
+    conf(name).map(_.toLong).getOrElse(default)
+
+  /** Reliable-vs-local checkpoint posture for EVERY iterative operator's
+    * per-round lineage cut (connected components, PQ/IVF-PQ stage
+    * boundaries, BPE merge rounds — one switch, not per-operator
+    * divergence). Local checkpoints are cheaper (no second materialization,
+    * no durable write) but die with an executor; a multi-round job on a real
+    * cluster then restarts from scratch. Default: local on `local[*]`
+    * masters (a lost "executor" is a lost JVM anyway), reliable otherwise —
+    * override either way with `SPARK_GRAFT_RELIABLE_CKPT=1|0`.
+    * `SPARK_GRAFT_CC_RELIABLE_CKPT=1` (the r14 spelling) still forces
+    * reliable for back-compat.
+    */
+  private[graft] def reliableCheckpoints(s: SparkSession): Boolean =
+    confFlag("SPARK_GRAFT_RELIABLE_CKPT",
+      default = !s.sparkContext.master.startsWith("local")) ||
+      confFlag("SPARK_GRAFT_CC_RELIABLE_CKPT")
+
+  /** Cut lineage at an iterative operator's stage/round boundary, honoring
+    * the deployment's fault-tolerance posture ([[reliableCheckpoints]]).
+    * `eager = false` defers materialization to the first consuming action
+    * (one job instead of two — the BPE r14 lesson) and is only meaningful
+    * for the local flavor; reliable checkpoints are always eager.
+    */
+  def cutLineage(df: org.apache.spark.sql.DataFrame,
+      eager: Boolean = true): org.apache.spark.sql.DataFrame = {
+    val s = df.sparkSession
+    if (reliableCheckpoints(s)) {
+      if (s.sparkContext.getCheckpointDir.isEmpty)
+        s.sparkContext.setCheckpointDir(
+          s"${System.getProperty("java.io.tmpdir")}/graft-ckpt")
+      df.checkpoint()
+    } else df.localCheckpoint(eager)
+  }
+
   /** Widen a DataFrame to the session's full shuffle parallelism ahead of a
     * CPU-dense narrow stage (tokenize/shingle/hash/decimal-fold projections).
     *
@@ -42,6 +93,28 @@ object Engine {
     if (cols.isEmpty) df.repartition(n) else df.repartition(n, cols: _*)
   }
 
+  /** [[widen]] iff the input is worth widening — the r14 lesson made a
+    * size condition instead of a blanket: the explicit 32-way exchange costs
+    * a fixed ~0.1–0.3 s of dispatch + shuffle, so on a sub-second query over
+    * a few hundred KB it LOSES more than the serialized stage it
+    * parallelizes (driver r14: q115 0.4→0.54, q122 0.62→0.91). Sites whose
+    * per-row work is light (plain tokenize/count aggregates) call this; the
+    * widen re-engages when the optimizer's size estimate for the input
+    * passes `SPARK_GRAFT_WIDEN_MIN_BYTES` (default 8 MiB — at ~100 MB/s
+    * single-core tokenize throughput that is the ≥ ~0.3 s serialized-stage
+    * rule from the r14 A/Bs). Sites whose per-row work is heavy (shingling,
+    * 64-hash minhash, decimal rescoring — serialized cost ≥0.3 s even on
+    * sf0.1 inputs) keep calling [[widen]] unconditionally: the threshold is
+    * per-site because the break-even point scales with per-row cost, not
+    * bytes alone.
+    */
+  def widenIf(df: org.apache.spark.sql.DataFrame,
+      cols: org.apache.spark.sql.Column*): org.apache.spark.sql.DataFrame = {
+    val minBytes = confLong("SPARK_GRAFT_WIDEN_MIN_BYTES", 8L * 1024 * 1024)
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est < minBytes) df else widen(df, cols: _*)
+  }
+
   /** Apply the engine's standard configuration to a builder. */
   def configure(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
     b.withExtensions(new plans.GraftExtensions)
@@ -64,7 +137,7 @@ object Engine {
       // default for deployments that want sort-merge's unconditional spill
       // safety.
       .config("spark.sql.join.preferSortMergeJoin",
-        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
+        confFlag("SPARK_GRAFT_PREFER_SMJ").toString)
       // events.ts is parquet TIMESTAMP(NANOS) which Spark's reader rejects;
       // read it as a raw long and convert (ns → µs) in Fixtures.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -16,7 +16,10 @@ object PlanDump {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val outDir = sys.env.getOrElse("SPARK_GRAFT_PLAN_DIR", "plans/r14")
+    // default to a scratch dir, NOT a round's committed artifact dir — a
+    // forgotten env var must not silently mix new dumps into a past round's
+    // record (ADVICE r14)
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_PLAN_DIR", "plans/dev")
     val tag = sys.env.getOrElse("SPARK_GRAFT_PLAN_TAG", "before")
     val spark = Engine.configure(
       SparkSession.builder().master(s"local[$cpus]"),

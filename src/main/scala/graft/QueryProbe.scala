@@ -68,8 +68,15 @@ object QueryProbe {
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         t = (System.nanoTime() - t0) / 1e9
       }
-      // listener events are async; give the bus a beat to drain
-      Thread.sleep(300)
+      // listener events are async: drain the bus before reading the
+      // accumulator (a fixed sleep races on a loaded box — ADVICE r14).
+      // waitUntilEmpty is private[spark], which is public at the bytecode
+      // level; the sleep stays as a fallback if the internals move.
+      try {
+        val bus = spark.sparkContext.getClass.getMethod("listenerBus")
+          .invoke(spark.sparkContext)
+        bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      } catch { case scala.util.control.NonFatal(_) => Thread.sleep(300) }
       println(f"== $name%s  wall=${t}%.3f s  jobs=${acc.jobs.size}%d")
       acc.jobs.values.foreach { j =>
         println(f"   job ${j.id}%4d  ${(j.t1 - j.t0) / 1000.0}%7.3f s  stages=${j.stages}%2d tasks=${j.tasks}%4d  shufR=${j.shufR / 1024}%8d KiB shufW=${j.shufW / 1024}%8d KiB  ${j.desc.take(60)}%s")

@@ -94,14 +94,16 @@ object Bpe {
     */
   def trainMergesWithVocab(docs: DataFrame,
       numMerges: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
-    // LAZY localCheckpoints: each round's only action is the argmax collect,
+    // LAZY lineage cuts (Engine.cutLineage — reliable checkpoints on real
+    // clusters via SPARK_GRAFT_RELIABLE_CKPT, local here): each round's
+    // only action is the argmax collect,
     // which materializes the pending checkpoint as a side effect — one job
     // per merge round instead of two (QueryProbe r14: the eager variant ran
     // 42 jobs for 12 merges, half of them dedicated checkpoint
     // materializations of a vocab the next action re-read immediately).
     // Lineage is still truncated once materialized, so plan depth stays one
     // merge regardless of rank, same as before.
-    var vocab = weightedVocab(docs).localCheckpoint(false)
+    var vocab = graft.Engine.cutLineage(weightedVocab(docs), eager = false)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var r = 0
     var exhausted = false
@@ -113,9 +115,9 @@ object Bpe {
       else {
         val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((r + 1, a, b, cnt))
-        vocab = vocab
-          .select(mergePair(col("symbols"), a, b).as("symbols"), col("n"))
-          .localCheckpoint(false)
+        vocab = graft.Engine.cutLineage(vocab
+          .select(mergePair(col("symbols"), a, b).as("symbols"), col("n")),
+          eager = false)
         r += 1
       }
     }

@@ -375,18 +375,31 @@ object Dedup {
     * oracle. At fixpoint the edge set is a disjoint union of stars centered
     * at each component's minimum node.
     *
-    * Fault tolerance at cluster scale: per-round checkpoints. The DEFAULT is
-    * an eager `localCheckpoint` — same lineage bound, blocks live in executor
-    * memory/disk ([[Graph.pagerank]]'s posture). A RELIABLE `checkpoint()`
-    * (survives executor loss; `setCheckpointDir` on durable storage) is one
-    * env flag away: `SPARK_GRAFT_CC_RELIABLE_CKPT=1`. Reliable is NOT the
-    * local default because `RDD.checkpoint` materializes the round TWICE —
-    * once for the eager action and once more in the checkpoint-write job
-    * (the classic persist-before-checkpoint caveat) — plus a disk
-    * write+read per round; the round-14 QueryProbe measured that double
-    * cost on every CC consumer (q39/q88/q94/q135). On a long-lived cluster
-    * job the re-run-from-scratch risk dominates and the flag flips the
-    * trade the other way.
+    * Fault tolerance at cluster scale: per-round checkpoints via
+    * [[graft.Engine.cutLineage]] — local (cheap) on `local[*]`, RELIABLE
+    * `checkpoint()` by default on any real master, overridable either way
+    * with `SPARK_GRAFT_RELIABLE_CKPT`. Reliable is not the local default
+    * because `RDD.checkpoint` materializes the round TWICE — once for the
+    * eager action and once more in the checkpoint-write job (the classic
+    * persist-before-checkpoint caveat) — plus a disk write+read per round;
+    * the round-14 QueryProbe measured that double cost on every CC consumer
+    * (q39/q88/q94/q135). On a long-lived cluster job the
+    * re-run-from-scratch risk dominates and the default flips with the
+    * master.
+    *
+    * Small-graph fast path (guide §2.5 — parallelism matched to data size):
+    * once the observed edge count is at or below
+    * `SPARK_GRAFT_CC_LOCAL_EDGES` (default 500 000; 0 disables), the
+    * remaining contraction rounds collapse into ONE single-task union-find
+    * job over the checkpointed edge set. Each distributed round costs 4–6
+    * AQE stage waves of sub-100 ms jobs — pure scheduling latency on a
+    * small edge set (~0.8–1 s per CC consumer at sf0.1, r14 QueryProbe) —
+    * while a 500 k-edge union-find runs in tens of ms in one task. At
+    * corpus scale the loop starts distributed and switches over when
+    * contraction shrinks the edge set under the bound; labels are
+    * identical (union-find with min-root returns each node's component
+    * minimum — exactly the star fixpoint's labels, property-checked in
+    * ConnectedComponentsSpec and by the q39/q88/q94/q135 oracles).
     */
   def connectedComponents(edges: DataFrame): DataFrame =
     connectedComponentsWithRounds(edges)._1
@@ -421,12 +434,45 @@ object Dedup {
       .distinct()
   }
 
+  /** Single-task min-root union-find over a (hi, lo) edge set: returns
+    * `(node, lbl)` for every node in the edge set, lbl = component minimum
+    * — the same labels the star contraction converges to. Used below the
+    * `SPARK_GRAFT_CC_LOCAL_EDGES` bound, where one task beats rounds of
+    * sub-100 ms distributed jobs (see [[connectedComponents]] scaladoc).
+    */
+  private def localComponents(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    e.select(col("hi"), col("lo")).as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.get(r) != r) r = parent.get(r)
+          var c = x // path compression (value updates only — keySet stable)
+          while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+          r
+        }
+        it.foreach { case (a, b) =>
+          if (!parent.containsKey(a)) parent.put(a, a)
+          if (!parent.containsKey(b)) parent.put(b, b)
+          val ra = find(a); val rb = find(b)
+          // min root ⇒ find() is the component minimum
+          if (ra < rb) parent.put(rb, ra)
+          else if (rb < ra) parent.put(ra, rb)
+        }
+        val out = Array.newBuilder[(Long, Long)]
+        val ks = parent.keySet().iterator()
+        while (ks.hasNext) { val k = ks.next(); out += ((k, find(k))) }
+        out.result().iterator
+      }
+      .toDF("node", "lbl")
+  }
+
   private[graft] def connectedComponentsWithRounds(edges: DataFrame): (DataFrame, Int) = {
     val spark = edges.sparkSession
-    val reliable = sys.env.get("SPARK_GRAFT_CC_RELIABLE_CKPT").exists(_ == "1")
-    if (reliable && spark.sparkContext.getCheckpointDir.isEmpty)
-      spark.sparkContext.setCheckpointDir(
-        s"${System.getProperty("java.io.tmpdir")}/graft-ckpt")
+    val localEdgeBound = graft.Engine.confLong("SPARK_GRAFT_CC_LOCAL_EDGES", 500000L)
     // canonical undirected edges (hi > lo), self-loops dropped; checkpointed
     // so rounds don't re-derive the upstream pipeline (minhash + verify)
     // Convergence = edge-set signature stable across a full round. The
@@ -442,8 +488,7 @@ object Dedup {
         .observe(obs, count(lit(1)).as("cnt"),
           coalesce(expr("bit_xor(__h)"), lit(0L)).as("xr"))
         .drop("__h")
-      val ckpt = if (reliable) out.checkpoint() else out.localCheckpoint()
-      (ckpt, obs)
+      (graft.Engine.cutLineage(out), obs)
     }
     def sigOf(obs: org.apache.spark.sql.Observation): (Long, Long) =
       (obs.get("cnt").asInstanceOf[Long], obs.get("xr").asInstanceOf[Long])
@@ -456,6 +501,11 @@ object Dedup {
     var rounds = 0
     var converged = false
     val maxRounds = 64
+    // fast path: contraction preserves connectivity over the same node set,
+    // so union-find on the CURRENT edge set yields the final labels whether
+    // the loop has run 0 rounds or stopped mid-contraction
+    if (localEdgeBound > 0 && prev._1 <= localEdgeBound)
+      return (localComponents(e), rounds)
     while (!converged && rounds < maxRounds) {
       val (next, obs) = withSig(smallStar(largeStar(e)))
       val cur = sigOf(obs)
@@ -469,6 +519,11 @@ object Dedup {
       prev = cur
       e = next
       rounds += 1
+      // mid-loop switchover: once contraction shrinks the live edge set
+      // under the bound, one union-find task finishes the job instead of
+      // O(log n) more rounds of stage waves
+      if (!converged && localEdgeBound > 0 && cur._1 <= localEdgeBound)
+        return (localComponents(e), rounds)
     }
     if (!converged)
       // Loud failure beats silently returning half-contracted labels: the

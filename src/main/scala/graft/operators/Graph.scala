@@ -62,6 +62,51 @@ import org.apache.spark.storage.StorageLevel
   */
 object Graph {
 
+  /** Single-task evaluation of the SAME integer recurrence (early exit
+    * included) for edge sets at or below `SPARK_GRAFT_PR_LOCAL_EDGES`:
+    * every superstep of the distributed loop costs several AQE stage waves
+    * plus a broadcast build over a vertex-sized state table — pure
+    * scheduling latency when the whole graph is a few MB (guide §2.5,
+    * parallelism matched to data size; the r14 scaling block measured q117
+    * at ratio 0.48 — 32 cores SLOWER than 8 on the superstep cadence). All
+    * arithmetic is the declared positive-BIGINT floor recurrence, so the
+    * result is bit-identical to the distributed loop (GraphSpec pins
+    * fast ≡ distributed ≡ sequential-reference).
+    */
+  private def localPagerank(e: DataFrame, iters: Int,
+      init: Long, base: Long): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    e.select(col("src").cast("long"), col("dst").cast("long")).as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val edges = it.toArray
+        val deg = scala.collection.mutable.LongMap.empty[Long]
+        edges.foreach { case (s, _) => deg(s) = deg.getOrElse(s, 0L) + 1L }
+        // superstep 1: every source holds exactly `init`
+        var inmass = scala.collection.mutable.LongMap.empty[Long]
+        edges.foreach { case (s, d) =>
+          inmass(d) = inmass.getOrElse(d, 0L) + ((init / deg(s)) * 85L) / 100L
+        }
+        var round = 1
+        var fixed = false
+        while (round < iters && !fixed) {
+          val next = scala.collection.mutable.LongMap.empty[Long]
+          edges.foreach { case (s, d) =>
+            next(d) = next.getOrElse(d, 0L) +
+              (((base + inmass.getOrElse(s, 0L)) / deg(s)) * 85L) / 100L
+          }
+          fixed = next == inmass // exact fixed point ⇒ all later rounds identical
+          inmass = next
+          round += 1
+        }
+        val nodes = scala.collection.mutable.LongMap.empty[Unit]
+        edges.foreach { case (s, d) => nodes(s) = (); nodes(d) = () }
+        nodes.keysIterator.map(n => (n, base + inmass.getOrElse(n, 0L)))
+      }
+      .toDF("node", "score")
+  }
+
   /** Integer-scaled PageRank over an edge list (`src: long, dst: long`).
     * Returns `(node, score)` with score in 1e-12 units, bit-identical to
     * running the recurrence exactly `iters` times.
@@ -69,6 +114,11 @@ object Graph {
   def pagerank(edges: DataFrame, iters: Int,
       init: Long = 1000000000000L, base: Long = 150000000000L): DataFrame = {
     val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    // sub-bound graphs run the whole loop in one task (see localPagerank);
+    // the count rides the persisted edge table every downstream path needs
+    val localBound = graft.Engine.confLong("SPARK_GRAFT_PR_LOCAL_EDGES", 1000000L)
+    if (iters > 0 && localBound > 0 && e.count() <= localBound)
+      return localPagerank(e, iters, init, base)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst")))
       .distinct()
@@ -208,10 +258,19 @@ object Graph {
         when(col("rx") < col("ry"), col("y")).otherwise(col("x")).as("v"),
         greatest(col("rx"), col("ry")).as("rv"))
       .persist() // read thrice: two wedge sides + the closure probe
-    val tri = dirE.as("e1").join(dirE.as("e2"),
+    // SHUFFLE_MERGE on the two triangle joins: the wedge join explodes
+    // O(Σ outdeg²) rows and the closure probes them against the edge set —
+    // with the engine-wide SHJ default (Engine.scala) the planner would
+    // build an in-memory hash map over the exploded wedge side, the one
+    // join family where r14's A/B (and the driver's run: q133 2.6→5.8 s)
+    // measured SHJ consistently LOSING to sort-merge. The hint scopes the
+    // exception to these joins; every other join in the query keeps the
+    // engine default.
+    val tri = dirE.as("e1").hint("shuffle_merge").join(
+        dirE.as("e2").hint("shuffle_merge"),
         col("e1.u") === col("e2.u") && col("e1.rv") < col("e2.rv"))
       .select(col("e1.u").as("ta"), col("e1.v").as("tb"), col("e2.v").as("tc"))
-      .join(dirE.as("e3"),
+      .join(dirE.as("e3").hint("shuffle_merge"),
         col("tb") === col("e3.u") && col("tc") === col("e3.v"))
       .select(col("ta"), col("tb"), col("tc"))
     tri.select(explode(array(col("ta"), col("tb"), col("tc"))).as("node"))

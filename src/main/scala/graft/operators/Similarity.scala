@@ -353,7 +353,16 @@ object Similarity {
     */
   private val TrainSampleMod = 4
   def pqTrain(e: DataFrame, m: Int, k: Int, iters: Int, dims: Int = 64): DataFrame = {
-    val sv = subvectors(e, m, dims).persist()
+    // r15 persist-graph trim (the r14 "not yet" item: pqTrain's cache chain
+    // was the remaining q99/q100 plan-size driver). The full subvector view
+    // is NOT persisted: its two consumers are FILTERS — the train sample
+    // and the k seed rows — and un-cached they push straight into the
+    // parquet scan (the seed read touches k rows instead of a cached full
+    // corpus materialization). Only the train sample, read twice per Lloyd
+    // iteration, is persisted; per-iteration codebooks are LAZY lineage
+    // cuts (m×k rows — keeps iteration plans flat without a cache entry or
+    // a dedicated materialization job per round).
+    val sv = subvectors(e, m, dims)
     val svTrain =
       if (iters == 0) sv
       else sv.filter(pmod(col("vec_id"), lit(TrainSampleMod)) === 0 ||
@@ -361,17 +370,16 @@ object Similarity {
     var cb = sv.filter(col("vec_id") < k)
       .select(col("sub"), col("vec_id").cast("int").as("code"), col("sv").as("cent"),
         graft.functions.VectorDot.dot(col("sv"), col("sv")).as("cn2"))
-      .persist()
     val vmean = udaf(new graft.functions.VectorMean(9),
       org.apache.spark.sql.Encoders.product[graft.functions.VecIn])
     for (_ <- 1 to iters) {
-      cb = assignCodes(svTrain, cb)
+      cb = graft.Engine.cutLineage(assignCodes(svTrain, cb)
         .join(svTrain, Seq("vec_id", "sub"))
         .groupBy(col("sub"), col("code"))
         .agg(vmean(col("sv")).as("cent"))
         .select(col("sub"), col("code"), col("cent"),
-          graft.functions.VectorDot.dot(col("cent"), col("cent")).as("cn2"))
-        .persist()
+          graft.functions.VectorDot.dot(col("cent"), col("cent")).as("cn2")),
+        eager = false)
     }
     cb
   }
@@ -395,15 +403,20 @@ object Similarity {
   def pqTopK(e: DataFrame, queryPred: org.apache.spark.sql.Column,
       m: Int, k: Int, iters: Int, topK: Int, dims: Int = 64,
       rerank: Int = 0): DataFrame = {
-    // localCheckpoint (not persist) at the train/encode stage boundaries:
+    // Lineage cuts at the train/encode stage boundaries (Engine.cutLineage):
     // the trained codebook and the compressed codes are the tiny, reused
     // artifacts every downstream subtree hangs off; cutting lineage here
     // keeps the ADC/rerank plans LogicalRDD-rooted instead of dragging the
     // whole train pipeline through every Catalyst/AQE re-plan (the r14
     // QueryProbe showed q99/q100 spending ~1-1.5 s in driver gaps between
-    // sub-0.2 s jobs — plan size, not compute)
-    val cb = pqTrain(e, m, k, iters, dims).localCheckpoint()
-    val codes = pqEncode(e, cb, m, dims).localCheckpoint()
+    // sub-0.2 s jobs — plan size, not compute). r15: LAZY (the first
+    // consuming action materializes — no dedicated materialization job, the
+    // BPE r14 lesson) and the codebook coalesces to ONE partition first:
+    // m×k rows is scale-INDEPENDENT model state, so 32-way partitioning of
+    // it is 31 empty tasks in every job that touches it.
+    val cb = graft.Engine.cutLineage(
+      pqTrain(e, m, k, iters, dims).coalesce(1), eager = false)
+    val codes = graft.Engine.cutLineage(pqEncode(e, cb, m, dims), eager = false)
     val qs = e.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding"),
         graft.functions.VectorDot.dot(col("embedding"), col("embedding")).as("qn2"))
@@ -475,19 +488,24 @@ object Similarity {
       nlist: Int, nprobe: Int, m: Int, k: Int, iters: Int, topK: Int,
       dims: Int = 64, rerank: Int = 0): DataFrame = {
     val (index, cents) = ivfBuild(e, nlist)
-    // localCheckpoints at the stage boundaries (same rationale as pqTopK):
+    // Lineage cuts at the stage boundaries (same rationale as pqTopK):
     // residuals, codebook and codes are the reused artifacts; truncating
     // lineage here keeps every downstream ADC subtree small instead of
-    // re-planning the full build pipeline per AQE stage
-    val resid = index.join(broadcast(cents), col("cell") === col("cent_id"))
-      .select(col("vec_id"), col("cell"),
-        zip_with(col("embedding"), col("ce"), (x, y) => x - y).as("embedding"))
-      .localCheckpoint()
-    val cb = pqTrain(resid.select(col("vec_id"), col("embedding")),
-      m, k, iters, dims).localCheckpoint()
-    val codes = pqEncode(resid.select(col("vec_id"), col("embedding")), cb, m, dims)
-      .join(resid.select(col("vec_id"), col("cell")), Seq("vec_id"))
-      .localCheckpoint()
+    // re-planning the full build pipeline per AQE stage. r15: lazy cuts
+    // (first consumer materializes — no dedicated jobs) and the
+    // scale-independent codebook (m×k rows) coalesces to one partition.
+    val resid = graft.Engine.cutLineage(
+      index.join(broadcast(cents), col("cell") === col("cent_id"))
+        .select(col("vec_id"), col("cell"),
+          zip_with(col("embedding"), col("ce"), (x, y) => x - y).as("embedding")),
+      eager = false)
+    val cb = graft.Engine.cutLineage(
+      pqTrain(resid.select(col("vec_id"), col("embedding")),
+        m, k, iters, dims).coalesce(1), eager = false)
+    val codes = graft.Engine.cutLineage(
+      pqEncode(resid.select(col("vec_id"), col("embedding")), cb, m, dims)
+        .join(resid.select(col("vec_id"), col("cell")), Seq("vec_id")),
+      eager = false)
     // (cell, sub, code) → dot(cell-centroid subvector, residual centroid)
     // and |r̂|² — the norm-correction table, nlist × m × k rows
     val cellLut = subvectors(

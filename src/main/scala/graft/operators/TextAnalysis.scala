@@ -330,7 +330,7 @@ object TextAnalysis {
     // materialized once: feeds the total count, the LM aggregation AND the
     // scoring join (lineage would recompute the tokenize 3×)
     val toks = Fixtures.documents(s, dir)
-      .transform(graft.Engine.widen(_, col("doc_id")))
+      .transform(graft.Engine.widenIf(_, col("doc_id"))) // size-gated: light tokenize (see Engine.widenIf)
       .select(col("doc_id"), explode(wsTokens(col("text"))).as("term"))
       .localCheckpoint()
     val totals = toks.agg(count(lit(1)).as("t")) // 1 row, safe to pin
@@ -372,7 +372,7 @@ object TextAnalysis {
       slice(toks, lit(2), greatest(n - 1, lit(0))),
       (a, b) => concat(a, lit(" "), b))
     Fixtures.documents(s, dir)
-      .transform(graft.Engine.widen(_, col("doc_id"))) // widen single-file scan (see Dedup.docShingles)
+      .transform(graft.Engine.widenIf(_, col("doc_id"))) // size-gated: light bigram count (see Engine.widenIf)
       .select(explode(bgs).as("bg"))
       .groupBy(col("bg")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bg"))
@@ -897,7 +897,7 @@ object TextAnalysis {
   private val ChunkLangTokens = 32
   private def q115(s: SparkSession, dir: String): DataFrame = {
     val words = Fixtures.documents(s, dir)
-      .transform(graft.Engine.widen(_, col("doc_id")))
+      .transform(graft.Engine.widenIf(_, col("doc_id"))) // size-gated: light stopword sums (see Engine.widenIf)
       .select(col("doc_id"), posexplode(wsTokens(col("text"))).as(Seq("pos", "term")))
     val aggs = stopwords.map { case (l, ws) =>
       sum(when(col("term").isin(ws: _*), 1).otherwise(0)).as(s"s_$l")
@@ -1041,7 +1041,7 @@ object TextAnalysis {
       slice(toks, lit(2), greatest(n - 1, lit(0))),
       (a, b) => struct(a.as("w1"), b.as("w2")))
     val docs = Fixtures.documents(s, dir)
-      .transform(graft.Engine.widen(_, col("doc_id"))) // widen single-file scan (see Dedup.docShingles)
+      .transform(graft.Engine.widenIf(_, col("doc_id"))) // size-gated: light bigram/unigram counts (see Engine.widenIf)
     val bi = docs.select(explode(bgs).as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))

@@ -65,6 +65,35 @@ class BenchJsonSpec extends AnyFunSuite {
       assert(line.contains(k), s"missing $k")
   }
 
+  test("mins key: absent on idle runs, capped + budget-bounded on contended ones") {
+    // idle: min ≈ median everywhere → no mins selected, no key rendered
+    val idle = SparkEntry.queries.keys.toSeq.map(n => n -> ((1.0, 0.97)))
+    assert(Bench.contendedMins(idle).isEmpty)
+    assert(!Bench.renderJson(idle.map { case (k, (m, _)) => k -> m },
+      Seq.empty, 3, "/dir", mins = Bench.contendedMins(idle)).contains("\"mins\""))
+    // contended: a sub-0.5 s query never qualifies; big deltas win the cap
+    val contended = Seq(
+      "q1_filter_agg" -> ((0.4, 0.1)), // median < 0.5 s: excluded
+      "q100_ann_ivfpq" -> ((17.0, 2.9)),
+      "q40_tfidf_topterms" -> ((5.7, 1.1))) ++
+      (1 to 10).map(i => s"q${i + 200}_x" -> ((1.0, 0.5)))
+    val mins = Bench.contendedMins(contended)
+    assert(mins.size == 6, s"cap at 6: $mins")
+    assert(mins.head._1 == "q100_ann_ivfpq" && mins(1)._1 == "q40_tfidf_topterms")
+    val line = Bench.renderJson(contended.map { case (k, (m, _)) => k -> m },
+      Seq.empty, 3, "/dir", mins = mins)
+    assert(line.contains("\"mins\":{\"q100\":2.9"), line)
+    // the full inventory at worst-case widths must still fit the window
+    // even when 6 long-name mins render
+    val names = SparkEntry.queries.keys.toSeq
+    val worst = Bench.renderJson(names.map(_ -> 123.456789012), Seq.empty, 3,
+      "/root/testdata/sf0.1",
+      mins = Seq("q143_approx_diversity", "q143_ngram_diversity",
+        "q10_approx_distinct", "q10_distinct", "q100_ann_ivfpq",
+        "q104_decontamination").map(_ -> 12.345))
+    assert(worst.length < 1900, s"worst-case line with mins: ${worst.length}")
+  }
+
   test("load averages render in the line so a contended run is self-evident") {
     val line = Bench.renderJson(Seq("q1_filter_agg" -> 1.0), Seq.empty, 3,
       "/dir", 2.5, 31.75)

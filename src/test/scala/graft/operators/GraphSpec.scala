@@ -13,6 +13,27 @@ class GraphSpec extends AnyFunSuite {
 
   private val Init = 1000000000000L
   private val Base = 150000000000L
+  private val LocalKnob = "SPARK_GRAFT_PR_LOCAL_EDGES"
+
+  /** Pin the sub-bound local fast path off (knob=0) or on (knob absent →
+    * default bound) around `body`, restoring the previous value. */
+  private def withKnob[A](v: Option[String])(body: => A): A = {
+    val saved = sys.props.get(LocalKnob)
+    v match { case Some(x) => sys.props(LocalKnob) = x; case None => sys.props -= LocalKnob }
+    try body
+    finally saved match {
+      case Some(x) => sys.props(LocalKnob) = x
+      case None => sys.props -= LocalKnob
+    }
+  }
+
+  /** Distributed superstep loop (fast path disabled). */
+  private def prDistributed(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    withKnob(Some("0")) {
+      import spark.implicits._
+      Graph.pagerank(edges.toDF("src", "dst"), iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
 
   /** Sequential reference: the exact integer recurrence, evaluated in plain
     * Scala maps (no Spark). */
@@ -30,20 +51,31 @@ class GraphSpec extends AnyFunSuite {
   }
 
   test("distributed loop equals the sequential integer recurrence") {
-    import spark.implicits._
     // cycle + chord + sink: exercises in-degree 0, out-degree 0 (dangling),
     // and multi-in-edge accumulation in one graph
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (3L, 4L))
-    val got = Graph.pagerank(edges.toDF("src", "dst"), iters = 5)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got === refPagerank(edges, 5))
+    assert(prDistributed(edges, 5) === refPagerank(edges, 5))
+  }
+
+  test("local fast path ≡ distributed loop ≡ sequential recurrence (3 graphs)") {
+    import spark.implicits._
+    val graphs = Seq(
+      Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (3L, 4L)), // cycle+chord+sink
+      Seq((1L, 10L), (1L, 11L), (2L, 10L), (3L, 11L)),       // bipartite (early exit)
+      (0L until 40L).flatMap(i => Seq((i, (i + 1) % 40), (i, (i + 7) % 40)))
+        .filter(e => e._1 != e._2))                          // dense ring
+    for (edges <- graphs) {
+      val fast = withKnob(None) {
+        Graph.pagerank(edges.toDF("src", "dst"), iters = 6)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
+      assert(fast === refPagerank(edges, 6), "fast path vs sequential reference")
+      assert(fast === prDistributed(edges, 6), "fast path vs distributed loop")
+    }
   }
 
   test("node with no in-edges holds exactly the base score") {
-    import spark.implicits._
-    val got = Graph.pagerank(Seq((1L, 2L), (1L, 3L)).toDF("src", "dst"), iters = 3)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got(1L) === Base)
+    assert(prDistributed(Seq((1L, 2L), (1L, 3L)), 3)(1L) === Base)
   }
 
   test("plan depth is constant in iters: each superstep materializes (iters=15 plans like iters=2)") {
@@ -51,8 +83,10 @@ class GraphSpec extends AnyFunSuite {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (3L, 4L))
     def joins(df: org.apache.spark.sql.DataFrame): Int =
       "Join".r.findAllIn(df.queryExecution.optimizedPlan.toString).size
-    val deep = Graph.pagerank(edges.toDF("src", "dst"), iters = 15)
-    val shallow = Graph.pagerank(edges.toDF("src", "dst"), iters = 2)
+    val (deep, shallow) = withKnob(Some("0")) {
+      (Graph.pagerank(edges.toDF("src", "dst"), iters = 15),
+        Graph.pagerank(edges.toDF("src", "dst"), iters = 2))
+    }
     // every round eagerly localCheckpoints its in-mass, so the RETURNED
     // plan is always `nodes ⨝ LogicalRDD` — O(1) joins however large
     // iters is (no lineage-blowup mode)
