@@ -258,19 +258,15 @@ object Graph {
         when(col("rx") < col("ry"), col("y")).otherwise(col("x")).as("v"),
         greatest(col("rx"), col("ry")).as("rv"))
       .persist() // read thrice: two wedge sides + the closure probe
-    // SHUFFLE_MERGE on the two triangle joins: the wedge join explodes
-    // O(Σ outdeg²) rows and the closure probes them against the edge set —
-    // with the engine-wide SHJ default (Engine.scala) the planner would
-    // build an in-memory hash map over the exploded wedge side, the one
-    // join family where r14's A/B (and the driver's run: q133 2.6→5.8 s)
-    // measured SHJ consistently LOSING to sort-merge. The hint scopes the
-    // exception to these joins; every other join in the query keeps the
-    // engine default.
-    val tri = dirE.as("e1").hint("shuffle_merge").join(
-        dirE.as("e2").hint("shuffle_merge"),
+    // NOTE (r15): SHUFFLE_MERGE hints on these two joins were tried twice
+    // against the engine-wide SHJ default — r14 (hinted 3.5 s vs unhinted
+    // 3.2 s) and r15 (alternating idle A/B: hinted 4.9 s vs unhinted
+    // 2.9 s) — and lost both times; the r14 driver's q133 5.8 s reading
+    // that motivated them did not reproduce at idle. Unhinted stays.
+    val tri = dirE.as("e1").join(dirE.as("e2"),
         col("e1.u") === col("e2.u") && col("e1.rv") < col("e2.rv"))
       .select(col("e1.u").as("ta"), col("e1.v").as("tb"), col("e2.v").as("tc"))
-      .join(dirE.as("e3").hint("shuffle_merge"),
+      .join(dirE.as("e3"),
         col("tb") === col("e3.u") && col("tc") === col("e3.v"))
       .select(col("ta"), col("tb"), col("tc"))
     tri.select(explode(array(col("ta"), col("tb"), col("tc"))).as("node"))
