@@ -80,10 +80,19 @@ object Clustering {
       .persist(StorageLevel.MEMORY_AND_DISK)
     // seed cid = rank of vec_id among the k smallest — the window runs on
     // k rows post-limit, so the single-partition sort is model-sized
-    var cents = qdocs.orderBy(col("vec_id")).limit(k)
-      .select((row_number().over(Window.orderBy(col("vec_id"))) - 1).as("cid"),
-        col("qv").as("cv"))
-      .localCheckpoint()
+    // model-state lineage cuts are LAZY and single-partition (r15): the
+    // centroid table is k rows at ANY scale, so a dedicated 32-partition
+    // eager materialization job per Lloyd round was pure cadence — the
+    // next round's broadcast build materializes the pending cut instead
+    // (one job per round, not two), and one partition keeps every
+    // downstream read single-task-sized. Same posture as the PQ codebook
+    // (Similarity.pqTopK); reliable-checkpoint deployments flip all of
+    // them with SPARK_GRAFT_RELIABLE_CKPT.
+    var cents = graft.Engine.cutLineage(
+      qdocs.orderBy(col("vec_id")).limit(k)
+        .select((row_number().over(Window.orderBy(col("vec_id"))) - 1).as("cid"),
+          col("qv").as("cv"))
+        .coalesce(1), eager = false)
 
     def distances(c: DataFrame): DataFrame =
       qdocs.crossJoin(broadcast(c))
@@ -115,7 +124,8 @@ object Clustering {
           x => x.getField("c")).as("cv"))
       // a cluster with no members keeps its previous centroid
       val carried = cents.join(next.select(col("cid")), Seq("cid"), "left_anti")
-      cents = next.unionByName(carried).localCheckpoint()
+      cents = graft.Engine.cutLineage(
+        next.unionByName(carried).coalesce(1), eager = false)
     }
 
     val stats = assignment(cents).groupBy(col("cid"))

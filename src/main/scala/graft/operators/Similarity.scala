@@ -209,10 +209,18 @@ object Similarity {
         // widen: the per-pair interpreted decimal dot is the CPU-dense
         // stage (QueryProbe r14: a 1.77 s single-task job was 70% of q46),
         // and the index arrives AQE-coalesced to one partition at fixture
-        // byte sizes — see Engine.widen. Fast path stays unwidened: its
-        // codegen'd double scoring is cheap enough that an extra exchange
-        // of the index per query would cost more than it buys.
-        (graft.Engine.widen(index, col("vec_id"))
+        // byte sizes — see Engine.widen. ROUND-ROBIN, not keyed (r15): the
+        // index is the output of assignCells' vec_id aggregation, so a
+        // widen KEYED on vec_id is a redundant repartition the optimizer
+        // deletes — leaving only the aggregate's coalescible
+        // ENSURE_REQUIREMENTS exchange, which AQE collapsed right back to
+        // one task (r15 QueryProbe: a 1.81 s single-task job was 68% of
+        // q46 WITH the keyed widen in the source). Round-robin distribution
+        // differs from any existing partitioning, so it survives planning.
+        // Fast path stays unwidened: its codegen'd double scoring is cheap
+        // enough that an extra exchange per query would cost more than it
+        // buys.
+        (graft.Engine.widen(index)
           .withColumn("n2d", norm2Dec(col("embedding"))),
           probes,
           cosineWithNorms(dotDec(col("embedding"), col("qe")), col("n2d"), col("qn2d")))

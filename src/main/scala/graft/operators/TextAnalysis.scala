@@ -724,7 +724,11 @@ object TextAnalysis {
   private val DsirScale = 20000000L // A: linear link saturates at |lr| = 20
 
   private def q132(s: SparkSession, dir: String): DataFrame = {
-    val dt = Fixtures.documents(s, dir)
+    // widen the single-split scan: tokenize + explode + the per-(doc,tok)
+    // partial agg all fuse into the scan's map stage, which otherwise runs
+    // one task (r15 QueryProbe: 0.32 s single-task, the query's largest
+    // job) — same shape as q40's tf base (Engine.widen)
+    val dt = graft.Engine.widen(Fixtures.documents(s, dir), col("doc_id"))
       .select(col("doc_id"), col("source"), explode(wsTokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("source"), col("tok"))
       .agg(count(lit(1)).as("n"))
