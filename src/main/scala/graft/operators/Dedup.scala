@@ -867,9 +867,18 @@ object Dedup {
       .filter(col("a") =!= col("b") && lit(10) * col("nb") >= lit(9) * col("na"))
       .select(col("a"), col("b")).distinct()
     // exact verify restricted to candidates (no broadcast hint — candidate
-    // volume is corpus-dependent; AQE broadcasts when it measures small)
-    val inter = cands
-      .join(arrs.select(col("doc_id").as("a"), col("arr").as("aa")), "a")
+    // volume is corpus-dependent; AQE broadcasts when it measures small).
+    // Both verify-join inputs are explicitly widened ON THE JOIN KEY: the
+    // per-candidate array_intersect is the CPU stage, and the ENSURE
+    // exchanges the joins would otherwise insert are AQE-coalescible — the
+    // r15 QueryProbe caught both verify joins running 3 tasks (0.44 s +
+    // 0.57 s over 3.8 MiB) behind the 32-way arrs side. The widens move
+    // the same bytes the implicit exchanges moved; only the task count
+    // changes (Engine.widen).
+    val inter = graft.Engine.widen(
+        graft.Engine.widen(cands, col("a"))
+          .join(arrs.select(col("doc_id").as("a"), col("arr").as("aa")), "a"),
+        col("b"))
       .join(arrs.select(col("doc_id").as("b"), col("arr").as("ba")), "b")
       .select(col("a"), col("b"),
         size(array_intersect(col("aa"), col("ba"))).cast("long").as("i"))
