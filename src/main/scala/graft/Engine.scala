@@ -136,6 +136,16 @@ object Engine {
       // handles SHJ too; SPARK_GRAFT_PREFER_SMJ=true restores the old
       // default for deployments that want sort-merge's unconditional spill
       // safety.
+      //
+      // OOM posture at cluster scale (ADVICE r14): the SHJ build map does
+      // NOT spill, and the planner's size condition works off STATS
+      // ESTIMATES — with this 64 MiB broadcast threshold the build side it
+      // accepts can reach threshold × numShufflePartitions bytes in the
+      // worst mis-estimate. Deployments whose input statistics are
+      // unreliable (post-UDF filters, fresh unanalyzed tables) should
+      // submit with SPARK_GRAFT_PREFER_SMJ=true (one env var, no code
+      // change) — the A/B above says the cost is ~10% on this workload —
+      // or keep statistics current so the estimate holds.
       .config("spark.sql.join.preferSortMergeJoin",
         confFlag("SPARK_GRAFT_PREFER_SMJ").toString)
       // events.ts is parquet TIMESTAMP(NANOS) which Spark's reader rejects;
